@@ -337,6 +337,32 @@ object SparkEntry {
        |       SUM(leaf) AS leaf_sum, MAX(max_placed) AS max_placed
        |FROM per_parent GROUP BY parent ORDER BY parent""".stripMargin
 
+  /** P1–P9 batch allocation over the request fixture. Not SQL-expressible
+    * (stateful greedy recursion) — registered without an oracle; the
+    * metamorphic choose->verify property is covered in PlacementSpec. */
+  private def placementChoose(s: SparkSession, dir: String): DataFrame = {
+    val snap = operators.Placement.snapshot(
+      MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
+      AsOfMs, DefaultStaleMs)
+    operators.Placement.choosePlacements(s, snap, MetaFixtures.requests(s))
+      .orderBy("request_id", "pick_order")
+  }
+
+  /** P13–P14 batch deletion over every over-replicated fixture block. Not
+    * SQL-expressible (comparator recomputes sibling counts after each
+    * removal) — registered without an oracle; round-trip covered in
+    * DeletionSpec. */
+  private def placementDelete(s: SparkSession, dir: String): DataFrame = {
+    val snap = operators.Placement.snapshot(
+      MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
+      AsOfMs, DefaultStaleMs)
+    val candidates = MetaFixtures.replicas(s)
+      .join(MetaFixtures.blocks(s), "block_id")
+      .select("block_id", "require_replica", "storage_id")
+    operators.Placement.chooseDeletions(s, snap, candidates)
+      .orderBy("block_id", "removal_order")
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -353,7 +379,9 @@ object SparkEntry {
     "placement_top_racks" -> (placementTopRacks _),
     "placement_verify" -> (placementVerify _),
     "placement_verify_fast" -> (placementVerifyFast _),
-    "placement_hierarchy_stats" -> (placementHierarchyStats _)
+    "placement_hierarchy_stats" -> (placementHierarchyStats _),
+    "placement_choose" -> (placementChoose _),
+    "placement_delete" -> (placementDelete _)
   )
 
   def oracleSql: Map[String, String] = Map(

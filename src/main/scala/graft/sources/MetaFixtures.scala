@@ -158,6 +158,19 @@ object MetaFixtures {
   def blocksSql: String =
     s"SELECT ${blockCols("i").mkString(", ")} FROM range(0, $NumBlocks) t(i)"
 
+  // ---------------------------------------------------------------- requests
+  val NumRequests = 1000L
+
+  /** Placement requests (FIXTURES.md §5): varying replica counts, a third
+    * with a writer hint, a seventh excluding the odd datacenter. */
+  def requests(spark: SparkSession): DataFrame =
+    spark.range(0, NumRequests).selectExpr(
+      "id AS request_id",
+      s"CAST(1 + ${prand("id * 3 + 17")} % 4 AS INT) AS additional",
+      s"CASE WHEN id % 3 = 0 THEN concat('dn-', 1 + ${prand("id * 11 + 23")} % $NumNodes) END AS writer_uuid",
+      "CASE WHEN id % 7 = 0 THEN array('/odd') ELSE array() END AS excludes",
+      "CAST(12 AS BIGINT) AS block_size")
+
   /** Common-table-expression prelude for every fixture-based oracle query.
     * DuckDB binds CTEs lazily, so unused ones cost nothing. */
   def cteSql: String =

@@ -1,0 +1,138 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Verification
+import graft.plans.{ClusterSnapshot, NodeMeta, PlacementRequest, PolicyEngine, StorageMeta}
+import graft.sources.MetaFixtures
+
+/** P1–P9 chooseTarget: structure-level invariants + the reference's
+  * metamorphic property (every allocation passes verification,
+  * `TestCrossAZBlockPlacementPolicy.java:375-398`). */
+class PlacementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Clean 2-DC x 5-rack x 5-node healthy snapshot, one DISK storage each. */
+  private def cleanSnapshot: ClusterSnapshot = {
+    val nodes = for {
+      dc <- Vector("even", "odd")
+      rack <- 0 until 5
+      host <- 0 until 5
+    } yield {
+      val uuid = s"dn-$dc-$rack-$host"
+      NodeMeta(uuid, s"/$dc/rack_$rack/10.0.$rack.$host", healthy = true,
+        xceivers = (rack + host) % 7)
+    }
+    val storages = nodes.map { n =>
+      StorageMeta(s"st-${n.uuid}", n.uuid, "NORMAL", "DISK",
+        remaining = 1000L * MetaFixtures.GiB)
+    }
+    ClusterSnapshot(nodes, storages)
+  }
+
+  private def req(id: Long = 1, additional: Int, writer: Option[String] = None,
+                  chosen: Seq[String] = Nil, returnChosen: Boolean = false,
+                  excludes: Seq[String] = Nil): PlacementRequest =
+    PlacementRequest(id, additional, writer, chosen, returnChosen, excludes,
+      blockSize = 12, policy = Map("DISK" -> additional.toLong))
+
+  private val snap = cleanSnapshot
+
+  test("picks are distinct healthy nodes, exactly `additional` of them") {
+    val picks = PolicyEngine.chooseTarget(snap, req(additional = 3), new Random(7))
+    assert(picks.size == 3)
+    assert(picks.map(_.nodeUuid).distinct.size == 3)
+  }
+
+  test("3 replicas spread across both datacenters and distinct racks") {
+    val picks = PolicyEngine.chooseTarget(snap, req(additional = 3), new Random(7))
+    val dcs = picks.map(p => PolicyEngine.topRack(nodePath(p))).distinct
+    assert(dcs.size == 2)
+    val racks = picks.map(p => PolicyEngine.parentPath(nodePath(p))).distinct
+    assert(racks.size == 3)
+  }
+
+  test("excluding a datacenter keeps all picks outside it") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 3, excludes = Seq("/odd")), new Random(7))
+    assert(picks.nonEmpty)
+    assert(picks.forall(p => nodePath(p).startsWith("/even")))
+  }
+
+  test("writer pins the selection subtree to its datacenter") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 2, writer = Some("dn-even-0-0")), new Random(7))
+    assert(picks.size == 2)
+    assert(picks.forall(p => nodePath(p).startsWith("/even")))
+  }
+
+  test("already-chosen replicas rebalance the next allocation") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 2, chosen = Seq("st-dn-even-0-0")), new Random(7))
+    assert(picks.size == 2)
+    // one pick must go to the untouched datacenter
+    assert(picks.exists(p => nodePath(p).startsWith("/odd")))
+    // chosen node is never re-picked
+    assert(!picks.exists(_.nodeUuid == "dn-even-0-0"))
+  }
+
+  test("returnChosen appends the provided storages") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 1, chosen = Seq("st-dn-even-0-0"), returnChosen = true),
+      new Random(7))
+    assert(picks.size == 2)
+    assert(picks.last.id == "st-dn-even-0-0")
+  }
+
+  test("allocation is capped by available distinct healthy nodes") {
+    val tiny = ClusterSnapshot(snap.nodes.take(4), snap.storages.take(4))
+    val picks = PolicyEngine.chooseTarget(tiny, req(additional = 10), new Random(7))
+    assert(picks.size == 4)
+    assert(picks.map(_.nodeUuid).distinct.size == 4)
+  }
+
+  test("same seed gives identical picks, different seeds may differ") {
+    val a = PolicyEngine.chooseTarget(snap, req(additional = 3), new Random(42))
+    val b = PolicyEngine.chooseTarget(snap, req(additional = 3), new Random(42))
+    assert(a.map(_.id) == b.map(_.id))
+  }
+
+  test("unhealthy nodes are never picked") {
+    val sick = ClusterSnapshot(
+      snap.nodes.map(n => if (n.path.startsWith("/even")) n.copy(healthy = false) else n),
+      snap.storages)
+    val picks = PolicyEngine.chooseTarget(sick, req(additional = 4), new Random(7))
+    assert(picks.nonEmpty)
+    assert(picks.forall(p => nodePath(p).startsWith("/odd")))
+  }
+
+  test("non-preferred storage types are filtered out") {
+    val archiveOnly = ClusterSnapshot(snap.nodes,
+      snap.storages.map(s => if (s.nodeUuid.startsWith("dn-even")) s.copy(tpe = "ARCHIVE") else s))
+    val picks = PolicyEngine.chooseTarget(archiveOnly, req(additional = 4), new Random(7))
+    assert(picks.forall(p => nodePath(p).startsWith("/odd")))
+  }
+
+  test("metamorphic: chooseTarget outputs pass balanced-optimal verification") {
+    // the reference asserts exactly this round-trip (ref test :375-398)
+    val topoDf = snap.nodes.map(n => (n.uuid, n.path,
+        n.path.split('/')(1), n.path.split('/')(2)))
+      .toDF("datanode_uuid", "path", "dc", "rack")
+    for (k <- 1 to 5; seed <- Seq(1L, 99L)) {
+      val picks = PolicyEngine.chooseTarget(snap, req(additional = k), new Random(seed))
+      assert(picks.size == k, s"k=$k seed=$seed")
+      val replicas = picks.zipWithIndex
+        .map { case (p, i) => (1L, i, p.nodeUuid) }
+        .toDF("block_id", "replica_index", "datanode_uuid")
+      val blocks = Seq((1L, k)).toDF("block_id", "require_replica")
+      val row = Verification.verifyBalancedOptimal(replicas, topoDf, blocks).head()
+      assert(row.getAs[Boolean]("satisfied"),
+        s"k=$k seed=$seed picks=${picks.map(_.nodeUuid)}: ${row.getAs[String]("reason")}")
+    }
+  }
+
+  private def nodePath(st: StorageMeta): String = snap.nodeByUuid(st.nodeUuid).path
+}
