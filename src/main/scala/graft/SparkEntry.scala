@@ -364,6 +364,195 @@ object SparkEntry {
   }
 
   // ===================================================================
+  // LLM-data-pipeline operators over documents/embeddings
+  // ===================================================================
+
+  private val TokRe = "[a-z0-9]+"
+  private val DuckToks = s"regexp_extract_all(lower(text), '$TokRe')"
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textStatsSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       | length(text) AS n_chars,
+       | len($DuckToks) AS n_tokens,
+       | len(list_distinct($DuckToks)) AS n_distinct_tokens,
+       | CAST(COALESCE(list_sum(list_transform($DuckToks, t -> length(t))), 0) AS BIGINT) AS total_token_chars,
+       | length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count,
+       | len(list_filter($DuckToks, t -> list_contains($stop, t))) AS stopword_count,
+       | (len($DuckToks) >= 5 AND len($DuckToks) <= 100000
+       |   AND len(list_filter($DuckToks, t -> list_contains($stop, t))) * 100 >= len($DuckToks) * 2
+       |   AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10 <= length(text)) AS quality_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val langIdSql = {
+    def hits(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($DuckToks, t -> list_contains($arr, t)))"
+    }
+    val (en, de, fr, es) = (hits(pipeline.TextAnalysis.EnStop),
+      hits(pipeline.TextAnalysis.DeStop), hits(pipeline.TextAnalysis.FrStop),
+      hits(pipeline.TextAnalysis.EsStop))
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
+       |    $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, non_ascii, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN non_ascii * 5 > n_chars THEN 'zh'
+       |       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+       |       WHEN es_hits > 0 THEN 'es'
+       |       ELSE 'und' END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private val DuckFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val docFingerprintSql =
+    s"SELECT doc_id, $DuckFp AS fingerprint FROM documents ORDER BY doc_id"
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupExactSql =
+    s"""WITH fp AS (SELECT doc_id, $DuckFp AS fingerprint FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+       |  doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupNgramPairsSql =
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len(t) - 2, 0) + 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 10),
+       |rex AS (SELECT e.doc_id, e.s FROM ex e JOIN rare r ON e.s = r.s),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rex a JOIN rex b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN ex ea ON ea.doc_id = c.doc_a
+       |          JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+       |          GROUP BY 1, 2),
+       |res AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS union_size
+       |        FROM inter i
+       |        JOIN sizes sa ON sa.doc_id = i.doc_a
+       |        JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b, inter, union_size,
+       |       CAST(floor(inter * 100 / union_size) AS BIGINT) AS jaccard_pct
+       |FROM res WHERE inter * 100 >= union_size * 30
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupSimhashSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
+       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** MinHash+LSH banded near-dup (the scale path) — not oracle-checked:
+    * recall-vs-brute-force is asserted in DedupSpec instead. */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.minhashLshPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  private val DuckPrepared =
+    s"""e AS (SELECT vec_id, list_transform(embedding,
+       |       v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+       |     FROM embeddings),
+       |en AS (SELECT vec_id, xs,
+       |       CAST(list_sum(list_transform(range(1, len(xs) + 1), i -> xs[i] * xs[i])) AS BIGINT) AS norm2
+       |       FROM e),
+       |en2 AS (SELECT * FROM en WHERE norm2 > 0)""".stripMargin
+
+  private def embeddingNeardupExact(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.nearDupExact(Tables.embeddings(s, dir), tauPct = 40)
+      .orderBy("vec_a", "vec_b")
+
+  private val embeddingNeardupExactSql =
+    s"""WITH $DuckPrepared,
+       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |            a.xs AS xs_a, b.xs AS xs_b, a.norm2 AS n_a, b.norm2 AS n_b
+       |          FROM en2 a JOIN en2 b ON a.vec_id < b.vec_id),
+       |d AS (SELECT vec_a, vec_b,
+       |        CAST(list_sum(list_transform(range(1, len(xs_a) + 1), i -> xs_a[i] * xs_b[i])) AS BIGINT) AS dot,
+       |        n_a, n_b
+       |      FROM pairs)
+       |SELECT vec_a, vec_b, dot, n_a, n_b FROM d
+       |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000
+       |      >= CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) * 1600
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  private def annCosineTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.bruteTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  private val annCosineTopkSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs AS xs_q, norm2 AS n_q FROM en2 WHERE vec_id % 50 = 0),
+       |p AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(range(1, len(xs_q) + 1), i -> xs_q[i] * e2.xs[i])) AS BIGINT) AS dot,
+       |        q.n_q, e2.norm2 AS n
+       |      FROM q JOIN en2 e2 ON e2.vec_id <> q.query_id),
+       |c AS (SELECT query_id, neighbor_id,
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))) AS cos
+       |      FROM p),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |      FROM c)
+       |SELECT query_id, rk, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed near-dup (approximate; recall asserted in SimilaritySpec). */
+  private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
+      .orderBy("vec_a", "vec_b")
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    pipeline.Multimodal.extractFeatures(s,
+        pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select("doc_id", "kind", "n_bytes", "width", "height", "channels")
+      .orderBy("doc_id")
+
+  private val multimodalFeaturesSql =
+    s"""SELECT doc_id,
+       | CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       | octet_length(encode(text)) AS n_bytes,
+       | 64 + octet_length(encode(text)) % 512 AS width,
+       | 64 + (octet_length(encode(text)) * 7) % 512 AS height,
+       | CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -381,7 +570,18 @@ object SparkEntry {
     "placement_verify_fast" -> (placementVerifyFast _),
     "placement_hierarchy_stats" -> (placementHierarchyStats _),
     "placement_choose" -> (placementChoose _),
-    "placement_delete" -> (placementDelete _)
+    "placement_delete" -> (placementDelete _),
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langIdQ _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_pairs" -> (dedupNgramPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "embedding_neardup_exact" -> (embeddingNeardupExact _),
+    "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "multimodal_features" -> (multimodalFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +596,15 @@ object SparkEntry {
     "placement_top_racks" -> placementTopRacksSql,
     "placement_verify" -> placementVerifySql,
     "placement_verify_fast" -> placementVerifyFastSql,
-    "placement_hierarchy_stats" -> placementHierarchyStatsSql
+    "placement_hierarchy_stats" -> placementHierarchyStatsSql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_pairs" -> dedupNgramPairsSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "embedding_neardup_exact" -> embeddingNeardupExactSql,
+    "ann_cosine_topk" -> annCosineTopkSql,
+    "multimodal_features" -> multimodalFeaturesSql
   )
 }

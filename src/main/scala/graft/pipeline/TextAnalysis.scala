@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality signals, language-ID heuristic, and content fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (regexp/array/higher-order
+  * functions) — no UDFs, no shuffles per row; all operators are narrow
+  * projections that scale linearly with the corpus.
+  *
+  * Cross-engine note: every expression here has an exact DuckDB equivalent
+  * (same RE2-compatible regexes, same integer arithmetic) so results are
+  * oracle-checkable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** BPE-ish lexer: lowercased alphanumeric runs. */
+  val TokenPattern = "[a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Count of token occurrences (with multiplicity) that are in `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** Characters outside ASCII — the CJK/script signal for language-ID. */
+  def nonAsciiCount(text: Column): Column =
+    length(regexp_replace(text, "[\\x00-\\x7F]", ""))
+
+  val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+  val DeStop = Seq("der", "die", "und", "das", "nicht", "ist", "ein")
+  val FrStop = Seq("le", "la", "et", "les", "des", "une", "est")
+  val EsStop = Seq("el", "de", "que", "los", "una", "es", "y")
+
+  /** Per-document quality/statistics signals (integer-only outputs). */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_token_chars"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("punct_count"),
+      stopwordCount(toks, EnStop).cast("long").as("stopword_count"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+          col("stopword_count") * 100 >= col("n_tokens") * 2 &&
+          col("punct_count") * 10 <= col("n_chars"))
+  }
+
+  /** N-gram/stopword language-ID heuristic: CJK by non-ASCII density, then
+    * argmax of per-language stopword hits (priority en>de>fr>es on ties),
+    * 'und' when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      nonAsciiCount(col("text")).cast("long").as("non_ascii"),
+      stopwordCount(toks, EnStop).cast("long").as("en_hits"),
+      stopwordCount(toks, DeStop).cast("long").as("de_hits"),
+      stopwordCount(toks, FrStop).cast("long").as("fr_hits"),
+      stopwordCount(toks, EsStop).cast("long").as("es_hits"))
+    scored.withColumn("predicted",
+      when(col("non_ascii") * 5 > col("n_chars"), "zh")
+        .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+          col("de_hits") > 0, "de")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("und"))
+  }
+
+  /** Whitespace-normalized content fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+/** Dedup operators over a planted corpus: one near-dup pair, one exact-dup
+  * pair (modulo whitespace), and unrelated documents. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before the sun goes down"
+  private val nearDup = base.replace("green forest", "green meadow")
+  private val other = "completely different content about spark catalyst " +
+    "optimizer rules and whole stage code generation for columnar engines"
+
+  private val corpus = Seq(
+    (1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"),
+    (4L, "Exact  Match Doc", "en"), (5L, "exact match  doc", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups whitespace/case-normalized duplicates, keep-first") {
+    val m = Dedup.exact(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("group_size"), r.getAs[Boolean]("keep"))).toMap
+    assert(m(4L) == (2L, true))
+    assert(m(5L) == (2L, false))
+    assert(m(1L) == (1L, true))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, thresholdPct = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recalls every brute-force pair on the planted corpus") {
+    val brute = Dedup.ngramJaccardPairs(corpus, maxDf = 1000, thresholdPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, thresholdPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(brute.subsetOf(lsh) || lsh == brute,
+      s"brute=$brute lsh=$lsh")
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val m = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)),
+      s"near=${ham(m(1L), m(2L))} far=${ham(m(1L), m(3L))}")
+    assert(ham(m(4L), m(5L)) == 0) // identical token streams
+  }
+
+  test("short documents yield no shingles and no pairs") {
+    val tiny = Seq((1L, "one two", "en"), (2L, "one two", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.ngramJaccardPairs(tiny).count() == 0)
+    assert(Dedup.minhashLshPairs(tiny).count() == 0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private def vec(v: Double*): Array[Float] = v.map(_.toFloat).toArray
+
+  // 1 and 2 nearly identical; 3 scaled copy of 1 (cosine 1); 4 orthogonal;
+  // 5 opposite direction.
+  private val embs = Seq(
+    (1L, vec(1, 0, 0, 0, 1, 0, 0, 1), 0),
+    (2L, vec(1, 0.01, 0, 0, 1, 0, 0, 0.99), 0),
+    (3L, vec(2, 0, 0, 0, 2, 0, 0, 2), 0),
+    (4L, vec(0, 1, 0, 1, 0, 1, 0, 0), 1),
+    (5L, vec(-1, 0, 0, 0, -1, 0, 0, -1), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("exact near-dup finds high-cosine pairs only") {
+    val pairs = Similarity.nearDupExact(embs, tauPct = 95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // scale-invariant
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // negative dot
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val rows = Similarity.bruteTopK(embs, col("vec_id") === 1L, k = 4).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_micros")))
+    assert(rows.length == 4)
+    // cosine(1,3) = 1 exactly > cosine(1,2) > cosine(1,4) = 0 > cosine(1,5) = -1
+    assert(rows.map(_._2).toSeq == Seq(3L, 2L, 4L, 5L))
+    assert(rows.head._3 >= 999999) // cos ~ 1.0
+    assert(rows.last._3 == -1000000)
+  }
+
+  test("LSH near-dup recalls the exact pairs on identical-direction vectors") {
+    val exact = Similarity.nearDupExact(embs, tauPct = 95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDup(embs, dim = dim, tauPct = 95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical-direction vectors always share every sign bucket
+    assert(lsh.contains((1L, 3L)))
+    assert(lsh.subsetOf(exact)) // LSH never invents pairs (same decision rule)
+  }
+
+  test("zero vectors are excluded from similarity") {
+    val withZero = embs.union(Seq((6L, vec(0, 0, 0, 0, 0, 0, 0, 0), 2))
+      .toDF("vec_id", "embedding", "label"))
+    val pairs = Similarity.nearDupExact(withZero, tauPct = 40).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 6L || r.getLong(1) == 6L))
+  }
+}

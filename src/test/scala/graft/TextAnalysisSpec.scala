@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("textStats counts tokens, punctuation and stopwords exactly") {
+    val df = docs((1L, "The cat, the hat. And a 2nd cat!", "en"))
+    val r = TextAnalysis.textStats(df).head()
+    // tokens: the cat the hat and a 2nd cat
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_distinct_tokens") == 6)
+    assert(r.getAs[Long]("punct_count") == 3) // , . !
+    assert(r.getAs[Long]("stopword_count") == 4) // the x2, and, a
+  }
+
+  test("quality gate rejects ultra-short docs") {
+    val df = docs((1L, "hi", "en"), (2L, "the and of to a in is that " * 10, "en"))
+    val m = TextAnalysis.textStats(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("quality_ok")).toMap
+    assert(!m(1L) && m(2L))
+  }
+
+  test("langId picks planted languages and CJK") {
+    val df = docs(
+      (1L, "the cat and the dog of a house in that place is big", "en"),
+      (2L, "der hund und die katze das ist nicht ein problem", "de"),
+      (3L, "le chat et la maison les chiens des villes une fois", "fr"),
+      (4L, "el perro de que los gatos una casa es grande y bonita", "es"),
+      (5L, "你好世界这是中文文本", "zh"),
+      (6L, "zzz qqq xxx", "??"))
+    val m = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted")).toMap
+    assert(m == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("fingerprint is whitespace- and case-invariant") {
+    val df = docs((1L, "Hello   World", "en"), (2L, "hello world", "en"),
+      (3L, " HELLO\tWORLD ", "en"), (4L, "hello there", "en"))
+    val fps = df.select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+}
