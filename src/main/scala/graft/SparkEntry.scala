@@ -364,6 +364,103 @@ object SparkEntry {
   }
 
   // ===================================================================
+  // Events analytics: window functions + sessionization
+  // ===================================================================
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark 4 refuses to
+    * read as a timestamp; read nanos as raw longs and floor to epoch millis
+    * — exactly DuckDB's `epoch_ms` semantics. */
+  private def eventsBase(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      expr("ts div 1000000").as("ts_ms"))
+  }
+
+  /** Per-user activity profile via window functions (lag gaps). */
+  private def qUserWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    eventsBase(s, dir)
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"),
+        coalesce(max("gap_ms"), lit(0L)).as("max_gap_ms"),
+        msum(col("value")).as("sum_value_micros"))
+      .orderBy("user_id")
+  }
+
+  private val qUserWindowsSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |g AS (
+       |  SELECT *, ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+       |  FROM ev)
+       |SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
+       |  MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms,
+       |  COALESCE(MAX(gap_ms), 0) AS max_gap_ms,
+       |  ${msumSql("value")} AS sum_value_micros
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** 30-minute-gap sessionization via cumulative window sum. */
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val sess = eventsBase(s, dir)
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("session_events"), msum(col("value")).as("v"))
+      .groupBy("user_id")
+      .agg(max("session_idx").as("n_sessions"),
+        max("session_events").as("max_session_events"),
+        sum("v").as("sum_value_micros"))
+      .orderBy("user_id")
+  }
+
+  private val qSessionsSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events),
+       |g AS (
+       |  SELECT *, ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+       |  FROM ev),
+       |flagged AS (
+       |  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+       |  FROM g),
+       |sessioned AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged),
+       |per_session AS (
+       |  SELECT user_id, session_idx, COUNT(*) AS session_events,
+       |    ${msumSql("value")} AS v
+       |  FROM sessioned GROUP BY user_id, session_idx)
+       |SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+       |  MAX(session_events) AS max_session_events,
+       |  CAST(SUM(v) AS BIGINT) AS sum_value_micros
+       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Per-event-type fleet stats. */
+  private def qEventTypeStats(s: SparkSession, dir: String): DataFrame =
+    eventsBase(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        msum(col("value")).as("sum_value_micros"),
+        mavg(col("value")).as("avg_value_micros"))
+      .orderBy("event_type")
+
+  private val qEventTypeStatsSql =
+    s"""SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       | ${msumSql("value")} AS sum_value_micros,
+       | ${mavgSql("value")} AS avg_value_micros
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ===================================================================
   // LLM-data-pipeline operators over documents/embeddings
   // ===================================================================
 
@@ -571,6 +668,9 @@ object SparkEntry {
     "placement_hierarchy_stats" -> (placementHierarchyStats _),
     "placement_choose" -> (placementChoose _),
     "placement_delete" -> (placementDelete _),
+    "q_user_windows" -> (qUserWindows _),
+    "q_sessions" -> (qSessions _),
+    "q_event_type_stats" -> (qEventTypeStats _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -597,6 +697,9 @@ object SparkEntry {
     "placement_verify" -> placementVerifySql,
     "placement_verify_fast" -> placementVerifyFastSql,
     "placement_hierarchy_stats" -> placementHierarchyStatsSql,
+    "q_user_windows" -> qUserWindowsSql,
+    "q_sessions" -> qSessionsSql,
+    "q_event_type_stats" -> qEventTypeStatsSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,

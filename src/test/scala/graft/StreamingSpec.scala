@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventsStream, PlacementMonitor}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.typeCountsPerWindow(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0),
+        (t(11, 5), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("sum_value_micros"))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3000000L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 3000000L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState counts sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionCounts(spark, mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      mem.addData(EventsStream.Event(1L, 1000L, "a", 0),
+        EventsStream.Event(1L, 1500L, "b", 0))
+      q.processAllAvailable()
+      // second batch: within gap (continues session), then far future (new one)
+      mem.addData(EventsStream.Event(1L, 2000L, "c", 0),
+        EventsStream.Event(1L, 99999L, "d", 0))
+      q.processAllAvailable()
+      val last = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sessions")))
+      assert(last.contains((1L, 2L)), last.mkString(","))
+    } finally q.stop()
+  }
+
+  test("placement monitor re-verifies streamed replica snapshots") {
+    val tmp = Files.createTempDirectory("graft-monitor").toFile.getAbsolutePath
+    val snapDir = s"$tmp/snapshots"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val topo = sources.MetaFixtures.topology(spark)
+    val blocks = Seq((1L, 3), (2L, 3)).toDF("block_id", "require_replica")
+    // block 1: balanced 2+1 across DCs; block 2: all on one node
+    Seq((1L, 0, "dn-2", "st-2-0-0"), (1L, 1, "dn-4", "st-4-0-0"),
+      (1L, 2, "dn-1", "st-1-0-0"),
+      (2L, 0, "dn-7", "st-7-0-0"), (2L, 1, "dn-7", "st-7-0-0"),
+      (2L, 2, "dn-7", "st-7-0-0"))
+      .toDF("block_id", "replica_index", "datanode_uuid", "storage_id")
+      .repartition(1).write.parquet(snapDir)
+    val q = PlacementMonitor.start(spark, snapDir, topo, blocks, outDir,
+      Trigger.AvailableNow(), ckpt)
+    q.awaitTermination(60000)
+    val res = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("satisfied")).toMap
+    assert(res == Map(1L -> true, 2L -> false))
+  }
+}
