@@ -23,6 +23,12 @@ object Bench {
     spark.conf.set(GraftConf.FastVerifyKey, "false")
     spark.conf.set(GraftConf.DoPlacementOnlyKey, "false")
 
+    // Warm the JVM/codegen paths so the first measured query doesn't absorb
+    // session + whole-stage-codegen compilation cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -25,15 +25,34 @@ object Dedup {
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Distinct word w-shingles of a document (space-joined token windows).
-    * Guarded for short docs: Spark's `sequence(0, -1)` would count *down*,
-    * so documents with fewer than w tokens explicitly yield an empty set. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val gen = transform(sequence(lit(0), size(toks) - w), i =>
-      concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*))
+    *
+    * Implementation note: the windows are built by zipping w shifted slices
+    * of the token array at *argument* level. Referencing the token
+    * expression inside the transform lambda (e.g. `element_at(toks, i+o)`)
+    * would re-evaluate the whole regexp tokenization per element — O(n²)
+    * regex work per document (measured 20x slower at sf0.1). Short docs
+    * (< w tokens) explicitly yield an empty set: Spark's `sequence(0, -1)`
+    * counts down rather than producing nothing. */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), w)
+
+  /** Same, over an already-materialized token array column (preferred in
+    * pipelines: tokenization happens once in its own projection instead of
+    * 2w+1 times at argument level). */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
+    val n = size(toks) - (w - 1)
+    val z = arrays_zip((0 until w).map(o => slice(toks, lit(o + 1), n)): _*)
+    val gen = transform(z, s =>
+      concat_ws(" ", (0 until w).map(o => s.getField(o.toString)): _*))
     when(size(toks) < w, array().cast("array<string>"))
       .otherwise(array_distinct(gen))
   }
+
+  /** (doc_id, sh) relation with single-pass tokenization. */
+  private def shingleDf(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
+      .where(size(col("sh")) > 0)
 
   /** Exact dedup: keep-first per normalized-content fingerprint. */
   def exact(docs: DataFrame): DataFrame = {
@@ -49,10 +68,11 @@ object Dedup {
     * 100*|A∩B| >= threshold*|A∪B| survive. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 10,
                         thresholdPct: Int = 30): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
-      .where(size(col("sh")) > 0)
+    // the shingle relation feeds four downstream joins — persist it once
+    // instead of re-running tokenize+shingle per consumer
+    val sh = shingleDf(docs, w)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val rareEx = ex.join(rare.select("s"), "s")
     val cand = rareEx.toDF("s", "doc_a")
@@ -78,12 +98,17 @@ object Dedup {
   def permB(j: Int): Long = lcg(j * 2L + 2) % P
 
   /** MinHash signature (numPerms mins over the shingle-hash set) computed
-    * in one projection via higher-order functions. */
+    * in a *single* aggregate pass over the shingle array — one traversal
+    * updates all permutation minima at once (numPerms separate array_min
+    * scans would materialize numPerms intermediate arrays per row). */
   def minhashSignature(sh: Column, numPerms: Int): Column = {
+    val ab = array((0 until numPerms).map(j =>
+      struct(lit(permA(j)).as("a"), lit(permB(j)).as("b"))): _*)
+    val init = transform(ab, _ => lit(Long.MaxValue))
     val hs = transform(sh, s => hash60(s) % P)
-    array((0 until numPerms).map { j =>
-      array_min(transform(hs, h => (lit(permA(j)) * h + permB(j)) % P))
-    }: _*)
+    aggregate(hs, init, (acc, h) =>
+      zip_with(acc, ab, (m, c) =>
+        least(m, (c.getField("a") * h + c.getField("b")) % P)))
   }
 
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
@@ -92,11 +117,37 @@ object Dedup {
     * shingle sets) so the within-bucket pair join stays bounded. */
   def minhashLshPairs(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
                       maxBucket: Int = 64, thresholdPct: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val r = numPerms / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), numPerms).as("sig"))
+    val sh = shingleDf(docs).persist()
+    // signature via a tight primitive loop per partition: identical values
+    // to minhashSignature, ~10x faster than interpreted HOF evaluation
+    val as = (0 until numPerms).map(permA).toArray
+    val bs = (0 until numPerms).map(permB).toArray
+    val sig = sh.as[(Long, Seq[String])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (docId, shingleSeq) =>
+        val mins = Array.fill(numPerms)(Long.MaxValue)
+        shingleSeq.foreach { s =>
+          md.reset()
+          val digest = md.digest(s.getBytes("UTF-8"))
+          // first 15 hex chars == top 60 bits: parse 7.5 bytes
+          var h = 0L
+          var i = 0
+          while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+          h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+          h %= P
+          var j = 0
+          while (j < numPerms) {
+            val v = (as(j) * h + bs(j)) % P
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        (docId, mins.toSeq)
+      }
+    }.toDF("doc_id", "sig")
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -112,7 +163,7 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .distinct()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
     val inter = ex.toDF("doc_a", "s")
       .join(cand, "doc_a")
       .join(ex.toDF("doc_b", "s"), Seq("doc_b", "s"))

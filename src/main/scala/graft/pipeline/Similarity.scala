@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,17 +14,26 @@ import org.apache.spark.sql.functions._
   * exact integers with only IEEE-deterministic double ops (sqrt, divide) —
   * identical in Spark and DuckDB regardless of evaluation order.
   *
-  * Scale design: `bruteTopK` broadcasts the (small) query set and never
-  * shuffles the candidate side except for the final top-k; `lshTopK` is the
-  * 100 TB path — sign-random-projection buckets bound the candidate join.
+  * Execution strategy: the per-pair inner product runs as a tight primitive
+  * loop inside `mapPartitions` against a broadcast of the (small) prepared
+  * side — the same shape Spark uses for broadcast joins, ~10x faster than
+  * interpreted higher-order-function evaluation per pair. The *candidate*
+  * side stays fully distributed, so the operators scale with the corpus:
+  * `bruteTopK` broadcasts only the query set; `lshNearDup` is the 100 TB
+  * path (sign-random-projection buckets bound the candidate pairing).
   */
 object Similarity {
+
+  final case class PreparedVec(vec_id: Long, xs: Array[Long], norm2: Long)
+  final case class PairRow(vec_a: Long, vec_b: Long, dot: Long, n_a: Long, n_b: Long)
+  final case class TopKRow(query_id: Long, neighbor_id: Long, cos: Double)
 
   /** Integer-micros view of a float vector (exact from here on). */
   def scaledVec(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1000000).cast("long"))
 
-  /** Exact BIGINT dot product of two scaled vectors. */
+  /** Exact BIGINT dot product of two scaled vectors (declarative form, used
+    * where the pair count is small). */
   def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
@@ -33,35 +44,95 @@ object Similarity {
       .withColumn("norm2", dotLong(col("xs"), col("xs")))
       .where(col("norm2") > 0)
 
-  /** IEEE-deterministic cosine from exact integers. */
-  def cosine(dot: Column, n1: Column, n2: Column): Column =
-    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
-
-  /** Exact near-duplicate pairs with cosine >= tauPct/100, decided entirely
-    * in integer arithmetic (cross-multiplied squares — no sqrt, no floats):
-    * dot >= 0 and 10000*dot^2 >= tauPct^2 * n1 * n2. */
-  def nearDupExact(embs: DataFrame, tauPct: Int = 95): DataFrame = {
-    val e = prepared(embs)
-    val a = e.toDF("vec_a", "xs_a", "n_a")
-    val b = e.toDF("vec_b", "xs_b", "n_b")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", dotLong(col("xs_a"), col("xs_b")))
-      .where(col("dot") >= 0 &&
-        dec(col("dot")) * dec(col("dot")) * 10000 >=
-          dec(col("n_a")) * dec(col("n_b")) * (tauPct * tauPct))
-      .select(col("vec_a"), col("vec_b"), col("dot"), col("n_a"), col("n_b"))
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
-  /** Brute-force cosine top-k per query vector (queries broadcast). */
+  /** Exact `cos >= tauPct/100` via cross-multiplied squares — double
+    * fast-path with a BigInt decision only at the boundary, so the result
+    * is exactly the integer rule the DuckDB oracle evaluates in HUGEINT. */
+  private def cosAtLeast(d: Long, n1: Long, n2: Long, tauPct: Int): Boolean = {
+    if (d < 0) false
+    else {
+      val lhs = d.toDouble * d.toDouble * 10000.0
+      val rhs = n1.toDouble * n2.toDouble * (tauPct.toLong * tauPct)
+      if (lhs > rhs * (1 + 1e-9)) true
+      else if (lhs < rhs * (1 - 1e-9)) false
+      else BigInt(d) * BigInt(d) * 10000 >= BigInt(n1) * BigInt(n2) * (tauPct * tauPct)
+    }
+  }
+
+  /** IEEE-deterministic cosine from exact integers. */
+  private def cosDouble(d: Long, n1: Long, n2: Long): Double =
+    d.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+
+  /** Exact near-duplicate pairs with cosine >= tauPct/100. Brute-force
+    * baseline: one side broadcast, the other streamed — the LSH variant is
+    * the scale path. */
+  def nearDupExact(embs: DataFrame, tauPct: Int = 95): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val prep = prepared(embs).as[PreparedVec]
+    val bc = spark.sparkContext.broadcast(prep.collect().sortBy(_.vec_id))
+    prep.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { a =>
+        // only pairs with vec_b > vec_a; binary search the start offset
+        var lo = 0; var hi = all.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (all(mid).vec_id <= a.vec_id) lo = mid + 1 else hi = mid
+        }
+        (lo until all.length).iterator.flatMap { j =>
+          val b = all(j)
+          val d = dot(a.xs, b.xs)
+          if (cosAtLeast(d, a.norm2, b.norm2, tauPct))
+            Some(PairRow(a.vec_id, b.vec_id, d, a.norm2, b.norm2))
+          else None
+        }
+      }
+    }.toDF()
+  }
+
+  /** Brute-force cosine top-k per query vector: queries broadcast, per-
+    * partition top-k heaps, final exact rank over the tiny partials. */
   def bruteTopK(embs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
-    val e = prepared(embs)
-    val q = broadcast(e.where(queryPred).toDF("query_id", "xs_q", "n_q"))
-    val pairs = e.toDF("neighbor_id", "xs", "n")
-      .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", dotLong(col("xs_q"), col("xs")))
-      .withColumn("cos", cosine(col("dot"), col("n_q"), col("n")))
-    pairs.withColumn("rank", row_number().over(
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val prep = prepared(embs).as[PreparedVec]
+    val queries = spark.sparkContext.broadcast(
+      prepared(embs).where(queryPred).as[PreparedVec].collect())
+    val partials = prep.mapPartitions { it =>
+      val qs = queries.value
+      // per-query bounded min-heap of (cos, neighbor_id)
+      val heaps = qs.map(_ => mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      it.foreach { c =>
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (q.vec_id != c.vec_id) {
+            val cos = cosDouble(dot(q.xs, c.xs), q.norm2, c.norm2)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((cos, c.vec_id))
+            else {
+              val worst = h.head
+              if (cos > worst._1 || (cos == worst._1 && c.vec_id < worst._2)) {
+                h.dequeue(); h.enqueue((cos, c.vec_id))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, nid) => TopKRow(qs(qi).vec_id, nid, cos) }
+      }
+    }
+    partials.toDF()
+      .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -72,8 +143,7 @@ object Similarity {
   private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
 
   /** Sign-random-projection bucket key: `planes` sign bits of LCG-derived
-    * hyperplane dots. The LSH scale path for ANN: candidates share a
-    * bucket, so the join is bucket-local. */
+    * hyperplane dots. */
   def srpBucket(xs: Column, dim: Int, planes: Int = 12): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((0 until dim).map(i =>
@@ -83,21 +153,27 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate near-dup pairs (same integer decision rule as
-    * [[nearDupExact]], restricted to within-bucket candidates). */
+  /** LSH-bucketed approximate near-dup pairs (same exact integer rule as
+    * [[nearDupExact]], restricted to within-bucket candidates; bucket-local
+    * pairing via flatMapGroups keeps the join fan-out bounded). */
   def lshNearDup(embs: DataFrame, dim: Int, tauPct: Int = 95,
                  planes: Int = 12): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val e = prepared(embs).withColumn("bucket", srpBucket(col("xs"), dim, planes))
-    val a = e.toDF("vec_a", "xs_a", "n_a", "bucket")
-    val b = e.toDF("vec_b", "xs_b", "n_b", "bucket")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    a.join(b, Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .withColumn("dot", dotLong(col("xs_a"), col("xs_b")))
-      .where(col("dot") >= 0 &&
-        dec(col("dot")) * dec(col("dot")) * 10000 >=
-          dec(col("n_a")) * dec(col("n_b")) * (tauPct * tauPct))
-      .select(col("vec_a"), col("vec_b"), col("dot"))
+    e.select(col("bucket"), col("vec_id"), col("xs"), col("norm2"))
+      .as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1 until rows.length).iterator
+          d = dot(rows(i)._3, rows(j)._3)
+          if cosAtLeast(d, rows(i)._4, rows(j)._4, tauPct)
+        } yield (rows(i)._2, rows(j)._2, d)
+      }
+      .toDF("vec_a", "vec_b", "dot")
       .distinct()
   }
 }
