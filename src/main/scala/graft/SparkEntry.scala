@@ -136,6 +136,39 @@ object SparkEntry {
        |GROUP BY n_name
        |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q6 shape: pure filter + aggregate — the predicate-pushdown
+    * showcase (filters reach the parquet scan as PushedFilters). */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(msum(col("l_extendedprice") * col("l_discount")).as("revenue_micros"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6ForecastSql =
+    s"""SELECT ${msumSql("l_extendedprice * l_discount")} AS revenue_micros,
+       | COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Brand revenue over the part dimension (broadcast). */
+  private def qTopParts(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).select("p_partkey", "p_brand")
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), msum(col("l_quantity")).as("sum_qty_micros"),
+        msum(col("rev")).as("revenue_micros"))
+      .orderBy("p_brand")
+  }
+
+  private val qTopPartsSql =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+       | ${msumSql("l_quantity")} AS sum_qty_micros,
+       | ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue_micros
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ===================================================================
   // Placement metadata fixtures (sanity: the arithmetic generator itself)
   // ===================================================================
@@ -362,6 +395,22 @@ object SparkEntry {
     operators.Placement.chooseDeletions(s, snap, candidates)
       .orderBy("block_id", "removal_order")
   }
+
+  /** R6 parity: live-datanode census (address, location) as rendered by the
+    * reference plugin's status JSON (`CrossAZBlockPlacementPolicyPlugin
+    * .java:226-238`); the full document incl. toggles is Status.statusJson. */
+  private def statusDatanodes(s: SparkSession, dir: String): DataFrame =
+    operators.Status.liveDatanodes(MetaFixtures.topology(s),
+      MetaFixtures.datanodes(s), AsOfMs, DefaultStaleMs)
+
+  private val statusDatanodesSql =
+    s"""$cteSql
+       |SELECT t.ip AS address, '/' || t.dc || '/' || t.rack AS location
+       |FROM topology t JOIN datanodes d ON t.datanode_uuid = d.datanode_uuid
+       |WHERE d.registered AND NOT d.decommission_in_progress
+       |  AND NOT d.decommissioned AND NOT d.disallowed
+       |  AND $AsOfMs - d.last_heartbeat_ms <= $DefaultStaleMs
+       |ORDER BY address""".stripMargin
 
   // ===================================================================
   // Events analytics: window functions + sessionization
@@ -657,6 +706,9 @@ object SparkEntry {
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenueImpl _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_top_parts" -> (qTopParts _),
+    "status_datanodes" -> (statusDatanodes _),
     "meta_topology" -> (metaTopology _),
     "meta_datanodes" -> (metaDatanodes _),
     "meta_storages" -> (metaStorages _),
@@ -688,6 +740,9 @@ object SparkEntry {
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_region_revenue" -> q5RegionRevenueSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q_top_parts" -> qTopPartsSql,
+    "status_datanodes" -> statusDatanodesSql,
     "meta_topology" -> metaTopologySql,
     "meta_datanodes" -> metaDatanodesSql,
     "meta_storages" -> metaStoragesSql,

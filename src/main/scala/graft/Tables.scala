@@ -4,10 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * All engine queries take a scale-factor directory and read these tables;
-  * filters/projections are declared on the scan so Catalyst pushes them into
-  * the parquet reader (PushedFilters / ReadSchema) — at 100 TB the scan is
-  * the dominant cost and pruning must happen at the source.
+  * `load` returns a bare scan; pushdown is the *caller's* responsibility —
+  * apply `.select`/`.filter` immediately after loading so Catalyst pushes
+  * them into the parquet reader (verify with `.explain`: PushedFilters /
+  * ReadSchema). At 100 TB the scan is the dominant cost and pruning must
+  * happen at the source.
+  *
+  * Note: `all` includes `documents` and `embeddings`, which exist on disk at
+  * every scale factor but are not listed in TESTDATA.md (doc drift there);
+  * callers iterating `all` against other environments should existence-check.
   */
 object Tables {
   val all: Seq[String] = Seq(
