@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native Catalyst functions.
+  *
+  * Install with `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (cluster-wide) — after which `graft_dot(a, b)` is available in SQL and
+  * via `call_function`. The library degrades gracefully when the extension
+  * is absent (see `Similarity.nativeDot`): the declarative higher-order
+  * fallback computes identical values, just without codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+  }
+}

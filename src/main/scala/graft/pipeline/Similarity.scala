@@ -32,16 +32,23 @@ object Similarity {
   def scaledVec(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1000000).cast("long"))
 
-  /** Exact BIGINT dot product of two scaled vectors (declarative form, used
-    * where the pair count is small). */
+  /** Exact BIGINT dot product of two scaled vectors (declarative
+    * higher-order fallback form). */
   def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Dot product via the native codegen'd [[graft.functions.LongArrayDot]]
+    * when the GraftExtensions function is registered in the session, else
+    * the interpreted higher-order fallback (identical values). */
+  def nativeDot(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dotLong(a, b)
 
   /** Embeddings with scaled vector + exact squared norm, zero vectors
     * dropped (cosine undefined). */
   def prepared(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), scaledVec(col("embedding")).as("xs"))
-      .withColumn("norm2", dotLong(col("xs"), col("xs")))
+      .withColumn("norm2", nativeDot(embs.sparkSession, col("xs"), col("xs")))
       .where(col("norm2") > 0)
 
   private def dot(a: Array[Long], b: Array[Long]): Long = {
