@@ -509,6 +509,27 @@ object SparkEntry {
        | ${mavgSql("value")} AS avg_value_micros
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JSON scalar extraction from the semi-structured props column. */
+  private def qPropsJson(s: SparkSession, dir: String): DataFrame =
+    eventsBase2(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        floor(sum("k") / count(lit(1))).cast("long").as("avg_k_floor"))
+      .orderBy("event_type")
+
+  private def eventsBase2(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, dir).select("event_type", "props")
+  }
+
+  private val qPropsJsonSql =
+    s"""SELECT event_type, COUNT(*) AS n,
+       | CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       | CAST(FLOOR(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_k_floor
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ===================================================================
   // LLM-data-pipeline operators over documents/embeddings
   // ===================================================================
@@ -723,6 +744,7 @@ object SparkEntry {
     "q_user_windows" -> (qUserWindows _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
+    "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -755,6 +777,7 @@ object SparkEntry {
     "q_user_windows" -> qUserWindowsSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
+    "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,

@@ -135,4 +135,79 @@ class PlacementSpec extends AnyFunSuite {
   }
 
   private def nodePath(st: StorageMeta): String = snap.nodeByUuid(st.nodeUuid).path
+
+  // -------------------------------------------------------------------
+  // Existing-block patching scenarios transcribed from the reference
+  // (`TestCrossAZBlockPlacementPolicy.java:475-611`): allocate `additional`
+  // given already-placed replicas, then verify chosen ∪ picks.
+  // -------------------------------------------------------------------
+
+  private def st(dc: String, rack: Int, host: Int) = s"st-dn-$dc-$rack-$host"
+
+  private def patchCase(expectOptimal: Boolean, replica: Int, additional: Int,
+                        writer: Option[String], includeChosen: Boolean,
+                        excludes: Seq[String], chosen: Seq[String],
+                        clue: String): Unit = {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = additional, writer = writer, chosen = chosen,
+        returnChosen = includeChosen, excludes = excludes), new Random(5))
+    val expectedLen = if (includeChosen) chosen.length + additional else additional
+    assert(picks.size == expectedLen, s"$clue: got ${picks.size}")
+    val combined = (picks.map(_.nodeUuid) ++
+      (if (includeChosen) Nil
+       else chosen.map(id => snap.storageById(id).nodeUuid))).zipWithIndex
+    val topoDf = snap.nodes.map(n => (n.uuid, n.path,
+        n.path.split('/')(1), n.path.split('/')(2)))
+      .toDF("datanode_uuid", "path", "dc", "rack")
+    val replicas = combined.map { case (u, i) => (1L, i, u) }
+      .toDF("block_id", "replica_index", "datanode_uuid")
+    val blocks = Seq((1L, replica)).toDF("block_id", "require_replica")
+    val row = Verification.verifyBalancedOptimal(replicas, topoDf, blocks).head()
+    assert(row.getAs[Boolean]("satisfied") == expectOptimal,
+      s"$clue: reason=${Option(row.getAs[String]("reason"))} picks=${picks.map(_.nodeUuid)}")
+  }
+
+  test("patching: one more replica onto 2+1 spread is optimal") {
+    patchCase(expectOptimal = true, 3, 1, None, includeChosen = false, Nil,
+      Seq(st("even", 0, 0), st("even", 1, 0), st("odd", 0, 0)), "patch-1")
+  }
+
+  test("patching: excluding the under-filled DC breaks optimality") {
+    patchCase(expectOptimal = false, 3, 1, None, includeChosen = false, Seq("/odd"),
+      Seq(st("even", 0, 0), st("even", 1, 0), st("odd", 0, 0)), "patch-2")
+  }
+
+  test("patching: include_chosen returns chosen plus picks, still optimal") {
+    patchCase(expectOptimal = true, 3, 1, None, includeChosen = true, Nil,
+      Seq(st("even", 0, 0), st("even", 1, 0), st("odd", 0, 0)), "patch-3")
+  }
+
+  test("patching: writer hint with cross-DC chosen stays optimal") {
+    patchCase(expectOptimal = true, 3, 1, Some("dn-even-0-0"),
+      includeChosen = false, Nil,
+      Seq(st("even", 0, 0), st("even", 1, 0), st("odd", 0, 0)), "patch-4")
+  }
+
+  test("fresh 3-replica allocation without writer is optimal") {
+    patchCase(expectOptimal = true, 3, 3, None, includeChosen = false, Nil, Nil,
+      "fresh-1")
+  }
+
+  test("fresh 3-replica allocation pinned to the writer DC is not optimal") {
+    // the reference's replication-patching case: writer pins the selection
+    // subtree, so all 3 land in one DC (ref :568-571)
+    patchCase(expectOptimal = false, 3, 3, Some("dn-even-0-0"),
+      includeChosen = false, Nil, Nil, "fresh-2")
+  }
+
+  test("patching: writer + same-DC chosen pins everything to one DC") {
+    patchCase(expectOptimal = false, 3, 2, Some("dn-even-0-0"),
+      includeChosen = false, Nil, Seq(st("even", 1, 0)), "patch-5")
+  }
+
+  test("patching: doubled rack with writer pin stays suboptimal") {
+    patchCase(expectOptimal = false, 3, 2, Some("dn-even-0-0"),
+      includeChosen = false, Nil,
+      Seq(st("even", 1, 0), st("even", 1, 1)), "patch-6")
+  }
 }
