@@ -1,0 +1,128 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Verification
+import graft.plans.{ClusterSnapshot, NodeMeta, PlacementRequest, PolicyEngine, StorageMeta}
+import graft.util.LazyIterators
+
+/** Property-style checks over seeded random inputs: the Spark verification
+  * operator is compared against an *independent* in-memory
+  * re-implementation of the reference rules, and engine invariants hold
+  * for arbitrary inputs. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // small clean topology: 2 DCs x 3 racks x 3 hosts
+  private val nodes = for {
+    dc <- Vector("even", "odd"); rack <- 0 until 3; host <- 0 until 3
+  } yield NodeMeta(s"dn-$dc-$rack-$host", s"/$dc/rack_$rack/10.0.$rack.$host",
+    healthy = true, xceivers = 0)
+  private val snap = ClusterSnapshot(nodes,
+    nodes.map(n => StorageMeta(s"st-${n.uuid}", n.uuid, "NORMAL", "DISK", 1L << 40)))
+  private lazy val topoDf = nodes.map(n => (n.uuid, n.path,
+      n.path.split('/')(1), n.path.split('/')(2)))
+    .toDF("datanode_uuid", "path", "dc", "rack").cache()
+
+  /** Independent model of verifyBlockPlacementBalancedOptimal (reference
+    * rules, written directly from the spec — no shared code with the Spark
+    * operator). */
+  private def modelVerify(replicaUuids: Seq[String], require: Int): Boolean = {
+    if (replicaUuids.isEmpty) return false
+    val paths = replicaUuids.map(u => nodes.find(_.uuid == u).get.path)
+    val edges = paths.flatMap(PolicyEngine.ancestorEdges)
+    val perParentChild = edges.groupBy(identity).view.mapValues(_.size).toMap
+    val byParent = perParentChild.groupBy(_._1._1)
+    val rootTotal = byParent.get("").map(_.values.sum).getOrElse(0)
+    if (rootTotal < require) return false
+    val childrenOf = nodes.flatMap(n => PolicyEngine.ancestorEdges(n.path))
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    byParent.forall { case (parent, cc) =>
+      val groups = cc.size
+      val leaf = cc.values.sum
+      val available = childrenOf(parent)
+      val spreadOk = if (leaf <= available) groups == leaf else groups == available
+      spreadOk && cc.values.max - cc.values.min <= 1
+    }
+  }
+
+  test("property: Spark verification agrees with the independent model " +
+    "on 200 random replica sets") {
+    val cases = (1 to 200).map { i =>
+      val rnd = new Random(i)
+      val n = rnd.nextInt(8) // 0..7 replicas, duplicates allowed
+      val uuids = Vector.fill(n)(nodes(rnd.nextInt(nodes.size)).uuid)
+      (i.toLong, uuids, 1 + rnd.nextInt(5))
+    }
+    // batch every sampled case into ONE Spark job
+    val replicas = cases.flatMap { case (id, uuids, _) =>
+      uuids.zipWithIndex.map { case (u, ix) => (id, ix, u) }
+    }.toDF("block_id", "replica_index", "datanode_uuid")
+    val blocks = cases.map { case (id, _, req) => (id, req) }
+      .toDF("block_id", "require_replica")
+    val got = Verification.verifyBalancedOptimal(replicas, topoDf, blocks)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("satisfied")).toMap
+    var satisfiedSeen = 0
+    cases.foreach { case (id, uuids, req) =>
+      val want = modelVerify(uuids, req)
+      if (want) satisfiedSeen += 1
+      assert(got(id) == want, s"case $id uuids=$uuids require=$req spark=${got(id)}")
+    }
+    assert(satisfiedSeen > 0, "degenerate sample: no satisfied case generated")
+  }
+
+  test("property: chooseTarget picks are distinct, filtered, bounded") {
+    for (seed <- 1 to 60) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(12)
+      val excl = rnd.nextInt(3) match {
+        case 0 => Nil
+        case 1 => Seq("/even")
+        case 2 => Seq("/odd")
+      }
+      val req = PlacementRequest(seed, k, None, Nil, returnChosen = false,
+        excludes = excl, blockSize = 12, policy = Map("DISK" -> k.toLong))
+      val picks = PolicyEngine.chooseTarget(snap, req, new Random(seed))
+      assert(picks.size <= k)
+      assert(picks.map(_.nodeUuid).distinct.size == picks.size)
+      assert(picks.forall(p =>
+        !excl.exists(e => snap.nodeByUuid(p.nodeUuid).path.startsWith(e))))
+      if (excl.isEmpty) assert(picks.size == math.min(k, nodes.size),
+        s"seed=$seed k=$k got=${picks.size}")
+    }
+  }
+
+  test("property: deletion removes exactly candidates-minus-quota on " +
+    "symmetric healthy inputs") {
+    for (configReplica <- 1 to 5; perDc <- 2 to 6) {
+      val cands = (0 until perDc).flatMap(i =>
+        Seq(s"st-dn-even-${i % 3}-${i / 3}", s"st-dn-odd-${i % 3}-${i / 3}"))
+      val out = PolicyEngine.chooseReplicasToDelete(snap, cands, configReplica)
+      val expected = if (configReplica > 1) math.min(4, configReplica) else configReplica
+      val want = math.max(0, cands.distinct.size - expected)
+      assert(out.size == want, s"config=$configReplica perDc=$perDc")
+      assert(out.map(_.id).distinct.size == out.size)
+    }
+  }
+
+  test("property: mergeDedup equals the min-round emission model") {
+    for (seed <- 1 to 100) {
+      val rnd = new Random(seed)
+      val inputs = List.fill(rnd.nextInt(5))(
+        List.fill(rnd.nextInt(8))(rnd.nextInt(20)).sorted)
+      val got = LazyIterators.mergeDedup(inputs.map(_.iterator)).toList
+      def model(heads: List[List[Int]]): List[Int] = {
+        val live = heads.filter(_.nonEmpty)
+        if (live.isEmpty) Nil
+        else {
+          val m = live.map(_.head).min
+          m :: model(live.map(l => if (l.nonEmpty && l.head == m) l.tail else l))
+        }
+      }
+      assert(got == model(inputs), s"seed=$seed inputs=$inputs")
+    }
+  }
+}
