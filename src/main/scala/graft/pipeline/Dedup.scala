@@ -130,14 +130,7 @@ object Dedup {
       it.map { case (docId, shingleSeq) =>
         val mins = Array.fill(numPerms)(Long.MaxValue)
         shingleSeq.foreach { s =>
-          md.reset()
-          val digest = md.digest(s.getBytes("UTF-8"))
-          // first 15 hex chars == top 60 bits: parse 7.5 bytes
-          var h = 0L
-          var i = 0
-          while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
-          h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
-          h %= P
+          val h = md5Top60(md, s) % P
           var j = 0
           while (j < numPerms) {
             val v = (as(j) * h + bs(j)) % P
@@ -183,18 +176,39 @@ object Dedup {
     * extraction uses a powers-of-two literal array + bitwiseAND (column
     * shift amounts are not supported by shiftright). */
   def simhash(docs: DataFrame): DataFrame = {
-    val pows = array((0 until 60).map(i => lit(1L << i)): _*)
-    val toks = TextAnalysis.tokens(col("text"))
-    val hs = transform(toks, t => hash60(t))
-    val zeros = transform(pows, _ => lit(0L))
-    val sums = aggregate(hs, zeros, (acc, h) =>
-      zip_with(acc, pows, (a, p) =>
-        a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
-    val sim = aggregate(
-      zip_with(sums, pows, (s, p) => when(s >= 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-    docs.select(col("doc_id"), size(toks).as("nt"), sim.as("simhash"))
-      .where(col("nt") > 0)
-      .select("doc_id", "simhash")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, toks) =>
+          val counts = new Array[Int](60)
+          toks.foreach { t =>
+            val h = md5Top60(md, t)
+            var b = 0
+            while (b < 60) {
+              if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          var sim = 0L
+          var b = 0
+          while (b < 60) { if (counts(b) >= 0) sim |= 1L << b; b += 1 }
+          (docId, sim)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars
+    * parsed base 16), computed without string round-trips. */
+  private def md5Top60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 }
