@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits only the first document per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.firstSeen(spark,
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "hello world"), (2L, "HELLO  world"), (3L, "other"))
+      q.processAllAvailable()
+      // second batch: duplicate of batch 1 must be suppressed by state
+      mem.addData((4L, "hello   WORLD"), (5L, "brand new"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("placement monitor re-verifies streamed replica snapshots") {
     val tmp = Files.createTempDirectory("graft-monitor").toFile.getAbsolutePath
     val snapDir = s"$tmp/snapshots"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
