@@ -697,6 +697,13 @@ object SparkEntry {
        |SELECT query_id, rk, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** IVF-bucketed ANN (the inverted-file scale path; recall-vs-brute-force
+    * asserted in SimilaritySpec — approximate, so rows-only). */
+  private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
   /** LSH-bucketed near-dup (approximate; recall asserted in SimilaritySpec). */
   private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
@@ -755,6 +762,7 @@ object SparkEntry {
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "multimodal_features" -> (multimodalFeatures _)
   )
 

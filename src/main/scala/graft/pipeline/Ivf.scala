@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity.PreparedVec
+
+/** IVF-style approximate nearest-neighbor search: a coarse quantizer
+  * partitions vectors into centroid buckets; a query probes only its
+  * `nprobe` nearest buckets — the inverted-file scale path (candidate set
+  * bounded by probed buckets, not corpus size).
+  *
+  * Centroid selection is deterministic (every k-th vector in vec_id order —
+  * a seedless analog of k-means|| init that keeps the whole pipeline
+  * reproducible without learned state). Assignment and search use the same
+  * exact integer-micros arithmetic as [[Similarity]].
+  */
+object Ivf {
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cos(d: Long, n1: Long, n2: Long): Double =
+    d.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+
+  /** Deterministic coarse centroids: every stride-th prepared vector. */
+  def centroids(embs: DataFrame, nCentroids: Int): Array[PreparedVec] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val all = Similarity.prepared(embs).as[PreparedVec].collect().sortBy(_.vec_id)
+    val stride = math.max(1, all.length / nCentroids)
+    all.zipWithIndex.collect { case (v, i) if i % stride == 0 => v }
+      .take(nCentroids)
+  }
+
+  /** Vectors tagged with their nearest centroid (max cosine). */
+  def assigned(embs: DataFrame, cents: Array[PreparedVec]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    Similarity.prepared(embs).as[PreparedVec].map { v =>
+      val cs = bc.value
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cos(dot(v.xs, cs(i).xs), v.norm2, cs(i).norm2)
+        if (c > bestCos) { bestCos = c; best = i }
+        i += 1
+      }
+      (best, v.vec_id, v.xs, v.norm2)
+    }.toDF("centroid_id", "vec_id", "xs", "norm2")
+  }
+
+  /** Top-k per query probing the `nprobe` nearest centroid buckets. */
+  def searchTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+                 nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = centroids(embs, nCentroids)
+    val inv = assigned(embs, cents)
+    val queries = Similarity.prepared(embs).where(queryPred)
+      .as[PreparedVec].collect()
+    // (query, probed centroid) pairs — tiny, broadcast into the join
+    val probes = queries.flatMap { q =>
+      cents.indices
+        .sortBy(i => (-cos(dot(q.xs, cents(i).xs), q.norm2, cents(i).norm2), i))
+        .take(nprobe)
+        .map(ci => (q.vec_id, ci, q.xs, q.norm2))
+    }.toSeq.toDF("query_id", "centroid_id", "xs_q", "n_q")
+    inv.join(broadcast(probes), "centroid_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .as[(Int, Long, Array[Long], Long, Long, Array[Long], Long)]
+      .map { case (_, vid, xs, n, qid, xsQ, nQ) =>
+        (qid, vid, cos(dot(xsQ, xs), nQ, n))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+  }
+}

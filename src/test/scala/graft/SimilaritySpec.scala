@@ -53,6 +53,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // LSH never invents pairs (same decision rule)
   }
 
+  test("IVF probes recover most of the brute-force top-k on real embeddings") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.bruteTopK(real, pred, k = 5))
+    val ivf = asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
+      nCentroids = 16, nprobe = 6))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    assert(recall >= 0.5, s"recall=$recall exact=${exact.size} hit=${(exact & ivf).size}")
+    // determinism: same call, same result
+    assert(ivf == asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
+      nCentroids = 16, nprobe = 6)))
+  }
+
   test("zero vectors are excluded from similarity") {
     val withZero = embs.union(Seq((6L, vec(0, 0, 0, 0, 0, 0, 0, 0), 2))
       .toDF("vec_id", "embedding", "label"))
