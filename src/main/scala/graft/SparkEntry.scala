@@ -366,8 +366,9 @@ object SparkEntry {
        |  SELECT block_id, parent, COUNT(*) AS groups, SUM(cnt) AS leaf,
        |         MAX(cnt) AS max_placed, MIN(cnt) AS min_placed
        |  FROM per_child GROUP BY 1, 2)
-       |SELECT parent, COUNT(*) AS n_blocks, SUM(groups) AS groups_sum,
-       |       SUM(leaf) AS leaf_sum, MAX(max_placed) AS max_placed
+       |SELECT parent, COUNT(*) AS n_blocks,
+       |       CAST(SUM(groups) AS BIGINT) AS groups_sum,
+       |       CAST(SUM(leaf) AS BIGINT) AS leaf_sum, MAX(max_placed) AS max_placed
        |FROM per_parent GROUP BY parent ORDER BY parent""".stripMargin
 
   /** P1–P9 batch allocation over the request fixture. Not SQL-expressible
@@ -606,6 +607,10 @@ object SparkEntry {
     pipeline.Dedup.ngramJaccardPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** 60-bit md5 shingle hash — the exact DuckDB spelling of
+    * [[pipeline.Dedup.hash60]], so both engines join on identical BIGINTs. */
+  private val DuckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
+
   private val dedupNgramPairsSql =
     s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -613,7 +618,8 @@ object SparkEntry {
        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
        |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
        |sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+       |ex AS (SELECT doc_id, ${DuckHash60.format("s0")} AS s
+       |       FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh2)),
        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 10),
        |rex AS (SELECT e.doc_id, e.s FROM ex e JOIN rare r ON e.s = r.s),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -643,11 +649,57 @@ object SparkEntry {
        |SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** MinHash+LSH banded near-dup (the scale path) — not oracle-checked:
-    * recall-vs-brute-force is asserted in DedupSpec instead. */
+  /** MinHash+LSH banded near-dup (the scale path). The whole pipeline is
+    * deterministic arithmetic (md5 shingle hashes, LCG permutation
+    * constants), so the oracle re-derives signatures, bands, buckets and
+    * exact-Jaccard verification bit-for-bit in SQL; recall-vs-brute-force
+    * is additionally asserted in DedupSpec. */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.minhashLshPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
+
+  private val dedupMinhashLshSql = {
+    val P = pipeline.Dedup.P
+    val A = (0 until 32).map(pipeline.Dedup.permA).mkString("[", ", ", "]")
+    val B = (0 until 32).map(pipeline.Dedup.permB).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len(t) - 2, 0) + 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |hs AS (SELECT doc_id, list_transform(sh,
+       |         s -> ${DuckHash60.format("s")} % $P) AS hs FROM sh2),
+       |sig AS (SELECT doc_id, list_transform(range(32), j ->
+       |         list_min(list_transform(hs, h ->
+       |           (list_extract($A, j + 1) * h + list_extract($B, j + 1)) % $P))) AS sig
+       |       FROM hs),
+       |banded AS (SELECT doc_id, b,
+       |         array_to_string(list_transform(range(4),
+       |           i -> list_extract(sig, b * 4 + i + 1)), '_') AS key
+       |       FROM sig, (SELECT unnest(range(8)) AS b) bs),
+       |bsize AS (SELECT b, key FROM banded GROUP BY 1, 2
+       |          HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM banded a
+       |         JOIN bsize bs ON a.b = bs.b AND a.key = bs.key
+       |         JOIN banded c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |ex AS (SELECT doc_id, ${DuckHash60.format("s0")} AS s
+       |       FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh2)),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN ex ea ON ea.doc_id = c.doc_a
+       |          JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+       |          GROUP BY 1, 2),
+       |res AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS union_size
+       |        FROM inter i
+       |        JOIN sizes sa ON sa.doc_id = i.doc_a
+       |        JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b,
+       |       CAST(floor(inter * 100 / union_size) AS BIGINT) AS jaccard_pct
+       |FROM res WHERE inter * 100 >= union_size * 30
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val DuckPrepared =
     s"""e AS (SELECT vec_id, list_transform(embedding,
@@ -697,17 +749,85 @@ object SparkEntry {
        |SELECT query_id, rk, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** IVF-bucketed ANN (the inverted-file scale path; recall-vs-brute-force
-    * asserted in SimilaritySpec — approximate, so rows-only). */
+  /** Exact cross-engine cosine: dot/(sqrt*sqrt) over exact integer inputs
+    * uses only IEEE-correctly-rounded double ops, so Spark and DuckDB agree
+    * bit-for-bit. `%s`/`%s` are the two (xs, norm2) operand prefixes. */
+  private def duckCos(ax: String, an: String, bx: String, bn: String,
+                      lam: String = "i") =
+    s"""CAST(list_sum(list_transform(range(1, len($ax) + 1), $lam -> $ax[$lam] * $bx[$lam])) AS DOUBLE)
+       | / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))""".stripMargin
+
+  /** IVF-bucketed ANN (the inverted-file scale path). Centroid selection,
+    * assignment and probing are all deterministic functions of the data
+    * (stride sampling + exact-int cosine), so the full inverted-file search
+    * is re-derived in SQL; recall-vs-brute-force additionally asserted in
+    * SimilaritySpec. */
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
-  /** LSH-bucketed near-dup (approximate; recall asserted in SimilaritySpec). */
+  private val annIvfTopkSql =
+    s"""WITH $DuckPrepared,
+       |en3 AS (SELECT vec_id, xs, norm2,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM en3 v, cents c),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |         SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM ac) WHERE rn = 1),
+       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
+       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |qc AS (SELECT q.query_id, c.centroid_id, ${duckCos("q.xs", "q.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM q, cents c),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT query_id, centroid_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM qc) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
+       |       FROM probes p
+       |       JOIN q qv ON qv.query_id = p.query_id
+       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |       FROM scored)
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed near-dup. Hyperplanes are LCG literals and the accept rule
+    * is exact integer arithmetic, so the oracle reproduces bucketing and
+    * verification exactly; recall additionally asserted in SimilaritySpec. */
   private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
       .orderBy("vec_a", "vec_b")
+
+  private val embeddingNeardupLshSql = {
+    val bucketExpr = (0 until 12).map { p =>
+      val plane = pipeline.Similarity.srpPlane(p, 64).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(xs) + 1), " +
+        s"i -> xs[i] * list_extract($plane, i))) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $DuckPrepared,
+       |bucketed AS (SELECT vec_id, xs, norm2,
+       |       ($bucketExpr) AS bucket FROM en2),
+       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |            CAST(list_sum(list_transform(range(1, len(a.xs) + 1),
+       |              i -> a.xs[i] * b.xs[i])) AS BIGINT) AS dot,
+       |            a.norm2 AS n_a, b.norm2 AS n_b
+       |          FROM bucketed a JOIN bucketed b
+       |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, dot FROM pairs
+       |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000
+       |      >= CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) * 1600
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     pipeline.Multimodal.extractFeatures(s,
@@ -792,8 +912,11 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
+    "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "multimodal_features" -> multimodalFeaturesSql
   )
 }

@@ -8,10 +8,17 @@ import graft.GraftConf
 /** P10–P12: placement verification as pure relational analytics.
   *
   * Re-expresses the reference's `verifyBlockPlacementBalancedOptimal`
-  * (`CrossAZBlockPlacementPolicy.java:385-516`) as
-  * explode(ancestor edges) -> groupBy(block, parent, child) ->
-  * groupBy(block, parent) -> broadcast-join(topology group sizes) ->
-  * per-block violation aggregate. Semantics preserved exactly:
+  * (`CrossAZBlockPlacementPolicy.java:385-516`) as a *single-shuffle rollup*:
+  * replicas are hash-partitioned by `block_id` once, then the per-level
+  * hierarchy statistics (host -> rack -> dc -> root) are computed with
+  * partition-local aggregations — `HashPartitioning(block_id)` satisfies the
+  * required clustering of every `groupBy(block_id, ...)`, so Catalyst plans
+  * no further exchanges. The previous formulation (explode ancestor edges ->
+  * two groupBys keyed by long path strings) shuffled 3x the rows twice with
+  * wide string keys; this one shuffles the narrow fact rows once. At 100 TB
+  * the `replicas` table dominates — one narrow shuffle is the floor.
+  *
+  * Semantics preserved exactly (ref `:400-515`):
   *
   *  - per parent with `leaf` replicas below it placed into `groups` distinct
   *    children out of `available`: optimal iff
@@ -23,10 +30,6 @@ import graft.GraftConf
   *  - reasons are compact codes (`not_enough` / `not_optimal`), computed only
   *    in the violation branch (`when(...)`) — the Spark analog of the
   *    reference's lazy `Supplier` messages (`:33-62`).
-  *
-  * Scale: the fact table (`replicas`) is only ever shuffled by block-local
-  * keys; the topology dimension joins broadcast. Partial aggregation handles
-  * the (block, parent, child) rollup map-side.
   */
 object Verification {
 
@@ -48,33 +51,82 @@ object Verification {
     replicas.join(broadcast(topology.select("datanode_uuid", "dc", "rack", "path")),
       "datanode_uuid")
 
-  /** Hierarchy statistics per (block, parent): number of occupied child
-    * groups, total replicas underneath, and per-child max/min (the
-    * reference's `Map<parent, LongSummaryStatistics>`, ref `:400-415`). */
-  def hierarchyStats(replicas: DataFrame, topology: DataFrame): DataFrame = {
-    val edges = located(replicas, topology)
-      .select(col("block_id"), explode(PathAlgebra.ancestorEdges(col("path"))).as("e"))
-      .select(col("block_id"), col("e.parent").as("parent"), col("e.child").as("child"))
-    edges
-      .groupBy("block_id", "parent", "child").agg(count(lit(1)).as("cnt"))
-      .groupBy("block_id", "parent")
+  /** Summary columns shared by every level of the rollup. */
+  private val statCols = Seq("groups", "leaf", "max_placed", "min_placed")
+
+  private def roll(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
         max("cnt").as("max_placed"), min("cnt").as("min_placed"))
+
+  /** The three per-(block, parent) levels of the reference's
+    * `Map<parent, LongSummaryStatistics>` (ref `:400-415`), keyed naturally
+    * (dc, rack) instead of by path strings. One shuffle total: everything
+    * after the initial `repartition(block_id)` is partition-local because
+    * `HashPartitioning(block_id)` satisfies every downstream grouping. The
+    * host-level aggregate is persisted because the per-level violation
+    * branches are separate plan subtrees — without the cache each branch
+    * would re-scan and re-shuffle the fact table (Spark shares no subplans
+    * across DataFrame branches); with it every branch starts from the
+    * already-shuffled in-memory columnar relation, partitioning preserved. */
+  private def levelStats(located: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val base = located
+      .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid"))
+      .repartition(col("block_id"))
+    val host = base.groupBy("block_id", "dc", "rack", "datanode_uuid")
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val rackLvl = roll(host, Seq("block_id", "dc", "rack"))
+    val dcLvl = roll(rackLvl.select(col("block_id"), col("dc"), col("leaf").as("cnt")),
+      Seq("block_id", "dc"))
+    val rootLvl = roll(dcLvl.select(col("block_id"), col("leaf").as("cnt")),
+      Seq("block_id"))
+    (rackLvl, dcLvl, rootLvl)
+  }
+
+  /** Hierarchy statistics per (block, parent): number of occupied child
+    * groups, total replicas underneath, and per-child max/min — the path-
+    * keyed shape the reference exposes (parents "", "/dc", "/dc/rack"). */
+  def hierarchyStats(replicas: DataFrame, topology: DataFrame): DataFrame = {
+    val (rackLvl, dcLvl, rootLvl) = levelStats(located(replicas, topology))
+    val sel = statCols.map(col)
+    rootLvl.select(col("block_id") +: lit("").as("parent") +: sel: _*)
+      .unionByName(dcLvl.select(
+        col("block_id") +: concat(lit("/"), col("dc")).as("parent") +: sel: _*))
+      .unionByName(rackLvl.select(
+        col("block_id") +: concat(lit("/"), col("dc"), lit("/"), col("rack")).as("parent") +: sel: _*))
   }
 
   /** Full balanced-optimal verification: one row per block in `blocks`
     * (block_id, require_replica) with (satisfied, reason). */
   def verifyBalancedOptimal(replicas: DataFrame, topology: DataFrame,
                             blocks: DataFrame): DataFrame = {
-    val stats = hierarchyStats(replicas, topology)
-      .join(broadcast(availableGroups(topology)), "parent")
+    val (rackLvl, dcLvl, rootLvl) = levelStats(located(replicas, topology))
+    // group-size dimensions in natural keys; all tiny -> broadcast
+    val hostsPerRack = topology.groupBy("dc", "rack").agg(count(lit(1)).as("available"))
+    val racksPerDc = topology.groupBy("dc").agg(countDistinct("rack").as("available"))
+    val nDcs = topology.agg(countDistinct(col("dc")).as("available"))
+
     val violated: Column =
       when(col("leaf") <= col("available"), col("groups") =!= col("leaf"))
         .otherwise(col("groups") =!= col("available")) ||
         (col("max_placed") - col("min_placed") > 1)
-    val perBlock = stats.groupBy("block_id").agg(
-      max(when(violated, 1).otherwise(0)).as("any_violation"),
-      max(when(col("parent") === "", col("leaf")).otherwise(0L)).as("root_total"))
+
+    // per-level violation flags, aggregated per block with no re-shuffle
+    val vRack = rackLvl.join(broadcast(hostsPerRack), Seq("dc", "rack"))
+      .groupBy("block_id").agg(max(when(violated, 1).otherwise(0)).as("v_rack"))
+    val vDc = dcLvl.join(broadcast(racksPerDc), Seq("dc"))
+      .groupBy("block_id").agg(max(when(violated, 1).otherwise(0)).as("v_dc"))
+    val vRoot = rootLvl.crossJoin(broadcast(nDcs))
+      .select(col("block_id"), when(violated, 1).otherwise(0).as("v_root"),
+        col("leaf").as("root_total"))
+
+    // co-partitioned on block_id: these joins need no exchange
+    val perBlock = vRoot.join(vRack, "block_id").join(vDc, "block_id")
+      .select(col("block_id"),
+        greatest(col("v_root"), col("v_rack"), col("v_dc")).as("any_violation"),
+        col("root_total"))
+
     blocks.join(perBlock, Seq("block_id"), "left")
       .select(col("block_id"),
         when(col("root_total").isNull || col("root_total") < col("require_replica"), false)

@@ -69,10 +69,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 10,
                         thresholdPct: Int = 30): DataFrame = {
     // the shingle relation feeds four downstream joins — persist it once
-    // instead of re-running tokenize+shingle per consumer
+    // instead of re-running tokenize+shingle per consumer. Shingles enter
+    // the joins as 60-bit md5 hashes (hash60): every candidate/intersection
+    // join then runs on BIGINT keys instead of multi-word strings — far
+    // less shuffle volume and cheaper hash probes. The DuckDB oracle hashes
+    // identically, so even md5 collisions (~2^-60) agree across engines.
     val sh = shingleDf(docs, w)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("str_s"))
+      .select(col("doc_id"), hash60(col("str_s")).as("s")).persist()
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val rareEx = ex.join(rare.select("s"), "s")
     val cand = rareEx.toDF("s", "doc_a")
@@ -156,7 +161,9 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .distinct()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
+    // BIGINT shingle keys for the intersection join (see ngramJaccardPairs)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("str_s"))
+      .select(col("doc_id"), hash60(col("str_s")).as("s")).persist()
     val inter = ex.toDF("doc_a", "s")
       .join(cand, "doc_a")
       .join(ex.toDF("doc_b", "s"), Seq("doc_b", "s"))

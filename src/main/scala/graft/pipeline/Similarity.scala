@@ -149,12 +149,16 @@ object Similarity {
   /** Deterministic ±1 hyperplane component from the shared LCG. */
   private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
 
+  /** The p-th LCG-derived ±1 hyperplane — public so the DuckDB oracle can
+    * embed the identical literals and reproduce bucketing exactly. */
+  def srpPlane(p: Int, dim: Int): IndexedSeq[Long] =
+    (0 until dim).map(i => if (lcg(p * dim.toLong + i) % 2 == 0) 1L else -1L)
+
   /** Sign-random-projection bucket key: `planes` sign bits of LCG-derived
     * hyperplane dots. */
   def srpBucket(xs: Column, dim: Int, planes: Int = 12): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(i =>
-        lit(if (lcg(p * dim.toLong + i) % 2 == 0) 1L else -1L)): _*)
+      val plane = array(srpPlane(p, dim).map(lit): _*)
       when(dotLong(xs, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
