@@ -617,22 +617,19 @@ object SparkEntry {
        |         range(1, greatest(len(t) - 2, 0) + 1),
        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
        |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
-       |ex AS (SELECT doc_id, ${DuckHash60.format("s0")} AS s
-       |       FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh2)),
+       |hsd AS (SELECT doc_id, list_transform(sh, s -> ${DuckHash60.format("s")}) AS hs
+       |        FROM sh2),
+       |ex AS (SELECT doc_id, unnest(hs) AS s FROM hsd),
        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 10),
        |rex AS (SELECT e.doc_id, e.s FROM ex e JOIN rare r ON e.s = r.s),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM rex a JOIN rex b ON a.s = b.s AND a.doc_id < b.doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-       |          FROM cand c
-       |          JOIN ex ea ON ea.doc_id = c.doc_a
-       |          JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
-       |          GROUP BY 1, 2),
-       |res AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS union_size
-       |        FROM inter i
-       |        JOIN sizes sa ON sa.doc_id = i.doc_a
-       |        JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |res AS (SELECT c.doc_a, c.doc_b,
+       |          len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |          len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS union_size
+       |        FROM cand c
+       |        JOIN hsd ha ON ha.doc_id = c.doc_a
+       |        JOIN hsd hb ON hb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, inter, union_size,
        |       CAST(floor(inter * 100 / union_size) AS BIGINT) AS jaccard_pct
        |FROM res WHERE inter * 100 >= union_size * 30
@@ -683,18 +680,14 @@ object SparkEntry {
        |         FROM banded a
        |         JOIN bsize bs ON a.b = bs.b AND a.key = bs.key
        |         JOIN banded c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-       |ex AS (SELECT doc_id, ${DuckHash60.format("s0")} AS s
-       |       FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh2)),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
-       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-       |          FROM cand c
-       |          JOIN ex ea ON ea.doc_id = c.doc_a
-       |          JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
-       |          GROUP BY 1, 2),
-       |res AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS union_size
-       |        FROM inter i
-       |        JOIN sizes sa ON sa.doc_id = i.doc_a
-       |        JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |hsd AS (SELECT doc_id, list_transform(sh, s -> ${DuckHash60.format("s")}) AS hs
+       |        FROM sh2),
+       |res AS (SELECT c.doc_a, c.doc_b,
+       |          len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |          len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS union_size
+       |        FROM cand c
+       |        JOIN hsd ha ON ha.doc_id = c.doc_a
+       |        JOIN hsd hb ON hb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b,
        |       CAST(floor(inter * 100 / union_size) AS BIGINT) AS jaccard_pct
        |FROM res WHERE inter * 100 >= union_size * 30

@@ -59,24 +59,21 @@ object Verification {
       .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
         max("cnt").as("max_placed"), min("cnt").as("min_placed"))
 
-  /** The three per-(block, parent) levels of the reference's
-    * `Map<parent, LongSummaryStatistics>` (ref `:400-415`), keyed naturally
-    * (dc, rack) instead of by path strings. One shuffle total: everything
-    * after the initial `repartition(block_id)` is partition-local because
-    * `HashPartitioning(block_id)` satisfies every downstream grouping. The
-    * host-level aggregate is persisted because the per-level violation
-    * branches are separate plan subtrees — without the cache each branch
-    * would re-scan and re-shuffle the fact table (Spark shares no subplans
-    * across DataFrame branches); with it every branch starts from the
-    * already-shuffled in-memory columnar relation, partitioning preserved. */
-  private def levelStats(located: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val base = located
+  /** Per-(block, host) replica counts, hash-partitioned by `block_id` once;
+    * every downstream `groupBy(block_id, ...)` is then partition-local
+    * because `HashPartitioning(block_id)` satisfies its clustering. */
+  private def hostCounts(located: DataFrame): DataFrame =
+    located
       .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid"))
       .repartition(col("block_id"))
-    val host = base.groupBy("block_id", "dc", "rack", "datanode_uuid")
+      .groupBy("block_id", "dc", "rack", "datanode_uuid")
       .agg(count(lit(1)).as("cnt"))
-      .persist()
-    val rackLvl = roll(host, Seq("block_id", "dc", "rack"))
+
+  /** The three per-(block, parent) levels of the reference's
+    * `Map<parent, LongSummaryStatistics>` (ref `:400-415`), keyed naturally
+    * (dc, rack) instead of by path strings. */
+  private def levelStats(located: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val rackLvl = roll(hostCounts(located), Seq("block_id", "dc", "rack"))
     val dcLvl = roll(rackLvl.select(col("block_id"), col("dc"), col("leaf").as("cnt")),
       Seq("block_id", "dc"))
     val rootLvl = roll(dcLvl.select(col("block_id"), col("leaf").as("cnt")),
@@ -98,10 +95,17 @@ object Verification {
   }
 
   /** Full balanced-optimal verification: one row per block in `blocks`
-    * (block_id, require_replica) with (satisfied, reason). */
+    * (block_id, require_replica) with (satisfied, reason).
+    *
+    * Shape: a *linear* chain host -> rack -> dc -> root where each rollup is
+    * a partition-local `groupBy` (one `repartition(block_id)` shuffle total)
+    * and the per-level violation flag is computed as soon as that level's
+    * stats exist, then carried upward with `max(...)` through the next
+    * rollup. No plan branch ever reuses a subtree, so nothing needs
+    * caching, and the per-block verdict emerges from the final rollup with
+    * no self-joins. Group-size dimensions join broadcast at each step. */
   def verifyBalancedOptimal(replicas: DataFrame, topology: DataFrame,
                             blocks: DataFrame): DataFrame = {
-    val (rackLvl, dcLvl, rootLvl) = levelStats(located(replicas, topology))
     // group-size dimensions in natural keys; all tiny -> broadcast
     val hostsPerRack = topology.groupBy("dc", "rack").agg(count(lit(1)).as("available"))
     val racksPerDc = topology.groupBy("dc").agg(countDistinct("rack").as("available"))
@@ -111,21 +115,32 @@ object Verification {
       when(col("leaf") <= col("available"), col("groups") =!= col("leaf"))
         .otherwise(col("groups") =!= col("available")) ||
         (col("max_placed") - col("min_placed") > 1)
+    val vFlag: Column = when(violated, 1).otherwise(0)
 
-    // per-level violation flags, aggregated per block with no re-shuffle
-    val vRack = rackLvl.join(broadcast(hostsPerRack), Seq("dc", "rack"))
-      .groupBy("block_id").agg(max(when(violated, 1).otherwise(0)).as("v_rack"))
-    val vDc = dcLvl.join(broadcast(racksPerDc), Seq("dc"))
-      .groupBy("block_id").agg(max(when(violated, 1).otherwise(0)).as("v_dc"))
-    val vRoot = rootLvl.crossJoin(broadcast(nDcs))
-      .select(col("block_id"), when(violated, 1).otherwise(0).as("v_root"),
-        col("leaf").as("root_total"))
-
-    // co-partitioned on block_id: these joins need no exchange
-    val perBlock = vRoot.join(vRack, "block_id").join(vDc, "block_id")
+    // parent = /dc/rack: children are hosts
+    val rackLvl = roll(hostCounts(located(replicas, topology)),
+        Seq("block_id", "dc", "rack"))
+      .join(broadcast(hostsPerRack), Seq("dc", "rack"))
+      .select(col("block_id"), col("dc"), col("leaf").as("cnt"), vFlag.as("v"))
+    // parent = /dc: children are racks; carry the rack-level flag upward
+    val dcLvl = rackLvl
+      .groupBy("block_id", "dc")
+      .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
+        max("cnt").as("max_placed"), min("cnt").as("min_placed"),
+        max("v").as("v_below"))
+      .join(broadcast(racksPerDc), Seq("dc"))
+      .select(col("block_id"), col("leaf").as("cnt"),
+        greatest(vFlag, col("v_below")).as("v"))
+    // parent = root: children are dcs; the final rollup yields the verdict
+    val perBlock = dcLvl
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
+        max("cnt").as("max_placed"), min("cnt").as("min_placed"),
+        max("v").as("v_below"))
+      .crossJoin(broadcast(nDcs))
       .select(col("block_id"),
-        greatest(col("v_root"), col("v_rack"), col("v_dc")).as("any_violation"),
-        col("root_total"))
+        greatest(vFlag, col("v_below")).as("any_violation"),
+        col("leaf").as("root_total"))
 
     blocks.join(perBlock, Seq("block_id"), "left")
       .select(col("block_id"),

@@ -54,6 +54,76 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("sh"))
       .where(size(col("sh")) > 0)
 
+  /** (doc_id, hs): 60-bit md5 hashes of the distinct word w-shingles in
+    * first-occurrence order; docs with fewer than w tokens dropped.
+    *
+    * Tokenization stays the declarative builtin (identical to the DuckDB
+    * oracle's `regexp_extract_all(lower(text), ...)`), but window assembly
+    * and hashing run as a tight per-partition loop: the higher-order-function
+    * formulation (`arrays_zip`/`transform`/`concat_ws` + `conv(md5(...))`
+    * per element) falls out of whole-stage codegen and dominated the dedup
+    * pipelines' runtime. Values are bit-identical to
+    * `hash60(shinglesFromTokens(...))` (DedupSpec asserts agreement). */
+  def hashedShingleDf(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, toksSeq) =>
+          val toks = toksSeq.toArray
+          val n = toks.length - (w - 1)
+          if (n <= 0) None
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i < n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var o = 1
+              while (o < w) { sb.append(' ').append(toks(i + o)); o += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+            val arr = new Array[Long](seen.size())
+            val itr = seen.iterator()
+            var j = 0
+            while (itr.hasNext) { arr(j) = md5Top60(md, itr.next()); j += 1 }
+            Some((id, arr))
+          }
+        }
+      }.toDF("doc_id", "hs")
+  }
+
+  /** (doc_a, doc_b, inter, union_size): per-candidate-pair set intersection
+    * of the two docs' hashed shingle arrays, computed as a primitive loop —
+    * the alternative (exploding both sides and re-joining on the shingle
+    * key) fans out to |pairs| x |shingles| rows. The pair->array joins are
+    * plain equi-joins: AQE broadcasts the compact array side when it fits;
+    * at fleet scale they degrade gracefully to shuffle joins keyed by the
+    * bounded candidate set. Intersection counts DISTINCT common hash values
+    * (mirrors DuckDB `list_intersect` in the oracle). */
+  private def pairOverlap(cand: DataFrame, hdf: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.join(hdf.toDF("doc_a", "hs_a"), "doc_a")
+      .join(hdf.toDF("doc_b", "hs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        val set = new java.util.HashSet[java.lang.Long]()
+        it.map { case (a, b, ha, hb) =>
+          set.clear()
+          var i = 0
+          while (i < ha.length) { set.add(ha(i)); i += 1 }
+          var inter = 0L
+          var j = 0
+          while (j < hb.length) { if (set.remove(hb(j))) inter += 1; j += 1 }
+          (a, b, inter, ha.length.toLong + hb.length - inter)
+        }
+      }.toDF("doc_a", "doc_b", "inter", "union_size")
+  }
+
   /** Exact dedup: keep-first per normalized-content fingerprint. */
   def exact(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -68,30 +138,22 @@ object Dedup {
     * 100*|A∩B| >= threshold*|A∪B| survive. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 10,
                         thresholdPct: Int = 30): DataFrame = {
-    // the shingle relation feeds four downstream joins — persist it once
-    // instead of re-running tokenize+shingle per consumer. Shingles enter
-    // the joins as 60-bit md5 hashes (hash60): every candidate/intersection
-    // join then runs on BIGINT keys instead of multi-word strings — far
-    // less shuffle volume and cheaper hash probes. The DuckDB oracle hashes
+    // the hashed-shingle relation feeds every downstream join — persist the
+    // compact per-doc arrays once; consumers (sizes, two explode sides, the
+    // rare-shingle filter) re-derive from the cache with cheap narrow ops.
+    // Shingles enter the joins as 60-bit md5 hashes: candidate and
+    // intersection joins run on BIGINT keys instead of multi-word strings —
+    // far less shuffle volume and cheaper probes. The DuckDB oracle hashes
     // identically, so even md5 collisions (~2^-60) agree across engines.
-    val sh = shingleDf(docs, w)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("str_s"))
-      .select(col("doc_id"), hash60(col("str_s")).as("s")).persist()
+    val hdf = hashedShingleDf(docs, w).persist()
+    val ex = hdf.select(col("doc_id"), explode(col("hs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val rareEx = ex.join(rare.select("s"), "s")
     val cand = rareEx.toDF("s", "doc_a")
       .join(rareEx.toDF("s", "doc_b"), "s")
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val inter = ex.toDF("doc_a", "s")
-      .join(cand, "doc_a")
-      .join(ex.toDF("doc_b", "s"), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+    pairOverlap(cand, hdf)
       .where(col("inter") * 100 >= col("union_size") * thresholdPct)
       .withColumn("jaccard_pct", floor(col("inter") * 100 / col("union_size")).cast("long"))
       .select("doc_a", "doc_b", "inter", "union_size", "jaccard_pct")
@@ -125,23 +187,25 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = numPerms / bands
-    val sh = shingleDf(docs).persist()
-    // signature via a tight primitive loop per partition: identical values
-    // to minhashSignature, ~10x faster than interpreted HOF evaluation
+    val hdf = hashedShingleDf(docs).persist()
+    // signature via a tight primitive loop per partition over the already-
+    // hashed shingles: identical values to minhashSignature, ~10x faster
+    // than interpreted HOF evaluation
     val as = (0 until numPerms).map(permA).toArray
     val bs = (0 until numPerms).map(permB).toArray
-    val sig = sh.as[(Long, Seq[String])].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (docId, shingleSeq) =>
+    val sig = hdf.as[(Long, Array[Long])].mapPartitions { it =>
+      it.map { case (docId, hs) =>
         val mins = Array.fill(numPerms)(Long.MaxValue)
-        shingleSeq.foreach { s =>
-          val h = md5Top60(md, s) % P
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i) % P
           var j = 0
           while (j < numPerms) {
             val v = (as(j) * h + bs(j)) % P
             if (v < mins(j)) mins(j) = v
             j += 1
           }
+          i += 1
         }
         (docId, mins.toSeq)
       }
@@ -160,18 +224,7 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
       .distinct()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    // BIGINT shingle keys for the intersection join (see ngramJaccardPairs)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("str_s"))
-      .select(col("doc_id"), hash60(col("str_s")).as("s")).persist()
-    val inter = ex.toDF("doc_a", "s")
-      .join(cand, "doc_a")
-      .join(ex.toDF("doc_b", "s"), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+    pairOverlap(cand, hdf)
       .where(col("inter") * 100 >= col("union_size") * thresholdPct)
       .withColumn("jaccard_pct", floor(col("inter") * 100 / col("union_size")).cast("long"))
       .select("doc_a", "doc_b", "jaccard_pct")

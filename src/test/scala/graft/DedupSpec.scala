@@ -98,4 +98,17 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(tiny).count() == 0)
     assert(Dedup.minhashLshPairs(tiny).count() == 0)
   }
+
+  test("hashedShingleDf matches hash60 over the declarative shingles") {
+    import org.apache.spark.sql.functions._
+    val declarative = corpus
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(col("sh"), s => Dedup.hash60(s)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fast = Dedup.hashedShingleDf(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == declarative.keySet)
+    fast.foreach { case (id, hs) => assert(hs == declarative(id), s"doc $id") }
+  }
 }
