@@ -169,6 +169,27 @@ object SparkEntry {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Multi-level aggregation via ROLLUP (grouping sets): per-(flag, status)
+    * pricing with subtotal and grand-total rows, disambiguated by
+    * grouping_id — one Expand+Aggregate pass instead of three scans. */
+  private def qPricingRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        msum(col("l_quantity")).as("sum_qty_micros"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid").cast("long").as("gid"), col("n_rows"), col("sum_qty_micros"))
+      .orderBy("rf", "ls", "gid")
+
+  private val qPricingRollupSql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       | COUNT(*) AS n_rows,
+       | ${msumSql("l_quantity")} AS sum_qty_micros
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls, gid""".stripMargin
+
   // ===================================================================
   // Placement metadata fixtures (sanity: the arithmetic generator itself)
   // ===================================================================
@@ -646,6 +667,32 @@ object SparkEntry {
        |SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SimHash banded near-dup pairs: exact recall for hamming <= 3 by the
+    * 4-band pigeonhole (see [[pipeline.Dedup.simhashPairs]]). */
+  private def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.simhashPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupSimhashPairsSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
+       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY 1, 2),
+       |sims AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |         FROM bits GROUP BY doc_id),
+       |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+       |           FROM sims, (SELECT unnest(range(4)) AS b) bands),
+       |bsize AS (SELECT b, key FROM banded GROUP BY 1, 2
+       |          HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+       |                c.doc_id AS doc_b, c.simhash AS sim_b
+       |         FROM banded a
+       |         JOIN bsize bs ON a.b = bs.b AND a.key = bs.key
+       |         JOIN banded c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash+LSH banded near-dup (the scale path). The whole pipeline is
     * deterministic arithmetic (md5 shingle hashes, LCG permutation
     * constants), so the oracle re-derives signatures, bands, buckets and
@@ -848,6 +895,7 @@ object SparkEntry {
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenueImpl _),
     "q6_forecast" -> (q6Forecast _),
+    "q_pricing_rollup" -> (qPricingRollup _),
     "q_top_parts" -> (qTopParts _),
     "status_datanodes" -> (statusDatanodes _),
     "meta_topology" -> (metaTopology _),
@@ -871,6 +919,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
@@ -884,6 +933,7 @@ object SparkEntry {
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_region_revenue" -> q5RegionRevenueSql,
     "q6_forecast" -> q6ForecastSql,
+    "q_pricing_rollup" -> qPricingRollupSql,
     "q_top_parts" -> qTopPartsSql,
     "status_datanodes" -> statusDatanodesSql,
     "meta_topology" -> metaTopologySql,
@@ -905,6 +955,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,

@@ -261,6 +261,42 @@ object Dedup {
       }.toDF("doc_id", "simhash")
   }
 
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    *
+    * Candidate generation bands the 60-bit signature into `bands` chunks of
+    * `bandBits` bits; by pigeonhole, any pair within hamming distance
+    * `bands - 1` shares at least one identical band, so with the defaults
+    * (4 x 15 bits, maxHamming 3) recall is *exact* — banding is a pure
+    * pruning step, not an approximation. Bucket-size cap bounds fan-out on
+    * degenerate clusters, like the MinHash path. Verification is the
+    * codegen'd `bit_count(xor)` builtin — no UDF. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   bandBits: Int = 15, maxBucket: Int = 64): DataFrame = {
+    val sims = simhash(docs)
+    val mask = (1L << bandBits) - 1
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val cand = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        explode(col("ids")).as("b"))
+      .select(col("doc_a"), col("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars
     * parsed base 16), computed without string round-trips. */
   private def md5Top60(md: java.security.MessageDigest, s: String): Long = {

@@ -111,4 +111,13 @@ class DedupSpec extends AnyFunSuite {
     assert(fast.keySet == declarative.keySet)
     fast.foreach { case (id, hs) => assert(hs == declarative(id), s"doc $id") }
   }
+
+  test("simhash banded pairs find exact dups with hamming 0, skip unrelated") {
+    val pairs = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 4/5 are identical after tokenization -> identical simhash
+    assert(pairs.get((4L, 5L)).contains(0L))
+    // the unrelated doc 3 never pairs with the fox corpus
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
