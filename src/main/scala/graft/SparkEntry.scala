@@ -69,8 +69,12 @@ object SparkEntry {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3 shape: top-10 open orders by discounted revenue for one market
-    * segment. The customer dimension is broadcast; lineitem (the 100 TB-class
-    * side) is never shuffled except by the groupBy key. */
+    * segment. Only the filtered customer key set is force-broadcast (a true
+    * dimension at any scale); the orders side is left to AQE — at test SF
+    * its runtime stats are small enough to auto-broadcast, while at 100 TB
+    * (where segment-filtered orders is still |orders|/5 and would OOM a
+    * forced broadcast) it degrades gracefully to a shuffle join keyed by
+    * l_orderkey. */
   private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "MACHINERY")
       .select("c_custkey")
@@ -78,7 +82,7 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey")
       .agg(msum(col("rev")).as("revenue_micros"),
@@ -100,8 +104,11 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
 
   /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
-    * nation, restricted to one region. All dimensions broadcast — lineitem,
-    * the 100 TB-class side, is shuffled only by the final groupBy key. */
+    * nation, restricted to one region. Only the fixed-cardinality dimensions
+    * (region, nation) are force-broadcast; supplier/customer/orders sides
+    * are AQE-decided — auto-broadcast at test SF, shuffle joins at fleet
+    * scale where forcing them into executor memory would OOM. lineitem, the
+    * 100 TB-class side, is shuffled only on its join/groupBy keys. */
   private def q5RegionRevenueImpl(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).where(col("r_name") === "ASIA")
     val nation = Tables.nation(s, dir)
@@ -112,9 +119,9 @@ object SparkEntry {
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    li.join(broadcast(supp.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))),
+    li.join(supp.join(broadcast(nation), col("s_nationkey") === col("n_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .where(col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
@@ -150,12 +157,15 @@ object SparkEntry {
        |FROM lineitem
        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
-  /** Brand revenue over the part dimension (broadcast). */
+  /** Brand revenue over the part dimension. The 2-column part projection is
+    * AQE-decided: auto-broadcast while it fits (test SFs), shuffle join on
+    * l_partkey at fleet scale — part grows with SF and a forced broadcast
+    * would not survive 100 TB. */
   private def qTopParts(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir).select("p_partkey", "p_brand")
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"), msum(col("l_quantity")).as("sum_qty_micros"),
         msum(col("rev")).as("revenue_micros"))
