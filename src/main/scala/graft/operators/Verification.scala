@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftConf
 
+/** Per-(block, rack) stat row used by the single-pass hierarchy expansion
+  * (public: Catalyst codegen instantiates the deserializer externally). */
+case class RackStat(dc: String, rack: String, groups: Long,
+                    leaf: Long, max_placed: Long, min_placed: Long)
+
 /** P10–P12: placement verification as pure relational analytics.
   *
   * Re-expresses the reference's `verifyBlockPlacementBalancedOptimal`
@@ -51,9 +56,6 @@ object Verification {
     replicas.join(broadcast(topology.select("datanode_uuid", "dc", "rack", "path")),
       "datanode_uuid")
 
-  /** Summary columns shared by every level of the rollup. */
-  private val statCols = Seq("groups", "leaf", "max_placed", "min_placed")
-
   private def roll(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
@@ -69,29 +71,39 @@ object Verification {
       .groupBy("block_id", "dc", "rack", "datanode_uuid")
       .agg(count(lit(1)).as("cnt"))
 
-  /** The three per-(block, parent) levels of the reference's
-    * `Map<parent, LongSummaryStatistics>` (ref `:400-415`), keyed naturally
-    * (dc, rack) instead of by path strings. */
-  private def levelStats(located: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val rackLvl = roll(hostCounts(located), Seq("block_id", "dc", "rack"))
-    val dcLvl = roll(rackLvl.select(col("block_id"), col("dc"), col("leaf").as("cnt")),
-      Seq("block_id", "dc"))
-    val rootLvl = roll(dcLvl.select(col("block_id"), col("leaf").as("cnt")),
-      Seq("block_id"))
-    (rackLvl, dcLvl, rootLvl)
-  }
-
   /** Hierarchy statistics per (block, parent): number of occupied child
     * groups, total replicas underneath, and per-child max/min — the path-
-    * keyed shape the reference exposes (parents "", "/dc", "/dc/rack"). */
+    * keyed shape the reference exposes (parents "", "/dc", "/dc/rack").
+    *
+    * Single-pass: rack-level stats collect per block (partition-local after
+    * the one `repartition(block_id)` shuffle — a block spans at most
+    * #dcs x #racks entries), then one flatMap derives the dc- and root-level
+    * summaries in memory and emits all three levels. The alternative (union
+    * of three rollup branches) re-scans and re-shuffles the fact table per
+    * branch, since Spark shares no subplans across DataFrame branches. */
   def hierarchyStats(replicas: DataFrame, topology: DataFrame): DataFrame = {
-    val (rackLvl, dcLvl, rootLvl) = levelStats(located(replicas, topology))
-    val sel = statCols.map(col)
-    rootLvl.select(col("block_id") +: lit("").as("parent") +: sel: _*)
-      .unionByName(dcLvl.select(
-        col("block_id") +: concat(lit("/"), col("dc")).as("parent") +: sel: _*))
-      .unionByName(rackLvl.select(
-        col("block_id") +: concat(lit("/"), col("dc"), lit("/"), col("rack")).as("parent") +: sel: _*))
+    val spark = replicas.sparkSession
+    import spark.implicits._
+    val rackLvl = roll(hostCounts(located(replicas, topology)),
+      Seq("block_id", "dc", "rack"))
+    rackLvl
+      .groupBy("block_id")
+      .agg(collect_list(struct(col("dc"), col("rack"), col("groups"),
+        col("leaf"), col("max_placed"), col("min_placed"))).as("racks"))
+      .as[(Long, Seq[RackStat])]
+      .flatMap { case (blockId, racks) =>
+        val rackRows = racks.map(r =>
+          (blockId, s"/${r.dc}/${r.rack}", r.groups, r.leaf, r.max_placed, r.min_placed))
+        val dcRows = racks.groupBy(_.dc).map { case (dc, rs) =>
+          val leafs = rs.map(_.leaf)
+          (blockId, s"/$dc", rs.size.toLong, leafs.sum, leafs.max, leafs.min)
+        }.toSeq
+        val dcLeafs = dcRows.map(_._4)
+        val rootRow =
+          (blockId, "", dcRows.size.toLong, dcLeafs.sum, dcLeafs.max, dcLeafs.min)
+        (rootRow +: dcRows) ++ rackRows
+      }
+      .toDF("block_id", "parent", "groups", "leaf", "max_placed", "min_placed")
   }
 
   /** Full balanced-optimal verification: one row per block in `blocks`
