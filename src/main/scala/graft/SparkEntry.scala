@@ -525,6 +525,34 @@ object SparkEntry {
        |  CAST(SUM(v) AS BIGINT) AS sum_value_micros
        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join (operators/AsOfJoin): every click event annotated with the
+    * value of the user's most recent purchase at-or-before the click.
+    * DuckDB's native ASOF JOIN is the oracle. */
+  private def qAsofLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsBase(s, dir)
+      .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_ms")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms").agg(max("vm").as("purchase_micros"))
+    operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+        "ts_ms", "ts_ms", Seq("purchase_micros"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofLastPurchaseSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+       |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |clicks AS (SELECT user_id, event_id, ts_ms FROM ev WHERE event_type = 'click'),
+       |purch AS (SELECT user_id, ts_ms, MAX(vm) AS purchase_micros
+       |          FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT c.user_id, c.event_id, c.ts_ms, p.purchase_micros
+       |FROM clicks c ASOF LEFT JOIN purch p
+       |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
+       |ORDER BY c.event_id""".stripMargin
+
   /** Per-event-type fleet stats. */
   private def qEventTypeStats(s: SparkSession, dir: String): DataFrame =
     eventsBase(s, dir)
@@ -920,6 +948,7 @@ object SparkEntry {
     "placement_choose" -> (placementChoose _),
     "placement_delete" -> (placementDelete _),
     "q_user_windows" -> (qUserWindows _),
+    "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
     "q_props_json" -> (qPropsJson _),
@@ -956,6 +985,7 @@ object SparkEntry {
     "placement_verify_fast" -> placementVerifyFastSql,
     "placement_hierarchy_stats" -> placementHierarchyStatsSql,
     "q_user_windows" -> qUserWindowsSql,
+    "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
     "q_props_json" -> qPropsJsonSql,

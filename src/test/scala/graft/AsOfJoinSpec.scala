@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: latest right row at-or-before each left row. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("k", "id", "t")
+    val r = right.toDF("k", "t", "v")
+    AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .map(row => row.getAs[Long]("id") ->
+        Option(row.getAs[Any]("v")).map(_.asInstanceOf[Long]))
+      .toMap
+  }
+
+  test("picks the latest right row at or before each left timestamp") {
+    val got = run(
+      left = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L)),
+      right = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)))
+    assert(got == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> Some(300L)))
+  }
+
+  test("left rows before any right row get null payload") {
+    val got = run(left = Seq((1L, 1L, 3L)), right = Seq((1L, 5L, 100L)))
+    assert(got == Map(1L -> None))
+  }
+
+  test("equal timestamps: the same-instant right row is visible") {
+    val got = run(left = Seq((1L, 1L, 10L)), right = Seq((1L, 10L, 100L)))
+    assert(got == Map(1L -> Some(100L)))
+  }
+
+  test("keys never mix") {
+    val got = run(
+      left = Seq((1L, 1L, 10L), (2L, 2L, 10L)),
+      right = Seq((1L, 5L, 100L)))
+    assert(got == Map(1L -> Some(100L), 2L -> None))
+  }
+}
