@@ -597,6 +597,21 @@ object SparkEntry {
   private val TokRe = "[a-z0-9]+"
   private val DuckToks = s"regexp_extract_all(lower(text), '$TokRe')"
 
+  /** 60-bit md5 hash — the exact DuckDB spelling of
+    * [[pipeline.Dedup.hash60]], so both engines agree on identical BIGINTs. */
+  private val DuckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  /** Shared embedding-preparation CTEs (integer-micros scaling + exact
+    * squared norms, zero vectors dropped) — mirrors Similarity.prepared. */
+  private val DuckPrepared =
+    s"""e AS (SELECT vec_id, list_transform(embedding,
+       |       v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+       |     FROM embeddings),
+       |en AS (SELECT vec_id, xs,
+       |       CAST(list_sum(list_transform(range(1, len(xs) + 1), i -> xs[i] * xs[i])) AS BIGINT) AS norm2
+       |       FROM e),
+       |en2 AS (SELECT * FROM en WHERE norm2 > 0)""".stripMargin
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -642,6 +657,64 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** tf-idf top terms per document (rational idf — see TextAnalysis). */
+  private def qTfidfTop(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))
+      .orderBy("doc_id", "rk")
+
+  private val qTfidfTopSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |         (t.tf * 1000000 * n.n_docs) // d.df AS score_micros
+       |  FROM tf t JOIN df d ON t.term = d.term, n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score_micros,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score_micros DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, score_micros
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Deterministic stratified sampling over documents (salted md5 buckets:
+    * reproducible across runs and engines, no RNG state). */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    pipeline.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        col("lang"), col("doc_id"),
+        rates = Map("en" -> 50, "de" -> 30), defaultPct = 10)
+      .orderBy("doc_id")
+
+  private val qSampleStratifiedSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${DuckHash60.format("concat('graft:', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang FROM b
+       |WHERE bucket < (CASE WHEN lang = 'en' THEN 50
+       |                     WHEN lang = 'de' THEN 30 ELSE 10 END)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Int8 max-abs quantization summaries over embeddings (exact ints). */
+  private def qQuantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.quantizeStats(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  private val qQuantizeEmbeddingsSql =
+    s"""WITH $DuckPrepared,
+       |m AS (SELECT vec_id, xs,
+       |        list_max(list_transform(xs, x -> abs(x))) AS maxabs FROM en2),
+       |qq AS (SELECT vec_id, maxabs,
+       |         list_transform(xs, x -> ((x + maxabs) * 254) // (2 * maxabs) - 127) AS q
+       |       FROM m)
+       |SELECT vec_id, maxabs AS maxabs_micros,
+       |  CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max,
+       |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * i)) AS BIGINT) AS q_checksum
+       |FROM qq ORDER BY vec_id""".stripMargin
+
   private val DuckFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -665,10 +738,6 @@ object SparkEntry {
   private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.ngramJaccardPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
-
-  /** 60-bit md5 shingle hash — the exact DuckDB spelling of
-    * [[pipeline.Dedup.hash60]], so both engines join on identical BIGINTs. */
-  private val DuckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
 
   private val dedupNgramPairsSql =
     s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
@@ -778,15 +847,6 @@ object SparkEntry {
        |FROM res WHERE inter * 100 >= union_size * 30
        |ORDER BY doc_a, doc_b""".stripMargin
   }
-
-  private val DuckPrepared =
-    s"""e AS (SELECT vec_id, list_transform(embedding,
-       |       v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
-       |     FROM embeddings),
-       |en AS (SELECT vec_id, xs,
-       |       CAST(list_sum(list_transform(range(1, len(xs) + 1), i -> xs[i] * xs[i])) AS BIGINT) AS norm2
-       |       FROM e),
-       |en2 AS (SELECT * FROM en WHERE norm2 > 0)""".stripMargin
 
   private def embeddingNeardupExact(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.nearDupExact(Tables.embeddings(s, dir), tauPct = 40)
@@ -953,6 +1013,9 @@ object SparkEntry {
     "q_event_type_stats" -> (qEventTypeStats _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
+    "q_tfidf_top" -> (qTfidfTop _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -990,6 +1053,9 @@ object SparkEntry {
     "q_event_type_stats" -> qEventTypeStatsSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
+    "q_tfidf_top" -> qTfidfTopSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,

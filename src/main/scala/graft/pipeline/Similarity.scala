@@ -146,6 +146,23 @@ object Similarity {
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
   }
 
+  /** Int8 max-abs quantization summaries per vector, in exact integer
+    * arithmetic: `qi = ((x + maxabs) * 254) div (2 * maxabs) - 127` over
+    * integer micros — the shifted numerator is non-negative, so Spark's
+    * truncating `div` and DuckDB's floor `//` agree. Emits scalar summaries
+    * (the checksum is position-weighted, so any misquantized component
+    * changes it); the full int8 array is a projection away for a real
+    * writer. */
+  def quantizeStats(embs: DataFrame): DataFrame =
+    prepared(embs)
+      .withColumn("maxabs",
+        expr("aggregate(xs, CAST(0 AS BIGINT), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("q",
+        expr("transform(xs, x -> ((x + maxabs) * 254) div (2 * maxabs) - 127)"))
+      .selectExpr("vec_id", "maxabs AS maxabs_micros",
+        "array_min(q) AS q_min", "array_max(q) AS q_max",
+        "aggregate(zip_with(q, sequence(1, size(q)), (qi, i) -> qi * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS q_checksum")
+
   /** Deterministic ±1 hyperplane component from the shared LCG. */
   private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
 

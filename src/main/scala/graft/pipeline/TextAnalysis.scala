@@ -81,4 +81,34 @@ object TextAnalysis {
   /** Whitespace-normalized content fingerprint (exact-dedup key). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-document top-k terms by tf-idf.
+    *
+    * The idf factor is the *rational* corpus ratio N/df rather than its
+    * logarithm: `score_micros = (tf * 1e6 * N) div df` is exact BIGINT
+    * arithmetic in both engines, whereas `ln` is not guaranteed correctly
+    * rounded and could flip a floor() at a ULP boundary. Monotonic in the
+    * classic tf·log(N/df) for fixed tf, and cross-engine deterministic.
+    *
+    * Shape: explode -> groupBy(doc, term) [tf] -> groupBy(term) [df, from
+    * the tf relation, so the corpus is read once] -> broadcast N -> window
+    * top-k per doc. The tf relation is the only fact-sized shuffle.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_micros",
+        expr("(tf * 1000000 * n_docs) div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_micros").desc, col("term"))))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tf", "df", "score_micros")
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Sampling, Similarity, TextAnalysis}
+
+/** Specs for the round-3 pipeline additions: tf-idf, deterministic
+  * sampling, int8 quantization. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tf-idf ranks a document's distinctive term above corpus-wide terms") {
+    val docs = Seq(
+      (1L, "shared words here plus zebra zebra zebra"),
+      (2L, "shared words here plus common filler"),
+      (3L, "shared words here plus common filler")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // 'zebra': tf 3, df 1 — maximal score for doc 1
+    assert(top(1L) == "zebra")
+  }
+
+  test("hash sampling is deterministic and roughly proportional") {
+    val df = spark.range(0, 10000).toDF("doc_id")
+    val a = Sampling.hashSample(df, col("doc_id"), 20).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, col("doc_id"), 20).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 1500 && a.size < 2500)
+    // rate monotonicity: a 20% sample contains the 10% sample
+    val c = Sampling.hashSample(df, col("doc_id"), 10).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = spark.range(0, 3000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val got = Sampling.stratifiedSample(df, col("lang"), col("doc_id"),
+      Map("en" -> 100, "de" -> 0), defaultPct = 0).collect()
+    assert(got.nonEmpty && got.forall(_.getString(1) == "en"))
+  }
+
+  test("int8 quantization stays in [-127, 127] and maps extremes to the rails") {
+    val embs = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.25f, -0.125f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeStats(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))).toMap
+    assert(rows(1L) == (-127L, 127L))
+    assert(rows(2L)._1 >= -127L && rows(2L)._2 <= 127L)
+  }
+}
