@@ -715,6 +715,72 @@ object SparkEntry {
        |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * i)) AS BIGINT) AS q_checksum
        |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** Exact discrete percentiles of document length per language: the value
+    * at rank ceil(p * n) in sorted order — rank arithmetic, not engine
+    * interpolation (quantile_cont formulas differ subtly across engines).
+    * Ties broken by doc_id for full determinism. */
+  private def qDocLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    ranked
+      .groupBy("lang", "n")
+      .agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"),
+        max(when(col("rk") === expr("(n * 9 + 9) div 10"), col("n_chars"))).as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n").as("n_docs"), col("p50_chars"),
+        col("p90_chars"), col("max_chars"))
+      .orderBy("lang")
+  }
+
+  private val qDocLengthQuantilesSql =
+    s"""WITH ranked AS (
+       |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT lang, n AS n_docs,
+       |  MAX(CASE WHEN rk = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+       |  MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars,
+       |  MAX(n_chars) AS max_chars
+       |FROM ranked GROUP BY lang, n ORDER BY lang""".stripMargin
+
+  /** Anti/semi-join breadth: documents lacking an embedding row and the
+    * count of those that do have one (left_anti + left_semi over the same
+    * key). */
+  private def qDocsWithoutEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val embKeys = Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"))
+    docs.join(embKeys, Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_missing"))
+      .join(
+        docs.join(embKeys, Seq("doc_id"), "left_semi")
+          .groupBy("lang").agg(count(lit(1)).as("n_present")),
+        Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"))
+      .orderBy("lang")
+  }
+
+  private val qDocsWithoutEmbeddingsSql =
+    s"""WITH miss AS (
+       |  SELECT lang, COUNT(*) AS n_missing FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+       |  GROUP BY lang),
+       |pres AS (
+       |  SELECT lang, COUNT(*) AS n_present FROM documents d
+       |  WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+       |  GROUP BY lang)
+       |SELECT COALESCE(m.lang, p.lang) AS lang,
+       |  COALESCE(m.n_missing, 0) AS n_missing,
+       |  COALESCE(p.n_present, 0) AS n_present
+       |FROM miss m FULL OUTER JOIN pres p ON m.lang = p.lang
+       |ORDER BY lang""".stripMargin
+
   private val DuckFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1016,6 +1082,8 @@ object SparkEntry {
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
+    "q_doc_length_quantiles" -> (qDocLengthQuantiles _),
+    "q_docs_without_embeddings" -> (qDocsWithoutEmbeddings _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -1056,6 +1124,8 @@ object SparkEntry {
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,
+    "q_doc_length_quantiles" -> qDocLengthQuantilesSql,
+    "q_docs_without_embeddings" -> qDocsWithoutEmbeddingsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,
