@@ -125,4 +125,47 @@ class PropertySpec extends AnyFunSuite {
       assert(got == model(inputs), s"seed=$seed inputs=$inputs")
     }
   }
+
+  test("property: as-of join agrees with the in-memory model on random streams") {
+    import org.apache.spark.sql.functions.col
+    val rng = new Random(77)
+    val left = Seq.fill(300)((rng.nextInt(8).toLong, rng.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+    // unique (k, t) on the right, as the operator contract requires
+    val right = Seq.fill(200)((rng.nextInt(8).toLong, rng.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 100000 + t) }
+    val got = graft.operators.AsOfJoin.asOf(
+        left.toDF("k", "id", "t"), right.toDF("k", "t", "v"),
+        Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v")).map(_.asInstanceOf[Long]))
+      .toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, id, t) =>
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expect, s"row $id key $k ts $t")
+    }
+  }
+
+  test("property: simhash banded pairs equal brute-force hamming<=3 pairs") {
+    val rng = new Random(99)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // clusters of near-identical documents -> some pairs within hamming 3
+    val docs = (0 until 40).map { i =>
+      val base = Seq.fill(30)(words(rng.nextInt(words.size)))
+      val mutated = if (i % 2 == 1) base.updated(0, words(rng.nextInt(words.size))) else base
+      (i.toLong, mutated.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val banded = graft.pipeline.Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = graft.pipeline.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute)
+  }
 }
