@@ -53,17 +53,22 @@ object Bench {
     // Two timed iterations per query, best-of kept — the same discipline as
     // the reference's JMH harness (0 warmup / 2 iterations,
     // BenchmarkPlacementPolicy.java:318-325). Iteration 1 absorbs per-query
-    // codegen compilation; best-of-2 also damps host-level noise.
+    // codegen compilation; best-of-2 also damps host-level noise. The second
+    // pass is skipped when the first already burned a large wall-clock
+    // budget (slow/contended host) so total bench time stays bounded.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val doSecond = pass1.values.filter(_ >= 0).sum < 120.0
     val results = names.map { case (name, fn) =>
       name -> (if (pass1(name) < 0) -1.0
-               else math.min(pass1(name), timeOnce(name, fn)))
+               else if (doSecond) math.min(pass1(name), timeOnce(name, fn))
+               else pass1(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
+    val runs = if (doSecond) 2 else 1
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
