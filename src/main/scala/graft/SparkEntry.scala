@@ -953,6 +953,51 @@ object SparkEntry {
        |SELECT query_id, rk, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Composite training-data pipeline: quality filter -> exact-dedup
+    * keep-first -> deterministic 50% sample, rolled up per language. The
+    * end-to-end shape a corpus-cleaning job runs; every stage is one of the
+    * library operators composing on DataFrames. */
+  private def qCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val stats = pipeline.TextAnalysis.textStats(Tables.documents(s, dir))
+      .where(col("quality_ok"))
+      .select("doc_id", "n_tokens")
+    val kept = pipeline.Dedup.exact(Tables.documents(s, dir))
+      .where(col("keep")).select("doc_id")
+    val sampled = pipeline.Sampling.hashSample(
+      stats.join(kept, "doc_id"), col("doc_id"), 50)
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(sampled, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val qCleanCorpusSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH st AS (
+       |  SELECT doc_id, lang, len($DuckToks) AS n_tokens,
+       |    len(list_filter($DuckToks, t -> list_contains($stop, t))) AS stopword_count,
+       |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count,
+       |    length(text) AS n_chars,
+       |    $DuckFp AS fingerprint
+       |  FROM documents),
+       |ok AS (
+       |  SELECT * FROM st
+       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+       |    AND stopword_count * 100 >= n_tokens * 2
+       |    AND punct_count * 10 <= n_chars),
+       |kept AS (
+       |  SELECT doc_id, lang, n_tokens FROM (
+       |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+       |    FROM st) WHERE keep),
+       |sampled AS (
+       |  SELECT o.doc_id, o.lang, o.n_tokens
+       |  FROM ok o JOIN kept k ON o.doc_id = k.doc_id
+       |  WHERE ${DuckHash60.format("concat('graft:', CAST(o.doc_id AS VARCHAR))")} % 100 < 50)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Exact cross-engine cosine: dot/(sqrt*sqrt) over exact integer inputs
     * uses only IEEE-correctly-rounded double ops, so Spark and DuckDB agree
     * bit-for-bit. `%s`/`%s` are the two (xs, norm2) operand prefixes. */
@@ -1084,6 +1129,7 @@ object SparkEntry {
     "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
     "q_doc_length_quantiles" -> (qDocLengthQuantiles _),
     "q_docs_without_embeddings" -> (qDocsWithoutEmbeddings _),
+    "q_clean_corpus" -> (qCleanCorpus _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -1126,6 +1172,7 @@ object SparkEntry {
     "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,
     "q_doc_length_quantiles" -> qDocLengthQuantilesSql,
     "q_docs_without_embeddings" -> qDocsWithoutEmbeddingsSql,
+    "q_clean_corpus" -> qCleanCorpusSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,

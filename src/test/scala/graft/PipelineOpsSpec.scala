@@ -52,4 +52,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(1L) == (-127L, 127L))
     assert(rows(2L)._1 >= -127L && rows(2L)._2 <= 127L)
   }
+
+  test("approx_count_distinct sketch is within 5% of exact on events users") {
+    val ev = spark.range(0, 20000)
+      .selectExpr("id % 1500 AS user_id")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.01).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
 }
