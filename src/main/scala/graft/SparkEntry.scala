@@ -553,6 +553,31 @@ object SparkEntry {
        |  ON c.user_id = p.user_id AND p.ts_ms <= c.ts_ms
        |ORDER BY c.event_id""".stripMargin
 
+  /** Native bounded-heap top-k aggregate (functions/LongTopK,
+    * TypedImperativeAggregate): top-5 event values per type without a
+    * per-group sort — O(k) state per group vs the window form's full
+    * group sort. Multiset semantics make it exactly reproducible by the
+    * SQL window oracle. */
+  private def qTopkEventValues(s: SparkSession, dir: String): DataFrame =
+    eventsBase(s, dir)
+      .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      .groupBy("event_type")
+      .agg(call_function("graft_topk", col("vm"), lit(5)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").as("value_micros"))
+      .orderBy("event_type", "rk")
+
+  private val qTopkEventValuesSql =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+       |r AS (
+       |  SELECT event_type, vm,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY vm DESC) AS rn
+       |  FROM ev)
+       |SELECT event_type, rn AS rk, vm AS value_micros
+       |FROM r WHERE rn <= 5 ORDER BY event_type, rk""".stripMargin
+
   /** Per-event-type fleet stats. */
   private def qEventTypeStats(s: SparkSession, dir: String): DataFrame =
     eventsBase(s, dir)
@@ -1122,6 +1147,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
+    "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
     "q_tfidf_top" -> (qTfidfTop _),
@@ -1165,6 +1191,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
+    "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
     "q_tfidf_top" -> qTfidfTopSql,

@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
       (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[LongTopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => LongTopK(children.head, children(1))))
   }
 }

@@ -55,4 +55,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))").head()
     assert(r.isNullAt(0))
   }
+
+  test("graft_topk agrees with the window top-k on random distributed data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 5000)
+      .selectExpr("id % 7 AS g", "CAST((id * 2654435761) % 99991 AS BIGINT) AS v")
+      .repartition(16)
+    val viaAgg = df.groupBy("g")
+      .agg(call_function("graft_topk", col("v"), lit(4)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc)))
+      .where(col("rn") <= 4)
+      .select(col("g"), (col("rn") - 1).cast("int").as("pos"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("graft_topk keeps duplicate boundary values and short groups") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 9L), (1L, 9L), (1L, 9L), (1L, 1L), (2L, 5L))
+      .toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(call_function("graft_topk", col("v"), lit(2)).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(9L, 9L))
+    assert(got(2L) == Seq(5L))
+  }
 }
