@@ -1107,18 +1107,45 @@ object SparkEntry {
     pipeline.Multimodal.extractFeatures(s,
         pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
       .toDF()
-      .select("doc_id", "kind", "n_bytes", "width", "height", "channels")
+      .select("doc_id", "kind", "n_bytes", "width", "height", "channels",
+        "resized_width", "resized_height")
       .orderBy("doc_id")
 
   private val multimodalFeaturesSql =
-    s"""SELECT doc_id,
-       | CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       | octet_length(encode(text)) AS n_bytes,
-       | 64 + octet_length(encode(text)) % 512 AS width,
-       | 64 + (octet_length(encode(text)) * 7) % 512 AS height,
-       | CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    64 + octet_length(encode(text)) % 512 AS width,
+       |    64 + (octet_length(encode(text)) * 7) % 512 AS height,
+       |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
+       |  FROM documents)
+       |SELECT doc_id, kind, n_bytes, width, height, channels,
+       |  GREATEST(1, (width * 256) // GREATEST(width, height)) AS resized_width,
+       |  GREATEST(1, (height * 256) // GREATEST(width, height)) AS resized_height
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling plumbing for video payloads (1->N expansion). The
+    * per-frame checksum is spec-tested; the oracle checks the sampling
+    * geometry (frame count and offsets) it can derive from byte lengths. */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    pipeline.Multimodal.sampleFrames(s,
+        pipeline.Multimodal.mediaTable(Tables.documents(s, dir)), frameBytes = 256)
+      .toDF()
+      .select("doc_id", "frame_idx", "offset_bytes")
+      .orderBy("doc_id", "frame_idx")
+
+  private val multimodalFramesSql =
+    s"""WITH vids AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS nb
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |frames AS (
+       |  SELECT doc_id,
+       |    unnest(range(GREATEST(1, (nb + 255) // 256))) AS frame_idx
+       |  FROM vids)
+       |SELECT doc_id, frame_idx, frame_idx * 256 AS offset_bytes
+       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
   // ===================================================================
   // Registry
@@ -1167,7 +1194,8 @@ object SparkEntry {
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "multimodal_features" -> (multimodalFeatures _)
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,6 +1239,7 @@ object SparkEntry {
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
-    "multimodal_features" -> multimodalFeaturesSql
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql
   )
 }

@@ -38,4 +38,22 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.doc_id -> f).toMap
     assert(again == feats)
   }
+
+  test("resize dims fit within 256 preserving aspect, never below 1") {
+    assert(Multimodal.resizeDims(512, 256) == (256L, 128L))
+    assert(Multimodal.resizeDims(100, 400) == (64L, 256L))
+    assert(Multimodal.resizeDims(1, 10000) == (1L, 256L))
+  }
+
+  test("frame sampling windows the payload with per-frame checksums") {
+    val frames = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs), frameBytes = 4)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // only video rows (doc 2, 9 payload bytes -> 3 frames of 4/4/1 bytes)
+    assert(frames.forall(_.doc_id == 2L))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.map(_.offset_bytes).toSeq == Seq(0L, 4L, 8L))
+    val bytes = "日本語".getBytes("UTF-8").map(_ & 0xff)
+    assert(frames(0).frame_checksum == bytes.slice(0, 4).sum % 997)
+    assert(frames(2).frame_checksum == bytes.slice(8, 9).sum % 997)
+  }
 }
