@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-salted equi-join: when one join key carries a disproportionate
+  * share of the fact rows, a plain hash join sends that key's entire
+  * volume to one task. Salting splits each fact row's key into one of
+  * `saltFactor` synthetic sub-keys and replicates the dimension row to all
+  * sub-keys, so the hot key fans out over `saltFactor` tasks. Semantics
+  * are identical to the plain inner join (each fact row still meets its
+  * dimension row exactly once).
+  *
+  * AQE's skew-join handling covers sort-merge joins after the fact; this
+  * is the explicit form for pipelines that know their hot keys up front
+  * (e.g. dedup bucket joins on degenerate shingles) or run with AQE off.
+  * The salt is deterministic (hash of the fact row's other columns would
+  * not be — `monotonically_increasing_id` is partition-deterministic and
+  * only feeds a modulo), so results are stable for the correctness gate.
+  */
+object SaltedJoin {
+
+  def innerSalted(fact: DataFrame, dim: DataFrame, key: String,
+                  saltFactor: Int = 8): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+        lit(saltFactor.toLong)))
+    val exploded = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+}
