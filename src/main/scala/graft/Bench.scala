@@ -60,9 +60,13 @@ object Bench {
     val pass1 = names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val doSecond = pass1.values.filter(_ >= 0).sum < 120.0
     val results = names.map { case (name, fn) =>
-      name -> (if (pass1(name) < 0) -1.0
-               else if (doSecond) math.min(pass1(name), timeOnce(name, fn))
-               else pass1(name))
+      val first = pass1(name)
+      if (first < 0 || !doSecond) name -> first
+      else {
+        // a failed re-run must not erase the valid pass-1 measurement
+        val second = timeOnce(name, fn)
+        name -> (if (second < 0) first else math.min(first, second))
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

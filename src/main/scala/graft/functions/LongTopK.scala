@@ -47,6 +47,8 @@ case class LongTopK(left: Expression, right: Expression,
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable INT k, got ${right.sql}")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a non-null k")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
     else TypeCheckResult.TypeCheckSuccess

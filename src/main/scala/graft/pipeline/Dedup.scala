@@ -68,6 +68,9 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      // NULL text tokenizes to a NULL array (size -1): drop it here like the
+      // declarative path's size guard did, instead of NPE-ing in the loop
+      .where(size(col("toks")) > 0)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -266,10 +269,13 @@ object Dedup {
     * Candidate generation bands the 60-bit signature into `bands` chunks of
     * `bandBits` bits; by pigeonhole, any pair within hamming distance
     * `bands - 1` shares at least one identical band, so with the defaults
-    * (4 x 15 bits, maxHamming 3) recall is *exact* — banding is a pure
-    * pruning step, not an approximation. Bucket-size cap bounds fan-out on
-    * degenerate clusters, like the MinHash path. Verification is the
-    * codegen'd `bit_count(xor)` builtin — no UDF. */
+    * (4 x 15 bits, maxHamming 3) banding itself loses nothing. Recall is
+    * exact *up to the `maxBucket` cap*: a bucket larger than `maxBucket`
+    * (a degenerate near-identical cluster) is dropped whole to bound the
+    * pairing fan-out, sacrificing that cluster's pairs — the same
+    * deliberate guard as the MinHash path; raise `maxBucket` for exact
+    * recall on clustered corpora. Verification is the codegen'd
+    * `bit_count(xor)` builtin — no UDF. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    bandBits: Int = 15, maxBucket: Int = 64): DataFrame = {
     val sims = simhash(docs)

@@ -90,15 +90,17 @@ object TextAnalysis {
     * rounded and could flip a floor() at a ULP boundary. Monotonic in the
     * classic tf·log(N/df) for fixed tf, and cross-engine deterministic.
     *
-    * Shape: explode -> groupBy(doc, term) [tf] -> groupBy(term) [df, from
-    * the tf relation, so the corpus is read once] -> broadcast N -> window
-    * top-k per doc. The tf relation is the only fact-sized shuffle.
+    * Shape: explode -> groupBy(doc, term) [tf, persisted: it feeds three
+    * plan branches (join side, df, N) and Spark shares no subplans across
+    * branches] -> groupBy(term) [df] -> broadcast N -> window top-k per
+    * doc. The tf relation is the only fact-sized shuffle.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, "term")

@@ -42,4 +42,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       right = Seq((1L, 5L, 100L)))
     assert(got == Map(1L -> Some(100L), 2L -> None))
   }
+
+  test("a matched right row with NULL payload value wins (no older-value leak)") {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 1L, 10L)).toDF("k", "id", "t")
+    val r = Seq((1L, 1L, Some(100L)), (1L, 5L, None))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("v")).head()
+    // the t=5 row is the as-of match; its NULL value must be returned,
+    // not the older t=1 value 100 (DuckDB ASOF semantics)
+    assert(got.isNullAt(got.fieldIndex("v")))
+  }
+
+  test("multiple payload columns never mix values across right rows") {
+    val l = Seq((1L, 1L, 10L)).toDF("k", "id", "t")
+    val r = Seq((1L, 2L, Some(20L), None: Option[Long]),
+                (1L, 8L, None: Option[Long], Some(80L)))
+      .toDF("k", "t", "a", "b")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("a", "b")).head()
+    // match is the t=8 row: a NULL, b 80 — never (a=20, b=80) mixed
+    assert(got.isNullAt(got.fieldIndex("a")))
+    assert(got.getAs[Long]("b") == 80L)
+  }
 }
