@@ -181,16 +181,28 @@ object SparkEntry {
 
   /** Multi-level aggregation via ROLLUP (grouping sets): per-(flag, status)
     * pricing with subtotal and grand-total rows, disambiguated by
-    * grouping_id — one Expand+Aggregate pass instead of three scans. */
-  private def qPricingRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    * grouping_id.
+    *
+    * Partial-reaggregation shape: the fact table aggregates ONCE to the
+    * base (flag, status) groups — exact decimal partials — and the rollup
+    * expands only those few partial rows. Rolling up the raw fact rows
+    * would Expand every row 3x before aggregating; sums of disjoint-group
+    * sums are identical, so this is a pure plan improvement. */
+  private def qPricingRollup(s: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("pn"),
+        sum((col("l_quantity") * lit(1000000.0)).cast(DecimalType(38, 0))).as("pq"))
+    partials
       .rollup("l_returnflag", "l_linestatus")
-      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
-        msum(col("l_quantity")).as("sum_qty_micros"))
+      .agg(grouping_id().as("gid"), sum("pn").as("n_rows"),
+        sum("pq").cast("long").as("sum_qty_micros"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-        col("gid").cast("long").as("gid"), col("n_rows"), col("sum_qty_micros"))
+        col("gid").cast("long").as("gid"),
+        col("n_rows").cast("long").as("n_rows"), col("sum_qty_micros"))
       .orderBy("rf", "ls", "gid")
+  }
 
   private val qPricingRollupSql =
     s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
