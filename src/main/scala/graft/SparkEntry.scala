@@ -694,6 +694,29 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Rolling-hash content-defined chunking (see TextAnalysis.rollingChunks). */
+  private def docRollingChunks(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.rollingChunks(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val docRollingChunksSql = {
+    val P = pipeline.Dedup.P
+    val bPow = Array.iterate(1L, 8)(b => b * 1000003L % P).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |big AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+       |hs AS (SELECT doc_id, list_transform(t,
+       |         x -> ${DuckHash60.format("x")} % $P) AS hs FROM big),
+       |r AS (SELECT doc_id, list_transform(range(len(hs) - 7), i ->
+       |         (list_sum(list_transform(range(8), j ->
+       |            (list_extract(hs, i + j + 1) * list_extract($bPow, j + 1)) % $P))) % $P) AS rs
+       |      FROM hs)
+       |SELECT doc_id,
+       |  CAST(len(rs) AS BIGINT) AS n_windows,
+       |  CAST(len(list_filter(rs, x -> x % 64 = 0)) AS BIGINT) AS n_boundaries,
+       |  CAST(list_sum(list_transform(rs, x -> x % $P)) % $P AS BIGINT) AS rolling_checksum
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** tf-idf top terms per document (rational idf — see TextAnalysis). */
   private def qTfidfTop(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir))
@@ -1189,6 +1212,7 @@ object SparkEntry {
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
+    "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
@@ -1234,6 +1258,7 @@ object SparkEntry {
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
+    "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,

@@ -304,8 +304,9 @@ object Dedup {
   }
 
   /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars
-    * parsed base 16), computed without string round-trips. */
-  private def md5Top60(md: java.security.MessageDigest, s: String): Long = {
+    * parsed base 16), computed without string round-trips. Public: the
+    * rolling-hash chunker reuses it. */
+  def md5Top60(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     var h = 0L

@@ -82,6 +82,49 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Content-defined chunking via a polynomial rolling hash (Rabin-Karp
+    * style) over the document's token-hash sequence.
+    *
+    * Window hash `r_i = sum_j (hash60(tok[i+j]) % P) * B^j mod P` rolls over
+    * `w`-token windows; positions where `r_i % boundaryMod == 0` are chunk
+    * boundaries — the content-defined-chunking shape used for
+    * partial-overlap dedup (boundaries survive insertions/deletions outside
+    * the window, unlike fixed-offset chunking). Emits per-doc scalars
+    * (window count, boundary count, rolling checksum) — all exact BIGINT
+    * arithmetic, re-derived verbatim by the DuckDB oracle. The hash loop is
+    * a per-partition primitive pass like the dedup signatures. */
+  def rollingChunks(docs: DataFrame, w: Int = 8,
+                    boundaryMod: Long = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = Dedup.P
+    val B = 1000003L
+    val bPow = Array.iterate(1L, w)(b => b * B % P)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= w)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toksSeq) =>
+          val hs = toksSeq.iterator.map(t => Dedup.md5Top60(md, t) % P).toArray
+          val n = hs.length - (w - 1)
+          var boundaries = 0L
+          var checksum = 0L
+          var i = 0
+          while (i < n) {
+            var r = 0L
+            var j = 0
+            while (j < w) { r += hs(i + j) * bPow(j) % P; j += 1 }
+            r %= P
+            if (r % boundaryMod == 0L) boundaries += 1
+            checksum = (checksum + r) % P
+            i += 1
+          }
+          (id, n.toLong, boundaries, checksum)
+        }
+      }.toDF("doc_id", "n_windows", "n_boundaries", "rolling_checksum")
+  }
+
   /** Per-document top-k terms by tf-idf.
     *
     * The idf factor is the *rational* corpus ratio N/df rather than its

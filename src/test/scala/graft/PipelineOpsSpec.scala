@@ -63,4 +63,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("rolling chunks agree with an in-scala model") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.rollingChunks(docs, w = 3, boundaryMod = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent model
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val P = Dedup.P
+    val bPow = Array.iterate(1L, 3)(b => b * 1000003L % P)
+    def model(text: String): (Long, Long, Long) = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      val hs = toks.map(t => Dedup.md5Top60(md, t) % P)
+      val rs = (0 to hs.length - 3).map { i =>
+        (0 until 3).map(j => hs(i + j) * bPow(j) % P).sum % P
+      }
+      (rs.size.toLong, rs.count(_ % 4 == 0).toLong, rs.sum % P)
+    }
+    assert(got(1L) == model(docs.collect()(0).getString(1)))
+    assert(got(2L) == model("alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    assert(!got.contains(3L)) // fewer than w tokens -> excluded
+  }
 }
