@@ -694,6 +694,23 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition quality signals (Gopher/C4-style filters). */
+  private def qRepetitionStats(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.repetitionStats(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val qRepetitionStatsSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |          MAX(tf) AS top_tf, COUNT(*) AS n_distinct
+       |        FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, top_tf, n_distinct,
+       |  (top_tf * 1000000) // n_tokens AS top_tf_ratio_micros,
+       |  (n_distinct * 1000000) // n_tokens AS distinct_ratio_micros,
+       |  top_tf * 100 >= n_tokens * 20 AS repetitive
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Rolling-hash content-defined chunking (see TextAnalysis.rollingChunks). */
   private def docRollingChunks(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.rollingChunks(Tables.documents(s, dir))
@@ -1212,6 +1229,7 @@ object SparkEntry {
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
+    "q_repetition_stats" -> (qRepetitionStats _),
     "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1258,6 +1276,7 @@ object SparkEntry {
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
+    "q_repetition_stats" -> qRepetitionStatsSql,
     "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,

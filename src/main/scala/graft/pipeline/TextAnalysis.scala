@@ -82,6 +82,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Repetition-based quality signals (the Gopher/C4-style filters): the
+    * share of the document taken by its most frequent token and the
+    * distinct-token ratio, as exact integer micros. Shape: explode ->
+    * groupBy(doc, term) -> groupBy(doc) — one fact-sized shuffle, partial
+    * aggregation map-side. */
+  def repetitionStats(docs: DataFrame, topTfPctMax: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), max("tf").as("top_tf"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("top_tf"), col("n_distinct"),
+        expr("(top_tf * 1000000) div n_tokens").as("top_tf_ratio_micros"),
+        expr("(n_distinct * 1000000) div n_tokens").as("distinct_ratio_micros"),
+        (col("top_tf") * 100 >= col("n_tokens") * topTfPctMax).as("repetitive"))
+
   /** Content-defined chunking via a polynomial rolling hash (Rabin-Karp
     * style) over the document's token-hash sequence.
     *
