@@ -590,6 +590,28 @@ object SparkEntry {
        |SELECT event_type, rn AS rk, vm AS value_micros
        |FROM r WHERE rn <= 5 ORDER BY event_type, rk""".stripMargin
 
+  /** Pivot: per-user event counts spread into one column per event type
+    * (explicit value list, so the schema is static and plan-deterministic;
+    * an implicit pivot would add a distinct-values job). */
+  private def qUserEventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventsBase(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  private val qUserEventPivotSql =
+    s"""SELECT user_id,
+       | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Per-event-type fleet stats. */
   private def qEventTypeStats(s: SparkSession, dir: String): DataFrame =
     eventsBase(s, dir)
@@ -1226,6 +1248,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
+    "q_user_event_pivot" -> (qUserEventPivot _),
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
@@ -1273,6 +1296,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
+    "q_user_event_pivot" -> qUserEventPivotSql,
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
