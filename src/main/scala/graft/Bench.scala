@@ -23,6 +23,11 @@ object Bench {
     // (BenchmarkPlacementPolicy.java:98 forces USER_FAST_VERIFY=false).
     spark.conf.set(GraftConf.FastVerifyKey, "false")
     spark.conf.set(GraftConf.DoPlacementOnlyKey, "false")
+    // events carries TIMESTAMP(NANOS); without this the *warmup* read of the
+    // raw table throws (swallowed) and the file is never pre-warmed, so the
+    // first timed events query absorbs cold I/O. Queries set it too
+    // (eventsBase), but the warmup loop below runs first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // Warm the JVM/codegen paths so the first measured query doesn't absorb
     // session + whole-stage-codegen compilation cost.
@@ -53,15 +58,14 @@ object Bench {
     // Two timed iterations per query, best-of kept — the same discipline as
     // the reference's JMH harness (0 warmup / 2 iterations,
     // BenchmarkPlacementPolicy.java:318-325). Iteration 1 absorbs per-query
-    // codegen compilation; best-of-2 also damps host-level noise. The second
-    // pass is skipped when the first already burned a large wall-clock
-    // budget (slow/contended host) so total bench time stays bounded.
+    // codegen compilation; best-of-2 also damps host-level noise — exactly
+    // when the host is slow/contended the second pass matters most, so it
+    // is never skipped.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    val doSecond = pass1.values.filter(_ >= 0).sum < 120.0
     val results = names.map { case (name, fn) =>
       val first = pass1(name)
-      if (first < 0 || !doSecond) name -> first
+      if (first < 0) name -> first
       else {
         // a failed re-run must not erase the valid pass-1 measurement
         val second = timeOnce(name, fn)
@@ -71,8 +75,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val runs = if (doSecond) 2 else 1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
     spark.stop()
   }
 }

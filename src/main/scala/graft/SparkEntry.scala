@@ -40,7 +40,13 @@ object SparkEntry {
   // TPC-H-ish relational analytics over the driver tables
   // ===================================================================
 
-  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+  /** Exactly 5 decimal sums + 1 count per group: the three averages are
+    * *derived* from already-computed micros-sums in a post-aggregation
+    * projection (floor(sum/count) — the same expression `mavg` plans), so
+    * no aggregate buffer is spent on an avg that a sum already implies. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    def davg(sumCol: Column): Column =
+      floor(sumCol / col("count_order")).cast("long")
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -48,11 +54,17 @@ object SparkEntry {
         msum(col("l_extendedprice")).as("sum_base_price_micros"),
         msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price_micros"),
         msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge_micros"),
-        mavg(col("l_quantity")).as("avg_qty_micros"),
-        mavg(col("l_extendedprice")).as("avg_price_micros"),
-        mavg(col("l_discount")).as("avg_disc_micros"),
+        msum(col("l_discount")).as("sum_disc_micros"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_micros"), col("sum_base_price_micros"),
+        col("sum_disc_price_micros"), col("sum_charge_micros"),
+        davg(col("sum_qty_micros")).as("avg_qty_micros"),
+        davg(col("sum_base_price_micros")).as("avg_price_micros"),
+        davg(col("sum_disc_micros")).as("avg_disc_micros"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   private val q1PricingSql =
     s"""SELECT l_returnflag, l_linestatus,
@@ -1165,11 +1177,14 @@ object SparkEntry {
     s"""WITH $DuckPrepared,
        |bucketed AS (SELECT vec_id, xs, norm2,
        |       ($bucketExpr) AS bucket FROM en2),
+       |bsz AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket),
+       |ok AS (SELECT b.* FROM bucketed b JOIN bsz USING (bucket)
+       |       WHERE bsz.n BETWEEN 2 AND 64),
        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |            CAST(list_sum(list_transform(range(1, len(a.xs) + 1),
        |              i -> a.xs[i] * b.xs[i])) AS BIGINT) AS dot,
        |            a.norm2 AS n_a, b.norm2 AS n_b
-       |          FROM bucketed a JOIN bucketed b
+       |          FROM ok a JOIN ok b
        |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, dot FROM pairs
        |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000

@@ -27,14 +27,24 @@ object Ivf {
   private def cos(d: Long, n1: Long, n2: Long): Double =
     d.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
 
-  /** Deterministic coarse centroids: every stride-th prepared vector. */
+  /** Deterministic coarse centroids: every stride-th prepared vector in
+    * `vec_id` order. Selection runs *in the cluster*: the corpus is
+    * range-sorted by `vec_id`, indexed with `zipWithIndex` (per-partition
+    * sizes + offsets — no single-partition window), and filtered down to
+    * the stride rows, so only ≤ `nCentroids` rows ever reach the driver.
+    * Equivalent to `row_number() OVER (ORDER BY vec_id) - 1` with
+    * `idx % stride = 0 AND idx / stride < nCentroids` — the exact rule the
+    * DuckDB oracle evaluates. */
   def centroids(embs: DataFrame, nCentroids: Int): Array[PreparedVec] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val all = Similarity.prepared(embs).as[PreparedVec].collect().sortBy(_.vec_id)
-    val stride = math.max(1, all.length / nCentroids)
-    all.zipWithIndex.collect { case (v, i) if i % stride == 0 => v }
-      .take(nCentroids)
+    val sorted = Similarity.prepared(embs).as[PreparedVec].orderBy("vec_id")
+    val n = sorted.count()
+    val stride = math.max(1L, n / nCentroids)
+    sorted.rdd.zipWithIndex()
+      .collect { case (v, i) if i % stride == 0 && i / stride < nCentroids => v }
+      .collect()
+      .sortBy(_.vec_id)
   }
 
   /** Vectors tagged with their nearest centroid (max cosine). */

@@ -77,11 +77,19 @@ object Similarity {
 
   /** Exact near-duplicate pairs with cosine >= tauPct/100. Brute-force
     * baseline: one side broadcast, the other streamed — the LSH variant is
-    * the scale path. */
-  def nearDupExact(embs: DataFrame, tauPct: Int = 95): DataFrame = {
+    * the scale path. The broadcast side is guarded by `maxBroadcastRows`:
+    * a corpus past that bound fails fast with a pointer to [[lshNearDup]]
+    * instead of OOM-ing the driver mid-collect. */
+  def nearDupExact(embs: DataFrame, tauPct: Int = 95,
+                   maxBroadcastRows: Long = 1000000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val prep = prepared(embs).as[PreparedVec]
+    val n = prep.count()
+    require(n <= maxBroadcastRows,
+      s"nearDupExact is the brute-force baseline: corpus has $n prepared " +
+        s"vectors > maxBroadcastRows=$maxBroadcastRows; use lshNearDup for " +
+        "corpora past broadcast scale")
     val bc = spark.sparkContext.broadcast(prep.collect().sortBy(_.vec_id))
     prep.mapPartitions { it =>
       val all = bc.value
@@ -181,11 +189,28 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Number of hyperplanes sized to the corpus: expected bucket size is
+    * `n / 2^planes`, so `planes = ceil(log2(n / targetBucket))` keeps the
+    * within-bucket all-pairs work constant per bucket as the corpus grows
+    * (clamped to [4, 30]). Callers at a fixed test SF pass an explicit
+    * `planes` for oracle reproducibility. */
+  def planesFor(n: Long, targetBucket: Int = 32): Int = {
+    val buckets = math.max(1L, n / math.max(1, targetBucket))
+    math.min(30, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+
   /** LSH-bucketed approximate near-dup pairs (same exact integer rule as
     * [[nearDupExact]], restricted to within-bucket candidates; bucket-local
-    * pairing via flatMapGroups keeps the join fan-out bounded). */
+    * pairing via flatMapGroups keeps the join fan-out bounded).
+    *
+    * `maxBucket` caps degenerate buckets — a bucket with more than
+    * `maxBucket` members (near-identical boilerplate vectors, or an
+    * under-sized `planes` for the corpus) is dropped entirely rather than
+    * running O(bucket²) pairs in a single task; the DuckDB oracle applies
+    * the identical size filter. Size `planes` with [[planesFor]] so the cap
+    * stays a skew guard, not the recall path. */
   def lshNearDup(embs: DataFrame, dim: Int, tauPct: Int = 95,
-                 planes: Int = 12): DataFrame = {
+                 planes: Int = 12, maxBucket: Int = 64): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val e = prepared(embs).withColumn("bucket", srpBucket(col("xs"), dim, planes))
@@ -193,13 +218,19 @@ object Similarity {
       .as[(Long, Long, Array[Long], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        for {
-          i <- rows.indices.iterator
-          j <- (i + 1 until rows.length).iterator
-          d = dot(rows(i)._3, rows(j)._3)
-          if cosAtLeast(d, rows(i)._4, rows(j)._4, tauPct)
-        } yield (rows(i)._2, rows(j)._2, d)
+        // consume at most maxBucket+1 rows: oversized buckets cost O(cap),
+        // not O(bucket), and are dropped deterministically
+        val rows = it.take(maxBucket + 1).toArray
+        if (rows.length > maxBucket) Iterator.empty
+        else {
+          val sorted = rows.sortBy(_._2)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            d = dot(sorted(i)._3, sorted(j)._3)
+            if cosAtLeast(d, sorted(i)._4, sorted(j)._4, tauPct)
+          } yield (sorted(i)._2, sorted(j)._2, d)
+        }
       }
       .toDF("vec_a", "vec_b", "dot")
       .distinct()

@@ -37,36 +37,45 @@ object TextAnalysis {
   val FrStop = Seq("le", "la", "et", "les", "des", "une", "est")
   val EsStop = Seq("el", "de", "que", "los", "una", "es", "y")
 
-  /** Per-document quality/statistics signals (integer-only outputs). */
-  def textStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_token_chars"),
-      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("punct_count"),
-      stopwordCount(toks, EnStop).cast("long").as("stopword_count"))
+  /** Per-document quality/statistics signals (integer-only outputs).
+    *
+    * The token array is materialized in a *separate first projection*: four
+    * downstream expressions consume it, several through higher-order
+    * functions that fall out of whole-stage codegen where subexpression
+    * elimination would otherwise dedup the regexp. CollapseProject keeps
+    * the two projects apart (it refuses to duplicate a non-cheap alias), so
+    * the tokenizer regexp runs exactly once per row. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_token_chars"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("punct_count"),
+        stopwordCount(col("toks"), EnStop).cast("long").as("stopword_count"))
       .withColumn("quality_ok",
         col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
           col("stopword_count") * 100 >= col("n_tokens") * 2 &&
           col("punct_count") * 10 <= col("n_chars"))
-  }
 
   /** N-gram/stopword language-ID heuristic: CJK by non-ASCII density, then
     * argmax of per-language stopword hits (priority en>de>fr>es on ties),
     * 'und' when nothing matches. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id"), col("lang"),
-      length(col("text")).cast("long").as("n_chars"),
-      nonAsciiCount(col("text")).cast("long").as("non_ascii"),
-      stopwordCount(toks, EnStop).cast("long").as("en_hits"),
-      stopwordCount(toks, DeStop).cast("long").as("de_hits"),
-      stopwordCount(toks, FrStop).cast("long").as("fr_hits"),
-      stopwordCount(toks, EsStop).cast("long").as("es_hits"))
+    // tokens materialized once (same two-project shape as textStats: four
+    // stopword filters consume the array through non-codegen HOFs)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        nonAsciiCount(col("text")).cast("long").as("non_ascii"),
+        stopwordCount(col("toks"), EnStop).cast("long").as("en_hits"),
+        stopwordCount(col("toks"), DeStop).cast("long").as("de_hits"),
+        stopwordCount(col("toks"), FrStop).cast("long").as("fr_hits"),
+        stopwordCount(col("toks"), EsStop).cast("long").as("es_hits"))
     scored.withColumn("predicted",
       when(col("non_ascii") * 5 > col("n_chars"), "zh")
         .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
