@@ -345,7 +345,7 @@ object SparkEntry {
   private val placementVerifySql =
     s"""$cteSql,
        |located AS (
-       |  SELECT r.block_id, t.dc, t.rack, t.path
+       |  SELECT r.block_id, t.dc, t.rack, t.path, t.ip
        |  FROM replicas r JOIN topology t ON r.datanode_uuid = t.datanode_uuid),
        |edges AS (
        |  SELECT block_id, '' AS parent, '/' || dc AS child FROM located
@@ -373,13 +373,26 @@ object SparkEntry {
        |          OR p.max_placed - p.min_placed > 1 THEN 1 ELSE 0 END) AS any_violation,
        |    MAX(CASE WHEN p.parent = '' THEN p.leaf ELSE 0 END) AS root_total
        |  FROM per_parent p JOIN avail a ON p.parent = a.parent
-       |  GROUP BY p.block_id)
+       |  GROUP BY p.block_id),
+       |nodes AS (
+       |  SELECT block_id,
+       |         string_agg('(' || ip || ')', ',' ORDER BY ip) AS nodes
+       |  FROM located GROUP BY block_id)
        |SELECT b.block_id,
        |  CASE WHEN v.block_id IS NULL OR v.root_total < b.require_replica THEN false
        |       WHEN v.any_violation = 1 THEN false ELSE true END AS satisfied,
        |  CASE WHEN v.block_id IS NULL OR v.root_total < b.require_replica THEN 'not_enough'
-       |       WHEN v.any_violation = 1 THEN 'not_optimal' ELSE NULL END AS reason
-       |FROM blocks b LEFT JOIN per_block v ON b.block_id = v.block_id
+       |       WHEN v.any_violation = 1 THEN 'not_optimal' ELSE NULL END AS reason_code,
+       |  CASE WHEN v.block_id IS NULL OR v.root_total < b.require_replica
+       |       THEN printf('not enough storage nodes:[%s], require:%d',
+       |                   COALESCE(n.nodes, ''), b.require_replica)
+       |       WHEN v.any_violation = 1
+       |       THEN printf('placement not optimal, datanodes:[%s], require replica:%d',
+       |                   COALESCE(n.nodes, ''), b.require_replica)
+       |       ELSE NULL END AS reason
+       |FROM blocks b
+       |LEFT JOIN per_block v ON b.block_id = v.block_id
+       |LEFT JOIN nodes n ON b.block_id = n.block_id
        |ORDER BY b.block_id""".stripMargin
 
   /** P11 fast verification (count-only). */

@@ -32,9 +32,14 @@ case class RackStat(dc: String, rack: String, groups: Long,
   *  - a block whose root total < require_replica fails with "not_enough"
   *    (ref `:417-434`) — checked before optimality, and an *empty* replica
   *    set is always unsatisfied (the reference's `.orElse(false)`);
-  *  - reasons are compact codes (`not_enough` / `not_optimal`), computed only
-  *    in the violation branch (`when(...)`) — the Spark analog of the
-  *    reference's lazy `Supplier` messages (`:33-62`).
+  *  - `reason_code` is a compact code (`not_enough` / `not_optimal`);
+  *    `reason` is the reference's full formatted message
+  *    ("not enough storage nodes:[(ip),...], require:N", ref `:423-433`;
+  *    "placement not optimal, datanodes:[(ip),...], require replica:N",
+  *    ref `:500-510`), built only in the violation branch (`when(...)`) —
+  *    the Spark analog of the reference's lazy `Supplier` messages
+  *    (`:33-62`). Node lists are sorted for cross-run determinism (the
+  *    reference prints replica-array order, which is not stable).
   */
 object Verification {
 
@@ -51,9 +56,9 @@ object Verification {
     root.unionByName(dcs).unionByName(racks)
   }
 
-  /** Replicas located on the topology: adds dc/rack/path per replica row. */
+  /** Replicas located on the topology: adds dc/rack/path/ip per replica row. */
   def located(replicas: DataFrame, topology: DataFrame): DataFrame =
-    replicas.join(broadcast(topology.select("datanode_uuid", "dc", "rack", "path")),
+    replicas.join(broadcast(topology.select("datanode_uuid", "dc", "rack", "path", "ip")),
       "datanode_uuid")
 
   private def roll(df: DataFrame, keys: Seq[String]): DataFrame =
@@ -107,7 +112,7 @@ object Verification {
   }
 
   /** Full balanced-optimal verification: one row per block in `blocks`
-    * (block_id, require_replica) with (satisfied, reason).
+    * (block_id, require_replica) with (satisfied, reason_code, reason).
     *
     * Shape: a *linear* chain host -> rack -> dc -> root where each rollup is
     * a partition-local `groupBy` (one `repartition(block_id)` shuffle total)
@@ -115,7 +120,13 @@ object Verification {
     * stats exist, then carried upward with `max(...)` through the next
     * rollup. No plan branch ever reuses a subtree, so nothing needs
     * caching, and the per-block verdict emerges from the final rollup with
-    * no self-joins. Group-size dimensions join broadcast at each step. */
+    * no self-joins. Group-size dimensions join broadcast at each step.
+    *
+    * The per-block node list needed for P17 message parity rides the same
+    * chain as a flattened array (bounded by the block's replica count —
+    * single digits — so the extra agg state is constant-sized); building it
+    * in a separate `groupBy(block_id)` branch would re-scan and re-shuffle
+    * the fact table, since Spark shares no subplans across branches. */
   def verifyBalancedOptimal(replicas: DataFrame, topology: DataFrame,
                             blocks: DataFrame): DataFrame = {
     // group-size dimensions in natural keys; all tiny -> broadcast
@@ -129,38 +140,63 @@ object Verification {
         (col("max_placed") - col("min_placed") > 1)
     val vFlag: Column = when(violated, 1).otherwise(0)
 
+    // per-(block, host) replica counts + that host's ip per replica row;
+    // one repartition(block_id) makes every rollup below partition-local
+    val hosts = located(replicas, topology)
+      .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid"), col("ip"))
+      .repartition(col("block_id"))
+      .groupBy("block_id", "dc", "rack", "datanode_uuid")
+      .agg(count(lit(1)).as("cnt"), collect_list("ip").as("ips"))
     // parent = /dc/rack: children are hosts
-    val rackLvl = roll(hostCounts(located(replicas, topology)),
-        Seq("block_id", "dc", "rack"))
+    val rackLvl = hosts
+      .groupBy("block_id", "dc", "rack")
+      .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
+        max("cnt").as("max_placed"), min("cnt").as("min_placed"),
+        flatten(collect_list("ips")).as("ips"))
       .join(broadcast(hostsPerRack), Seq("dc", "rack"))
-      .select(col("block_id"), col("dc"), col("leaf").as("cnt"), vFlag.as("v"))
+      .select(col("block_id"), col("dc"), col("leaf").as("cnt"), vFlag.as("v"),
+        col("ips"))
     // parent = /dc: children are racks; carry the rack-level flag upward
     val dcLvl = rackLvl
       .groupBy("block_id", "dc")
       .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
         max("cnt").as("max_placed"), min("cnt").as("min_placed"),
-        max("v").as("v_below"))
+        max("v").as("v_below"), flatten(collect_list("ips")).as("ips"))
       .join(broadcast(racksPerDc), Seq("dc"))
       .select(col("block_id"), col("leaf").as("cnt"),
-        greatest(vFlag, col("v_below")).as("v"))
+        greatest(vFlag, col("v_below")).as("v"), col("ips"))
     // parent = root: children are dcs; the final rollup yields the verdict
     val perBlock = dcLvl
       .groupBy("block_id")
       .agg(count(lit(1)).as("groups"), sum("cnt").as("leaf"),
         max("cnt").as("max_placed"), min("cnt").as("min_placed"),
-        max("v").as("v_below"))
+        max("v").as("v_below"), flatten(collect_list("ips")).as("ips"))
       .crossJoin(broadcast(nDcs))
       .select(col("block_id"),
         greatest(vFlag, col("v_below")).as("any_violation"),
-        col("leaf").as("root_total"))
+        col("leaf").as("root_total"), col("ips"))
+
+    val notEnough: Column =
+      col("root_total").isNull || col("root_total") < col("require_replica")
+    // "(ip1),(ip2),..." — sorted for determinism; empty set renders as ""
+    val nodesStr: Column = concat_ws(",",
+      transform(sort_array(coalesce(col("ips"), array().cast("array<string>"))),
+        x => concat(lit("("), x, lit(")"))))
 
     blocks.join(perBlock, Seq("block_id"), "left")
       .select(col("block_id"),
-        when(col("root_total").isNull || col("root_total") < col("require_replica"), false)
+        when(notEnough, false)
           .when(col("any_violation") === 1, false)
           .otherwise(true).as("satisfied"),
-        when(col("root_total").isNull || col("root_total") < col("require_replica"), "not_enough")
+        when(notEnough, "not_enough")
           .when(col("any_violation") === 1, "not_optimal")
+          .otherwise(lit(null).cast("string")).as("reason_code"),
+        when(notEnough, format_string(
+            "not enough storage nodes:[%s], require:%d",
+            nodesStr, col("require_replica")))
+          .when(col("any_violation") === 1, format_string(
+            "placement not optimal, datanodes:[%s], require replica:%d",
+            nodesStr, col("require_replica")))
           .otherwise(lit(null).cast("string")).as("reason"))
   }
 
@@ -182,13 +218,16 @@ object Verification {
     val conf = GraftConf.fromSession(spark)
     if (conf.doPlacementOnly)
       blocks.select(col("block_id"), lit(true).as("satisfied"),
+        lit(null).cast("string").as("reason_code"),
         lit(null).cast("string").as("reason"))
     else if (conf.fastVerify)
       verifyFast(replicas, blocks)
         .select(col("block_id"), col("satisfied"),
-          when(!col("satisfied"),
-            concat(lit("expect replica:"), col("require_replica"),
-              lit(", but got:"), col("observed")))
+          when(!col("satisfied"), "not_enough")
+            .otherwise(lit(null).cast("string")).as("reason_code"),
+          when(!col("satisfied"), format_string(
+              "expect replica:%d, but got:%d",
+              col("require_replica"), col("observed")))
             .otherwise(lit(null).cast("string")).as("reason"))
     else
       verifyBalancedOptimal(replicas, topology, blocks)

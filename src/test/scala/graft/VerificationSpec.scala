@@ -21,13 +21,18 @@ class VerificationSpec extends AnyFunSuite {
       (if (i % 2 == 0) "even" else "odd") == dc && i % 10 == rack
     }.map(_.toLong)
 
-  private def verify(require: Int, nodeIds: Seq[Long]): (Boolean, String) = {
+  private def verifyRow(require: Int, nodeIds: Seq[Long]): org.apache.spark.sql.Row = {
     val replicas = nodeIds.zipWithIndex
       .map { case (n, i) => (0L, i, s"dn-$n") }
       .toDF("block_id", "replica_index", "datanode_uuid")
     val blocks = Seq((0L, require)).toDF("block_id", "require_replica")
-    val row = Verification.verifyBalancedOptimal(replicas, topo, blocks).head()
-    (row.getAs[Boolean]("satisfied"), Option(row.getAs[String]("reason")).getOrElse(""))
+    Verification.verifyBalancedOptimal(replicas, topo, blocks).head()
+  }
+
+  private def verify(require: Int, nodeIds: Seq[Long]): (Boolean, String) = {
+    val row = verifyRow(require, nodeIds)
+    (row.getAs[Boolean]("satisfied"),
+      Option(row.getAs[String]("reason_code")).getOrElse(""))
   }
 
   private def evenRack(r: Int) = subset("even", r)
@@ -90,6 +95,26 @@ class VerificationSpec extends AnyFunSuite {
     val (ok, _) = verify(3, Seq(evenRack(2).head, evenRack(4).head,
       oddRack(1).head, oddRack(3).head))
     assert(ok)
+  }
+
+  test("P17: formatted violation messages match the reference shape") {
+    // dn-1 lives at ip 10.202.77.1 (fixture arithmetic)
+    val notEnough = verifyRow(3, Seq(1L))
+    assert(notEnough.getAs[String]("reason") ==
+      "not enough storage nodes:[(10.202.77.1)], require:3")
+    // same node 3x -> count OK, spread violated; list has one entry per replica
+    val n = oddRack(1).head
+    val notOptimal = verifyRow(3, Seq(n, n, n))
+    val ip = s"10.202.77.$n"
+    assert(notOptimal.getAs[String]("reason") ==
+      s"placement not optimal, datanodes:[($ip),($ip),($ip)], require replica:3")
+    // empty replica set renders an empty node list
+    assert(verifyRow(2, Nil).getAs[String]("reason") ==
+      "not enough storage nodes:[], require:2")
+    // satisfied placements carry no message (lazy-Supplier analog)
+    assert(verifyRow(3,
+      Seq(evenRack(2).head, evenRack(4).head, oddRack(1).head))
+      .getAs[String]("reason") == null)
   }
 
   test("fast verify is a pure count check") {
