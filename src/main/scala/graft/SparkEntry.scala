@@ -439,21 +439,111 @@ object SparkEntry {
        |       CAST(SUM(leaf) AS BIGINT) AS leaf_sum, MAX(max_placed) AS max_placed
        |FROM per_parent GROUP BY parent ORDER BY parent""".stripMargin
 
-  /** P1–P9 batch allocation over the request fixture. Not SQL-expressible
-    * (stateful greedy recursion) — registered without an oracle; the
-    * metamorphic choose->verify property is covered in PlacementSpec. */
+  /** P1–P9 batch allocation over the request fixture, reported as a
+    * per-request *invariant summary*. The seeded greedy's pick order is not
+    * SQL-expressible (PlacementSpec covers the choose->verify metamorphic
+    * property case by case), but every request class has a deterministic
+    * observable contract the DuckDB oracle recomputes from the fixture
+    * arithmetic alone:
+    *
+    *  - selection domain (ref `:117-138`): no writer & no excludes -> root
+    *    (both DCs); a writer hint or an exclude collapses it to one DC; a
+    *    writer in the excluded DC leaves nothing to select (0 picks);
+    *  - pick count = `additional` whenever the domain is non-empty;
+    *  - balanced spread (ref `:587-721`): picks land on distinct nodes and
+    *    distinct racks; a root-domain request spans `min(2, n)` DCs with at
+    *    most `ceil(n/2)` picks per DC, a one-DC domain stays in it;
+    *  - filters (ref `:150-173,:365-371`): never an excluded subtree, an
+    *    unhealthy node, or a non-preferred/full/failed storage.
+    *
+    * Any drift in the greedy (lost pick, duplicate node, unbalanced split,
+    * filter leak) flips the corresponding counter and fails the hash. */
   private def placementChoose(s: SparkSession, dir: String): DataFrame = {
-    val snap = operators.Placement.snapshot(
-      MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
-      AsOfMs, DefaultStaleMs)
-    operators.Placement.choosePlacements(s, snap, MetaFixtures.requests(s))
-      .orderBy("request_id", "pick_order")
+    val topo = MetaFixtures.topology(s)
+    val dn = MetaFixtures.datanodes(s)
+    val sts = MetaFixtures.storages(s)
+    val reqs = MetaFixtures.requests(s)
+    val snap = operators.Placement.snapshot(sts, dn, topo, AsOfMs, DefaultStaleMs)
+    val picks = operators.Placement.choosePlacements(s, snap, reqs)
+    val healthy = CandidateFilters.nodeHealthy(dn("registered"),
+      dn("decommission_in_progress"), dn("decommissioned"), dn("disallowed"),
+      dn("last_heartbeat_ms"), AsOfMs, DefaultStaleMs)
+    // decorate picks with node/storage facts + the request's excludes
+    // (every dim broadcast; the picks relation is the scaling side)
+    val decorated = picks
+      .join(broadcast(topo.select("datanode_uuid", "dc", "rack", "path")), "datanode_uuid")
+      .join(broadcast(dn.select(dn("datanode_uuid"), healthy.as("healthy"))), "datanode_uuid")
+      .join(broadcast(sts.select(col("storage_id"), col("state"), col("type"),
+        col("remaining"))), "storage_id")
+      .join(broadcast(reqs.select(col("request_id"), col("excludes"), col("block_size"))),
+        "request_id")
+    val perDc = decorated
+      .groupBy("request_id", "dc")
+      .agg(count(lit(1)).as("n_in_dc"),
+        countDistinct("datanode_uuid").as("nodes_in_dc"),
+        countDistinct("rack").as("racks_in_dc"),
+        sum(when(exists(col("excludes"),
+          e => col("path").startsWith(e)), 1).otherwise(0)).as("excl_v"),
+        sum(when(!col("healthy"), 1).otherwise(0)).as("unhealthy_v"),
+        sum(when(col("state") =!= "NORMAL" || col("type") =!= "DISK" ||
+          col("remaining") < col("block_size"), 1).otherwise(0)).as("storage_v"))
+    val perReq = perDc
+      .groupBy("request_id")
+      .agg(sum("n_in_dc").cast("long").as("n_picked"),
+        sum("nodes_in_dc").cast("long").as("n_distinct_nodes"),
+        sum("racks_in_dc").cast("long").as("n_distinct_racks"),
+        count(lit(1)).as("n_dcs"),
+        max("n_in_dc").as("max_per_dc"),
+        sum("excl_v").cast("long").as("n_excl_violations"),
+        sum("unhealthy_v").cast("long").as("n_unhealthy"),
+        sum("storage_v").cast("long").as("n_bad_storage"))
+    reqs.select("request_id").join(perReq, Seq("request_id"), "left")
+      .select(col("request_id") +:
+        Seq("n_picked", "n_distinct_nodes", "n_distinct_racks", "n_dcs",
+          "max_per_dc", "n_excl_violations", "n_unhealthy", "n_bad_storage")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("request_id")
   }
 
-  /** P13–P14 batch deletion over every over-replicated fixture block. Not
-    * SQL-expressible (comparator recomputes sibling counts after each
-    * removal) — registered without an oracle; round-trip covered in
-    * DeletionSpec. */
+  /** The greedy's observable contract, recomputed from request arithmetic:
+    * per-class pick counts, spread/balance shape, and zero filter leaks. */
+  private val placementChooseSql = {
+    val a = s"(1 + ${MetaFixtures.prand("i * 3 + 17")} % 4)"
+    val w = s"CASE WHEN i % 3 = 0 THEN 1 + ${MetaFixtures.prand("i * 11 + 23")} % ${MetaFixtures.NumNodes} END"
+    s"""WITH sel AS (
+       |  SELECT i AS request_id, $a AS a, $w AS w, (i % 7 = 0) AS has_excl
+       |  FROM range(0, ${MetaFixtures.NumRequests}) t(i)),
+       |cls AS (
+       |  SELECT request_id, a,
+       |    CASE WHEN w IS NOT NULL AND has_excl AND w % 2 = 1 THEN 'dead'
+       |         WHEN w IS NULL AND NOT has_excl THEN 'root'
+       |         ELSE 'single' END AS cls
+       |  FROM sel)
+       |SELECT request_id,
+       |  CAST(CASE WHEN cls = 'dead' THEN 0 ELSE a END AS BIGINT) AS n_picked,
+       |  CAST(CASE WHEN cls = 'dead' THEN 0 ELSE a END AS BIGINT) AS n_distinct_nodes,
+       |  CAST(CASE WHEN cls = 'dead' THEN 0 ELSE a END AS BIGINT) AS n_distinct_racks,
+       |  CAST(CASE WHEN cls = 'dead' THEN 0
+       |            WHEN cls = 'root' THEN LEAST(2, a) ELSE 1 END AS BIGINT) AS n_dcs,
+       |  CAST(CASE WHEN cls = 'dead' THEN 0
+       |            WHEN cls = 'root' THEN (a + 1) // 2 ELSE a END AS BIGINT) AS max_per_dc,
+       |  CAST(0 AS BIGINT) AS n_excl_violations,
+       |  CAST(0 AS BIGINT) AS n_unhealthy,
+       |  CAST(0 AS BIGINT) AS n_bad_storage
+       |FROM cls ORDER BY request_id""".stripMargin
+  }
+
+  /** P13–P14 batch deletion over every fixture block, reported as a
+    * per-block *invariant summary*. The greedy pick order itself is not
+    * SQL-expressible (the comparator recomputes sibling counts after each
+    * removal — DeletionSpec covers it), but its observable contract is:
+    * with 2 datacenters the survivor quota is `min(4, r)` (ref
+    * `CrossAZBlockPlacementPolicy.java:302-306`), removals happen iff the
+    * distinct candidate count exceeds it, exactly the excess is removed,
+    * and every victim is a distinct candidate storage. The DuckDB oracle
+    * recomputes each of those facts from the fixture arithmetic alone, so
+    * any drift in the greedy (wrong count, duplicate victim, non-candidate
+    * victim) flips the hash. */
   private def placementDelete(s: SparkSession, dir: String): DataFrame = {
     val snap = operators.Placement.snapshot(
       MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
@@ -461,9 +551,49 @@ object SparkEntry {
     val candidates = MetaFixtures.replicas(s)
       .join(MetaFixtures.blocks(s), "block_id")
       .select("block_id", "require_replica", "storage_id")
-    operators.Placement.chooseDeletions(s, snap, candidates)
-      .orderBy("block_id", "removal_order")
+    val removals = operators.Placement.chooseDeletions(s, snap, candidates)
+    // one pass over the removals: tag each victim as candidate-or-not while
+    // aggregating, instead of a second branch that would re-run the greedy
+    val checked = removals
+      .join(candidates.select("block_id", "storage_id").distinct()
+        .withColumn("is_cand", lit(1)), Seq("block_id", "storage_id"), "left")
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("n_removed"),
+        countDistinct("storage_id").as("n_removed_distinct"),
+        sum(coalesce(col("is_cand"), lit(0))).cast("long").as("n_in_candidates"))
+    candidates.groupBy("block_id")
+      .agg(max("require_replica").as("require_replica"),
+        countDistinct("storage_id").as("n_candidates"))
+      .join(checked, Seq("block_id"), "left")
+      .select(col("block_id"), col("require_replica"), col("n_candidates"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_removed_distinct"), lit(0L)).as("n_removed_distinct"),
+        coalesce(col("n_in_candidates"), lit(0L)).as("n_in_candidates"),
+        (col("n_candidates") - coalesce(col("n_removed"), lit(0L))).as("n_survivors"))
+      .orderBy("block_id")
   }
+
+  /** The greedy's observable contract, recomputed from fixture arithmetic:
+    * 2-DC survivor quota `min(4, r)`, excess-only removal, victims distinct
+    * and drawn from the candidates. */
+  private val placementDeleteSql =
+    s"""$cteSql,
+       |cand AS (
+       |  SELECT r.block_id, b.require_replica, r.storage_id
+       |  FROM replicas r JOIN blocks b ON r.block_id = b.block_id),
+       |agg AS (
+       |  SELECT block_id, MAX(require_replica) AS require_replica,
+       |         COUNT(DISTINCT storage_id) AS n_candidates
+       |  FROM cand GROUP BY block_id),
+       |expct AS (
+       |  SELECT block_id, require_replica, n_candidates,
+       |    GREATEST(0, n_candidates - LEAST(4, require_replica)) AS n_removed
+       |  FROM agg)
+       |SELECT block_id, require_replica, n_candidates, n_removed,
+       |       n_removed AS n_removed_distinct,
+       |       n_removed AS n_in_candidates,
+       |       n_candidates - n_removed AS n_survivors
+       |FROM expct ORDER BY block_id""".stripMargin
 
   /** R6 parity: live-datanode census (address, location) as rendered by the
     * reference plugin's status JSON (`CrossAZBlockPlacementPolicyPlugin
@@ -1320,6 +1450,8 @@ object SparkEntry {
     "placement_verify" -> placementVerifySql,
     "placement_verify_fast" -> placementVerifyFastSql,
     "placement_hierarchy_stats" -> placementHierarchyStatsSql,
+    "placement_delete" -> placementDeleteSql,
+    "placement_choose" -> placementChooseSql,
     "q_user_windows" -> qUserWindowsSql,
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,

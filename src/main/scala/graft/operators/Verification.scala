@@ -56,10 +56,17 @@ object Verification {
     root.unionByName(dcs).unionByName(racks)
   }
 
-  /** Replicas located on the topology: adds dc/rack/path/ip per replica row. */
-  def located(replicas: DataFrame, topology: DataFrame): DataFrame =
-    replicas.join(broadcast(topology.select("datanode_uuid", "dc", "rack", "path", "ip")),
-      "datanode_uuid")
+  /** Replicas located on the topology: adds dc/rack/path/ip per replica row.
+    * When the topology carries no `ip` column, the path leaf stands in — in
+    * HDFS `NodeBase` paths (`/dc/rack/<host>`) the leaf IS the node's
+    * network identity, which is what the P17 messages print. */
+  def located(replicas: DataFrame, topology: DataFrame): DataFrame = {
+    val ip =
+      if (topology.columns.contains("ip")) col("ip")
+      else element_at(split(col("path"), "/"), -1)
+    replicas.join(broadcast(topology.select(col("datanode_uuid"), col("dc"),
+      col("rack"), col("path"), ip.as("ip"))), "datanode_uuid")
+  }
 
   private def roll(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
