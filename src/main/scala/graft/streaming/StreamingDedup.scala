@@ -17,6 +17,7 @@ import graft.pipeline.TextAnalysis
 object StreamingDedup {
 
   final case class Doc(doc_id: Long, fingerprint: String)
+  final case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, fingerprint: String)
 
   /** Keyed first-seen filter over a stream of (doc_id, text). */
   def firstSeen(spark: SparkSession, docs: DataFrame): Dataset[Doc] = {
@@ -34,6 +35,44 @@ object StreamingDedup {
             state.update(true)
             // first occurrence within the batch: smallest doc_id
             Iterator.single(batch.minBy(_.doc_id))
+          }
+      }
+  }
+
+  /** First-seen dedup with *bounded* state: each fingerprint's state expires
+    * once the event-time watermark passes first-seen + `ttlMs`, so executor
+    * state is proportional to the TTL window's key cardinality — not the
+    * corpus lifetime, which at ingest scale grows without bound under
+    * [[firstSeen]]'s `NoTimeout`. The documented trade-off: a duplicate
+    * arriving after its original's state expired is re-emitted (dedup
+    * becomes at-most-once *per TTL window*); downstream exact jobs can
+    * finish with `Dedup.exact` over the landed window.
+    *
+    * `docs` must carry (doc_id, ts, text); `watermarkDelay` is the usual
+    * out-of-orderness bound (e.g. "10 minutes"). */
+  def firstSeenTtl(spark: SparkSession, docs: DataFrame,
+                   watermarkDelay: String, ttlMs: Long): Dataset[Doc] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .as[TimedDoc]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Boolean, Doc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (fp: String, batch: Iterator[TimedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            val first = batch.minBy(_.doc_id)
+            state.update(true)
+            // expire at first-seen + ttl (clamped above the current
+            // watermark, which Spark requires of timeout timestamps)
+            state.setTimeoutTimestamp(math.max(first.ts.getTime + ttlMs,
+              state.getCurrentWatermarkMs + 1))
+            Iterator.single(Doc(first.doc_id, fp))
           }
       }
   }

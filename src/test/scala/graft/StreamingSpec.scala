@@ -73,6 +73,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL expires state and re-admits late duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.firstSeenTtl(spark,
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "0 seconds", ttlMs = 5000L)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+      // batch 1: duplicate within batch -> first doc only
+      mem.addData((1L, t(0), "dup text"), (2L, t(0), "dup  TEXT"))
+      q.processAllAvailable()
+      // batch 2 advances max event time; watermark still at t(0)
+      mem.addData((3L, t(100), "advancer one"))
+      q.processAllAvailable()
+      // batch 3: watermark now t(100) > t(0)+5s -> 'dup text' state expires
+      mem.addData((5L, t(200), "advancer two"))
+      q.processAllAvailable()
+      // batch 4: same fingerprint after expiry -> re-admitted
+      mem.addData((6L, t(210), "dup text"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ttl").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L, 6L), ids.toSeq.sorted.mkString(","))
+    } finally q.stop()
+  }
+
   test("placement monitor re-verifies streamed replica snapshots") {
     val tmp = Files.createTempDirectory("graft-monitor").toFile.getAbsolutePath
     val snapDir = s"$tmp/snapshots"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
