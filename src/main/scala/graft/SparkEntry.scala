@@ -459,49 +459,10 @@ object SparkEntry {
     * Any drift in the greedy (lost pick, duplicate node, unbalanced split,
     * filter leak) flips the corresponding counter and fails the hash. */
   private def placementChoose(s: SparkSession, dir: String): DataFrame = {
-    val topo = MetaFixtures.topology(s)
-    val dn = MetaFixtures.datanodes(s)
-    val sts = MetaFixtures.storages(s)
-    val reqs = MetaFixtures.requests(s)
-    val snap = operators.Placement.snapshot(sts, dn, topo, AsOfMs, DefaultStaleMs)
-    val picks = operators.Placement.choosePlacements(s, snap, reqs)
-    val healthy = CandidateFilters.nodeHealthy(dn("registered"),
-      dn("decommission_in_progress"), dn("decommissioned"), dn("disallowed"),
-      dn("last_heartbeat_ms"), AsOfMs, DefaultStaleMs)
-    // decorate picks with node/storage facts + the request's excludes
-    // (every dim broadcast; the picks relation is the scaling side)
-    val decorated = picks
-      .join(broadcast(topo.select("datanode_uuid", "dc", "rack", "path")), "datanode_uuid")
-      .join(broadcast(dn.select(dn("datanode_uuid"), healthy.as("healthy"))), "datanode_uuid")
-      .join(broadcast(sts.select(col("storage_id"), col("state"), col("type"),
-        col("remaining"))), "storage_id")
-      .join(broadcast(reqs.select(col("request_id"), col("excludes"), col("block_size"))),
-        "request_id")
-    val perDc = decorated
-      .groupBy("request_id", "dc")
-      .agg(count(lit(1)).as("n_in_dc"),
-        countDistinct("datanode_uuid").as("nodes_in_dc"),
-        countDistinct("rack").as("racks_in_dc"),
-        sum(when(exists(col("excludes"),
-          e => col("path").startsWith(e)), 1).otherwise(0)).as("excl_v"),
-        sum(when(!col("healthy"), 1).otherwise(0)).as("unhealthy_v"),
-        sum(when(col("state") =!= "NORMAL" || col("type") =!= "DISK" ||
-          col("remaining") < col("block_size"), 1).otherwise(0)).as("storage_v"))
-    val perReq = perDc
-      .groupBy("request_id")
-      .agg(sum("n_in_dc").cast("long").as("n_picked"),
-        sum("nodes_in_dc").cast("long").as("n_distinct_nodes"),
-        sum("racks_in_dc").cast("long").as("n_distinct_racks"),
-        count(lit(1)).as("n_dcs"),
-        max("n_in_dc").as("max_per_dc"),
-        sum("excl_v").cast("long").as("n_excl_violations"),
-        sum("unhealthy_v").cast("long").as("n_unhealthy"),
-        sum("storage_v").cast("long").as("n_bad_storage"))
-    reqs.select("request_id").join(perReq, Seq("request_id"), "left")
-      .select(col("request_id") +:
-        Seq("n_picked", "n_distinct_nodes", "n_distinct_racks", "n_dcs",
-          "max_per_dc", "n_excl_violations", "n_unhealthy", "n_bad_storage")
-          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    val snap = operators.Placement.snapshot(
+      MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
+      AsOfMs, DefaultStaleMs)
+    operators.Placement.chooseInvariants(s, snap, MetaFixtures.requests(s))
       .orderBy("request_id")
   }
 
@@ -551,25 +512,7 @@ object SparkEntry {
     val candidates = MetaFixtures.replicas(s)
       .join(MetaFixtures.blocks(s), "block_id")
       .select("block_id", "require_replica", "storage_id")
-    val removals = operators.Placement.chooseDeletions(s, snap, candidates)
-    // one pass over the removals: tag each victim as candidate-or-not while
-    // aggregating, instead of a second branch that would re-run the greedy
-    val checked = removals
-      .join(candidates.select("block_id", "storage_id").distinct()
-        .withColumn("is_cand", lit(1)), Seq("block_id", "storage_id"), "left")
-      .groupBy("block_id")
-      .agg(count(lit(1)).as("n_removed"),
-        countDistinct("storage_id").as("n_removed_distinct"),
-        sum(coalesce(col("is_cand"), lit(0))).cast("long").as("n_in_candidates"))
-    candidates.groupBy("block_id")
-      .agg(max("require_replica").as("require_replica"),
-        countDistinct("storage_id").as("n_candidates"))
-      .join(checked, Seq("block_id"), "left")
-      .select(col("block_id"), col("require_replica"), col("n_candidates"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("n_removed_distinct"), lit(0L)).as("n_removed_distinct"),
-        coalesce(col("n_in_candidates"), lit(0L)).as("n_in_candidates"),
-        (col("n_candidates") - coalesce(col("n_removed"), lit(0L))).as("n_survivors"))
+    operators.Placement.deleteInvariants(s, snap, candidates)
       .orderBy("block_id")
   }
 

@@ -25,6 +25,15 @@ object Placement {
                            datanode_uuid: String)
   final case class CandidateRow(block_id: Long, require_replica: Long, storage_id: String)
   final case class RemovalRow(block_id: Long, removal_order: Int, storage_id: String)
+  final case class ChooseSummary(request_id: Long, n_picked: Long,
+                                 n_distinct_nodes: Long, n_distinct_racks: Long,
+                                 n_dcs: Long, max_per_dc: Long,
+                                 n_excl_violations: Long, n_unhealthy: Long,
+                                 n_bad_storage: Long)
+  final case class DeleteSummary(block_id: Long, require_replica: Long,
+                                 n_candidates: Long, n_removed: Long,
+                                 n_removed_distinct: Long, n_in_candidates: Long,
+                                 n_survivors: Long)
 
   /** Collect + assemble the broadcastable snapshot from the metadata
     * DataFrames. Health is evaluated here once (P6 health tester). */
@@ -66,6 +75,41 @@ object Placement {
     }.toDF()
   }
 
+  /** Per-request invariant summary of [[choosePlacements]], computed in the
+    * same data-parallel pass as the greedy (one narrow map per request — no
+    * joins or aggregation shuffles). The *expected* values come from the
+    * DuckDB oracle's independent fixture arithmetic, so the cross-engine
+    * gate stays a two-sided check: a greedy drift (lost pick, duplicate
+    * node, unbalanced DC split, exclusion/health/storage filter leak) flips
+    * a counter here and fails the hash there. */
+  def chooseInvariants(spark: SparkSession, snap: ClusterSnapshot,
+                       requests: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(snap)
+    requests.as[RequestRow].map { r =>
+      val s = bc.value
+      val req = PlacementRequest(r.request_id, r.additional, r.writer_uuid,
+        chosen = Nil, returnChosen = false, excludes = r.excludes,
+        blockSize = r.block_size,
+        policy = Map("DISK" -> r.additional.toLong))
+      val picks = PolicyEngine.chooseTarget(s, req, new Random(r.request_id))
+      val nodes = picks.map(st => s.nodeByUuid(st.nodeUuid))
+      val racks = nodes.map(n => PolicyEngine.parentPath(n.path)) // "/dc/rack"
+      val perDc = nodes.groupBy(n => PolicyEngine.topRack(n.path))
+      ChooseSummary(
+        r.request_id,
+        n_picked = picks.size.toLong,
+        n_distinct_nodes = nodes.map(_.uuid).distinct.size.toLong,
+        n_distinct_racks = racks.distinct.size.toLong,
+        n_dcs = perDc.size.toLong,
+        max_per_dc = if (perDc.isEmpty) 0L else perDc.values.map(_.size).max.toLong,
+        n_excl_violations = nodes.count(n => r.excludes.exists(n.path.startsWith)).toLong,
+        n_unhealthy = nodes.count(!_.healthy).toLong,
+        n_bad_storage = picks.count(st => st.state != "NORMAL" ||
+          st.tpe != "DISK" || st.remaining < r.block_size).toLong)
+    }.toDF()
+  }
+
   /** P13–P14 batch mode: per block, greedily pick excess replicas to delete.
     * Vectorized with `flatMapGroups` over block_id — the one place a typed
     * group function beats a driver loop at fleet scale (SURVEY §7 step 6). */
@@ -81,6 +125,35 @@ object Placement {
         val configReplica = rows.head.require_replica.toInt
         PolicyEngine.chooseReplicasToDelete(bc.value, ids, configReplica)
           .zipWithIndex.map { case (st, i) => RemovalRow(blockId, i, st.id) }
+      }.toDF()
+  }
+
+  /** Per-block invariant summary of [[chooseDeletions]], computed inside the
+    * same `mapGroups` pass as the greedy (one key shuffle total — no second
+    * scan, join, or aggregation). Counterpart of [[chooseInvariants]]: the
+    * DuckDB oracle predicts every column from fixture arithmetic (2-DC
+    * `min(4, r)` survivor quota, excess-only removal, victims distinct and
+    * drawn from the candidates), so greedy drift fails the hash. */
+  def deleteInvariants(spark: SparkSession, snap: ClusterSnapshot,
+                       candidates: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(snap)
+    candidates.as[CandidateRow]
+      .groupByKey(_.block_id)
+      .mapGroups { (blockId, it) =>
+        val rows = it.toVector
+        val ids = rows.map(_.storage_id)
+        val distinctIds = ids.distinct
+        val rr = rows.map(_.require_replica).max
+        val removed = PolicyEngine.chooseReplicasToDelete(bc.value, ids, rr.toInt)
+        val removedIds = removed.map(_.id)
+        val candSet = distinctIds.toSet
+        DeleteSummary(blockId, rr,
+          n_candidates = distinctIds.size.toLong,
+          n_removed = removed.size.toLong,
+          n_removed_distinct = removedIds.distinct.size.toLong,
+          n_in_candidates = removedIds.count(candSet.contains).toLong,
+          n_survivors = (distinctIds.size - removed.size).toLong)
       }.toDF()
   }
 }
