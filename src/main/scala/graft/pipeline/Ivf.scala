@@ -66,15 +66,25 @@ object Ivf {
     }.toDF("centroid_id", "vec_id", "xs", "norm2")
   }
 
-  /** Top-k per query probing the `nprobe` nearest centroid buckets. */
+  /** Top-k per query probing the `nprobe` nearest centroid buckets.
+    * The *query* set is collected and broadcast — correct for the
+    * few-queries/huge-corpus shape this models — and guarded by
+    * `maxQueryRows`: a predicate that matches a corpus-sized slice fails
+    * fast instead of OOM-ing the driver mid-collect. */
   def searchTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
-                 nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+                 nCentroids: Int = 16, nprobe: Int = 4,
+                 maxQueryRows: Long = 100000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = centroids(embs, nCentroids)
     val inv = assigned(embs, cents)
-    val queries = Similarity.prepared(embs).where(queryPred)
-      .as[PreparedVec].collect()
+    val querySet = Similarity.prepared(embs).where(queryPred)
+    val nQueries = querySet.count()
+    require(nQueries <= maxQueryRows,
+      s"searchTopK broadcasts the query set: predicate matched $nQueries " +
+        s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise the " +
+        "bound explicitly for a corpus-scale join")
+    val queries = querySet.as[PreparedVec].collect()
     // (query, probed centroid) pairs — tiny, broadcast into the join
     val probes = queries.flatMap { q =>
       cents.indices
