@@ -1111,6 +1111,28 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup cluster resolution over the MinHash pair list: every paired
+    * document labeled with its component's smallest doc_id (the canonical
+    * keep-one representative). The oracle computes the same components with
+    * a recursive transitive-closure CTE over the identical pair SQL — a
+    * fully independent algorithm (BFS closure vs min-label propagation)
+    * arriving at the same fixpoint, so a propagation bug (missed round,
+    * wrong join side, non-monotone update) diverges the hash. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.resolveClusters(
+        pipeline.Dedup.minhashLshPairs(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS ($dedupMinhashLshSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   private def embeddingNeardupExact(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.nearDupExact(Tables.embeddings(s, dir), tauPct = 40)
       .orderBy("vec_a", "vec_b")
@@ -1368,6 +1390,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClusters _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -1418,6 +1441,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_clusters" -> dedupClustersSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_cosine_topk" -> annCosineTopkSql,

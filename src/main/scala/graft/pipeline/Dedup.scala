@@ -303,6 +303,66 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup *cluster resolution*: connected components over pair edges,
+    * labeling every document with the smallest doc_id of its component —
+    * the canonical-representative step that turns pair lists (from
+    * [[minhashLshPairs]] / [[simhashPairs]] / [[ngramJaccardPairs]]) into a
+    * keep-one-per-cluster dedup decision.
+    *
+    * Algorithm: distributed min-label propagation. Each round joins the
+    * (bidirectional) edge list with current labels and takes the per-node
+    * minimum — one shuffle per round, all relational, no driver-side graph.
+    * Convergence is detected from the monotone label sum (labels only
+    * decrease), a single scalar aggregate per round. Rounds needed equal
+    * the component *diameter*: LSH near-dup components are near-cliques
+    * (every member shares a band bucket with most others), so 2–4 rounds
+    * close them at any corpus size. Pathological chain-shaped graphs would
+    * need the star-contraction variants (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — not the shape
+    * near-dup buckets produce. Each round's labels are persisted and the
+    * previous round unpersisted, keeping lineage shallow.
+    *
+    * Returns (doc_id, cluster_id) for every document that appears in at
+    * least one pair; unpaired documents are their own singleton clusters by
+    * definition and are left to the caller (they need no join to decide). */
+  def resolveClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // both edge directions from ONE scan of the (possibly expensive) pair
+    // relation — a union of two projections would evaluate it twice, since
+    // Spark shares no subplans across DataFrame branches
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars
     * parsed base 16), computed without string round-trips. Public: the
     * rolling-hash chunker reuses it. */

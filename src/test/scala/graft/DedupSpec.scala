@@ -112,6 +112,29 @@ class DedupSpec extends AnyFunSuite {
     fast.foreach { case (id, hs) => assert(hs == declarative(id), s"doc $id") }
   }
 
+  test("cluster resolution: chains merge transitively, components stay apart") {
+    // component {1,2,3,4} as a chain (diameter 3 — forces >1 round),
+    // component {10,11,12} as a triangle, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("cluster resolution labels real minhash pairs with component minima") {
+    val pairs = Dedup.minhashLshPairs(corpus)
+    val clusters = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1/2 are near-dups -> cluster 1; 4/5 exact dups -> cluster 4
+    assert(clusters.get(2L).contains(1L))
+    assert(clusters.get(5L).contains(4L))
+    // every label is a component member and <= its doc
+    clusters.foreach { case (d, c) => assert(c <= d && clusters(c) == c) }
+  }
+
   test("simhash banded pairs find exact dups with hamming 0, skip unrelated") {
     val pairs = Dedup.simhashPairs(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
