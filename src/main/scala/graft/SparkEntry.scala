@@ -1133,6 +1133,64 @@ object SparkEntry {
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** The end-to-end near-dedup decision: the corpus with every non-canonical
+    * cluster member dropped (keep the smallest doc_id per component). This
+    * is what a training pipeline actually consumes — pairs and clusters are
+    * the evidence, this is the verdict. One anti-join against the (small)
+    * set of dropped ids; the corpus side never shuffles by anything but its
+    * own key. */
+  private def dedupKeepCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = pipeline.Dedup.resolveClusters(
+      pipeline.Dedup.minhashLshPairs(docs))
+    val dropped = clusters.where(col("doc_id") =!= col("cluster_id"))
+    docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val dedupKeepCanonicalSql =
+    s"""WITH RECURSIVE pairs AS ($dedupMinhashLshSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |         FROM reach GROUP BY u)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM comp c
+       |                  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Benchmark decontamination over the documents table: every 97th doc
+    * plays the eval set, the rest the corpus; flagged = sharing >= 3
+    * distinct 3-shingles with any benchmark doc. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    pipeline.Dedup.contamination(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
+  private val qContaminationSql =
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len(t) - 2, 0) + 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |hs AS (SELECT doc_id, list_transform(sh,
+       |         s -> ${DuckHash60.format("s")}) AS hs FROM sh2),
+       |bench AS (SELECT DISTINCT h FROM (
+       |            SELECT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0)),
+       |expl AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT e.doc_id, COUNT(*) AS n_shared
+       |         FROM expl e JOIN bench b USING (h) GROUP BY e.doc_id)
+       |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
+       |ORDER BY doc_id""".stripMargin
+
   private def embeddingNeardupExact(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.nearDupExact(Tables.embeddings(s, dir), tauPct = 40)
       .orderBy("vec_a", "vec_b")
@@ -1391,6 +1449,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_canonical" -> (dedupKeepCanonical _),
+    "q_contamination" -> (qContamination _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -1442,6 +1502,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_canonical" -> dedupKeepCanonicalSql,
+    "q_contamination" -> qContaminationSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_cosine_topk" -> annCosineTopkSql,

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join handling covers sort-merge joins after the fact; this
   * is the explicit form for pipelines that know their hot keys up front
   * (e.g. dedup bucket joins on degenerate shingles) or run with AQE off.
-  * The salt is deterministic (hash of the fact row's other columns would
-  * not be — `monotonically_increasing_id` is partition-deterministic and
-  * only feeds a modulo), so results are stable for the correctness gate.
-  */
+  * The salt value is NOT deterministic across runs or repartitionings
+  * (`monotonically_increasing_id` is only stable within one partition
+  * layout) — what IS deterministic is the join *result*, because every
+  * fact row meets its dimension row exactly once regardless of which salt
+  * it drew. Do not reuse the salt column itself as a correctness-relevant
+  * value. */
 object SaltedJoin {
 
   def innerSalted(fact: DataFrame, dim: DataFrame, key: String,

@@ -303,6 +303,29 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word w-shingles with *any* benchmark document —
+    * the standard test-set-leakage check a training pipeline runs before
+    * shipping a corpus.
+    *
+    * Scale shape: the benchmark side is the small one by nature (eval sets
+    * are thousands of documents, the corpus is the 100 TB side). Its
+    * distinct shingle set broadcasts; the corpus explodes its shingles in a
+    * narrow flatMap and the broadcast join filters immediately, so the only
+    * shuffle is the per-doc count of *matching* rows — proportional to the
+    * contamination overlap, not the corpus. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, w: Int = 3,
+                    minShared: Int = 3): DataFrame = {
+    val benchSh = hashedShingleDf(benchmark, w)
+      .select(explode(col("hs")).as("h")).distinct()
+    hashedShingleDf(corpus, w)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Near-dup *cluster resolution*: connected components over pair edges,
     * labeling every document with the smallest doc_id of its component —
     * the canonical-representative step that turns pair lists (from

@@ -135,6 +135,16 @@ class DedupSpec extends AnyFunSuite {
     clusters.foreach { case (d, c) => assert(c <= d && clusters(c) == c) }
   }
 
+  test("contamination flags corpus docs overlapping the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    // doc 1 embeds the benchmark phrase (many shared shingles); doc 3 doesn't
+    val flagged = Dedup.contamination(corpus, bench, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 3L)
+    assert(!flagged.contains(3L))
+  }
+
   test("simhash banded pairs find exact dups with hamming 0, skip unrelated") {
     val pairs = Dedup.simhashPairs(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
