@@ -787,6 +787,39 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-budgeted per-language corpus mix (5000 tokens per language,
+    * quality tier first, bucket-granular cut — see Sampling.budgetedMix). */
+  private def qCorpusMix(s: SparkSession, dir: String): DataFrame =
+    pipeline.Sampling.budgetedMixBuckets(Tables.documents(s, dir), 5000L)
+      .where(col("kept"))
+      .groupBy("lang")
+      .agg(sum("n_docs").cast("long").as("n_docs_kept"),
+        sum("n_tokens").cast("long").as("n_tokens_kept"))
+      .orderBy("lang")
+
+  private val qCorpusMixSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val mixHash = DuckHash60.format("'graft-mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, lang, len($DuckToks) AS n_tokens,
+       |  (len($DuckToks) >= 5 AND len($DuckToks) <= 100000
+       |    AND len(list_filter($DuckToks, t -> list_contains($stop, t))) * 100 >= len($DuckToks) * 2
+       |    AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10 <= length(text)) AS quality_ok
+       |  FROM documents),
+       |b AS (SELECT lang,
+       |        (CASE WHEN quality_ok THEN 0 ELSE 1024 END) + ($mixHash % 1024) AS mix_bucket,
+       |        n_tokens FROM t),
+       |pb AS (SELECT lang, mix_bucket, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |       FROM b GROUP BY 1, 2),
+       |c AS (SELECT lang, n_docs, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY mix_bucket
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM pb)
+       |SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs_kept,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+       |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -1451,6 +1484,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_contamination" -> (qContamination _),
+    "q_corpus_mix" -> (qCorpusMix _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -1504,6 +1538,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_contamination" -> qContaminationSql,
+    "q_corpus_mix" -> qCorpusMixSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_cosine_topk" -> annCosineTopkSql,

@@ -32,4 +32,69 @@ object Sampling {
     }
     df.where(bucket(key, salt) < rate)
   }
+
+  // ------------------------------------------------------- budgeted mixing
+
+  /** Per-document mix key: (lang, mix_bucket, n_tokens). The bucket encodes
+    * a quality tier (quality-passing docs fill the budget first) plus a
+    * salted hash sub-bucket (uniform, deterministic within the tier). */
+  private def withMixBucket(docs: DataFrame, nBuckets: Int,
+                            salt: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) >= 5 && size(col("toks")) <= 100000 &&
+          TextAnalysis.stopwordCount(col("toks"), TextAnalysis.EnStop) * 100 >=
+            size(col("toks")) * 2 &&
+          length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 10 <=
+            length(col("text"))).as("quality_ok"))
+      .withColumn("mix_bucket",
+        when(col("quality_ok"), lit(0L)).otherwise(lit(nBuckets.toLong)) +
+          bucket2(col("doc_id"), nBuckets, salt))
+  }
+
+  private def bucket2(key: Column, n: Int, salt: String): Column =
+    pmod(Dedup.hash60(concat(lit(salt), lit(":"), key.cast("string"))), lit(n.toLong))
+
+  /** Token-budgeted corpus mixing: per language, keep documents — best
+    * quality tier first, salted-hash order within a tier — until the token
+    * budget is reached, cutting at *bucket* granularity.
+    *
+    * The bucket cut is the 100 TB design: an exact per-document cumulative
+    * cut needs a per-language total order (single-task sort per language —
+    * a skew bottleneck when one language dominates the corpus). Instead
+    * token sums aggregate per (lang, bucket) — one narrow fact shuffle —
+    * and the cumulative/threshold step runs over the tiny
+    * (#langs x 2*nBuckets) relation; kept buckets broadcast back. With the
+    * default 1024 sub-buckets the cut lands within ~0.1% of the budget for
+    * any corpus large enough to care.
+    *
+    * Returns the per-(lang, bucket) decision relation
+    * (lang, mix_bucket, n_docs, n_tokens, cum_tokens, kept);
+    * [[budgetedMix]] applies it to the documents. */
+  def budgetedMixBuckets(docs: DataFrame, tokenBudget: Long,
+                         nBuckets: Int = 1024,
+                         salt: String = "graft-mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withMixBucket(docs, nBuckets, salt)
+      .groupBy("lang", "mix_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        Window.partitionBy("lang").orderBy("mix_bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("kept", col("cum_tokens") <= tokenBudget)
+  }
+
+  /** The kept documents under [[budgetedMixBuckets]]'s decision (re-scans
+    * the corpus once to re-derive buckets; persist the input upstream if
+    * the double scan matters). */
+  def budgetedMix(docs: DataFrame, tokenBudget: Long, nBuckets: Int = 1024,
+                  salt: String = "graft-mix"): DataFrame = {
+    val kept = budgetedMixBuckets(docs, tokenBudget, nBuckets, salt)
+      .where(col("kept")).select("lang", "mix_bucket")
+    withMixBucket(docs, nBuckets, salt)
+      .join(broadcast(kept), Seq("lang", "mix_bucket"))
+      .select("doc_id", "lang", "n_tokens", "mix_bucket")
+  }
 }

@@ -33,6 +33,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c.subsetOf(a))
   }
 
+  test("budgeted mix respects per-language token budgets, quality first") {
+    val good = "the cat and the dog sat in a house, that is to say the pair of them."
+    val bad = "x y z w v u"  // no stopwords -> fails quality
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) bad else good, if (i <= 20) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val kept = Sampling.budgetedMix(docs, tokenBudget = 60L, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per language: kept token total within budget
+    kept.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= 60L, s"$lang over budget")
+      assert(rows.nonEmpty, s"$lang kept nothing")
+    }
+    // quality-passing docs fill the budget before any bad doc is taken
+    val keptIds = kept.map(_._1).toSet
+    assert(keptIds.forall(_ % 4 != 0), s"low-quality doc kept: $keptIds")
+    // decision relation agrees with the kept set
+    val buckets = Sampling.budgetedMixBuckets(docs, 60L, 8)
+      .where(col("kept")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sum }
+    assert(buckets("en") == kept.count(_._2 == "en"))
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val df = spark.range(0, 3000)
       .select(col("id").as("doc_id"),
