@@ -1360,36 +1360,69 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** LSH-bucketed near-dup. Hyperplanes are LCG literals and the accept rule
-    * is exact integer arithmetic, so the oracle reproduces bucketing and
-    * verification exactly; recall additionally asserted in SimilaritySpec. */
+  /** Banded-SRP near-dup. Hyperplanes are md5-derived literals and the
+    * accept rule is exact integer arithmetic, so the oracle reproduces
+    * band bucketing and verification exactly; recall additionally asserted
+    * in SimilaritySpec. */
   private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame =
     pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
       .orderBy("vec_a", "vec_b")
 
   private val embeddingNeardupLshSql = {
-    val bucketExpr = (0 until 12).map { p =>
-      val plane = pipeline.Similarity.srpPlane(p, 64).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, len(xs) + 1), " +
-        s"i -> xs[i] * list_extract($plane, i))) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+    // bands=8; planesPerBand = planesFor(500) = 4 — the auto-sizing the
+    // Spark side computes for the sf0.01 oracle corpus
+    val bands = 8
+    val r = pipeline.Similarity.planesFor(500L)
+    val banded = (0 until bands).map { b =>
+      val keyExpr = (0 until r).map { j =>
+        val plane = pipeline.Similarity.srpPlane(b * r + j, 64).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, len(xs) + 1), " +
+          s"i -> xs[i] * list_extract($plane, i))) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, xs, norm2, $b AS band, ($keyExpr) AS key FROM en2"
+    }.mkString("\nUNION ALL\n")
     s"""WITH $DuckPrepared,
-       |bucketed AS (SELECT vec_id, xs, norm2,
-       |       ($bucketExpr) AS bucket FROM en2),
-       |bsz AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket),
-       |ok AS (SELECT b.* FROM bucketed b JOIN bsz USING (bucket)
+       |banded AS (
+       |$banded),
+       |bsz AS (SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key),
+       |ok AS (SELECT b.* FROM banded b JOIN bsz USING (band, key)
        |       WHERE bsz.n BETWEEN 2 AND 64),
-       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |            CAST(list_sum(list_transform(range(1, len(a.xs) + 1),
-       |              i -> a.xs[i] * b.xs[i])) AS BIGINT) AS dot,
-       |            a.norm2 AS n_a, b.norm2 AS n_b
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |            a.xs AS xa, b.xs AS xb, a.norm2 AS n_a, b.norm2 AS n_b
        |          FROM ok a JOIN ok b
-       |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, dot FROM pairs
+       |            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |scored AS (SELECT vec_a, vec_b,
+       |            CAST(list_sum(list_transform(range(1, len(xa) + 1),
+       |              i -> xa[i] * xb[i])) AS BIGINT) AS dot, n_a, n_b
+       |          FROM cand)
+       |SELECT vec_a, vec_b, dot FROM scored
        |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000
        |      >= CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) * 1600
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Cluster resolution over the *embedding* near-dup pairs — the same
+    * generic connected-components operator as dedup_clusters, applied to a
+    * different edge relation (semantic near-dups instead of lexical). */
+  private def embeddingClusters(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.resolveClusters(
+        pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
+  // NB: the outer CTE must not be named `pairs` — the nested LSH SQL defines
+  // its own `pairs`, and under WITH RECURSIVE the outer name is visible
+  // inside the nested subquery, silently shadowing it to an empty relation.
+  private val embeddingClustersSql =
+    s"""WITH RECURSIVE nd_pairs AS ($embeddingNeardupLshSql),
+       |edges AS (SELECT vec_a AS u, vec_b AS v FROM nd_pairs
+       |          UNION SELECT vec_b, vec_a FROM nd_pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     pipeline.Multimodal.extractFeatures(s,
@@ -1487,6 +1520,7 @@ object SparkEntry {
     "q_corpus_mix" -> (qCorpusMix _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
+    "embedding_clusters" -> (embeddingClusters _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -1541,6 +1575,7 @@ object SparkEntry {
     "q_corpus_mix" -> qCorpusMixSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
+    "embedding_clusters" -> embeddingClustersSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -342,8 +342,13 @@ object Dedup {
     * close them at any corpus size. Pathological chain-shaped graphs would
     * need the star-contraction variants (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) — not the shape
-    * near-dup buckets produce. Each round's labels are persisted and the
-    * previous round unpersisted, keeping lineage shallow.
+    * near-dup buckets produce. Each round's labels are
+    * `localCheckpoint`ed: persist() alone caches *data* but keeps the
+    * logical plan, and since every round references the previous labels
+    * twice (directly and through the neighbor join) the plan tree doubles
+    * per round — exponential analysis memory by round ~20. Checkpointing
+    * truncates the lineage so every round plans against a materialized
+    * relation.
     *
     * Returns (doc_id, cluster_id) for every document that appears in at
     * least one pair; unpaired documents are their own singleton clusters by
@@ -360,8 +365,11 @@ object Dedup {
       .persist()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
-    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+      .localCheckpoint(true)
+    // coalesce: an empty pair relation must yield an empty result, not a
+    // NULL-sum crash
+    var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
+      .head().getLong(0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -374,9 +382,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
-      labels.unpersist()
+        .localCheckpoint(true)
+      val nextSum = next.agg(coalesce(sum("cluster_id"), lit(0L)))
+        .head().getLong(0)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

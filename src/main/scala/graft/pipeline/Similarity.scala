@@ -171,13 +171,20 @@ object Similarity {
         "array_min(q) AS q_min", "array_max(q) AS q_max",
         "aggregate(zip_with(q, sequence(1, size(q)), (qi, i) -> qi * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS q_checksum")
 
-  /** Deterministic ±1 hyperplane component from the shared LCG. */
-  private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
-
-  /** The p-th LCG-derived ±1 hyperplane — public so the DuckDB oracle can
-    * embed the identical literals and reproduce bucketing exactly. */
-  def srpPlane(p: Int, dim: Int): IndexedSeq[Long] =
-    (0 until dim).map(i => if (lcg(p * dim.toLong + i) % 2 == 0) 1L else -1L)
+  /** The p-th deterministic ±1 hyperplane — public so the DuckDB oracle can
+    * embed the identical literals and reproduce bucketing exactly.
+    *
+    * Derived from md5, NOT from the shared LCG's low bit: with both LCG
+    * multiplier and increment odd, `lcg(x) % 2` strictly alternates with x,
+    * which made every "random" hyperplane the same alternating ±1 vector —
+    * all sign bits collapsed to ONE projection and the whole corpus landed
+    * in 2 buckets (found in round 4; the md5 planes are balanced with low
+    * cross-plane correlation). The literals are embedded in the oracle SQL,
+    * so only the Scala-side derivation quality matters. */
+  def srpPlane(p: Int, dim: Int): IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map(i => if (Dedup.md5Top60(md, s"srp:$p:$i") % 2 == 0) 1L else -1L)
+  }
 
   /** Sign-random-projection bucket key: `planes` sign bits of LCG-derived
     * hyperplane dots. */
@@ -199,37 +206,56 @@ object Similarity {
     math.min(30, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
-  /** LSH-bucketed approximate near-dup pairs (same exact integer rule as
-    * [[nearDupExact]], restricted to within-bucket candidates; bucket-local
-    * pairing via flatMapGroups keeps the join fan-out bounded).
+  /** *Banded* SRP near-dup pairs (same exact integer accept rule as
+    * [[nearDupExact]], restricted to within-bucket candidates): `bands`
+    * independent sign-bucket families of `planesPerBand` hyperplanes each;
+    * a pair becomes a candidate when ANY band agrees on all its bits —
+    * the same band/row trade MinHash uses, which is what gives LSH usable
+    * recall at loose thresholds (a single wide sign code has recall
+    * `p^planes`, the banded form `1-(1-p^r)^B`).
     *
-    * `maxBucket` caps degenerate buckets — a bucket with more than
-    * `maxBucket` members (near-identical boilerplate vectors, or an
-    * under-sized `planes` for the corpus) is dropped entirely rather than
-    * running O(bucket²) pairs in a single task; the DuckDB oracle applies
-    * the identical size filter. Size `planes` with [[planesFor]] so the cap
-    * stays a skew guard, not the recall path. */
+    * `planesPerBand <= 0` sizes itself from the corpus via [[planesFor]],
+    * so per-band occupancy stays ~constant as the corpus grows.
+    * `maxBucket` caps degenerate buckets — an oversized bucket is dropped
+    * (cost O(cap), not O(bucket²), per task); the DuckDB oracle applies the
+    * identical size filter. Candidate pairing runs per (band, key) group
+    * via flatMapGroups, so join fan-out is bounded by bucket size at any
+    * corpus size. */
   def lshNearDup(embs: DataFrame, dim: Int, tauPct: Int = 95,
-                 planes: Int = 12, maxBucket: Int = 64): DataFrame = {
+                 bands: Int = 8, planesPerBand: Int = 0,
+                 maxBucket: Int = 64): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val e = prepared(embs).withColumn("bucket", srpBucket(col("xs"), dim, planes))
-    e.select(col("bucket"), col("vec_id"), col("xs"), col("norm2"))
-      .as[(Long, Long, Array[Long], Long)]
-      .groupByKey(_._1)
+    val prep = prepared(embs)
+    val r =
+      if (planesPerBand > 0) planesPerBand
+      else planesFor(prep.count())
+    // all band keys in one projection; posexplode -> (band, key) rows
+    val bandKeys = array((0 until bands).map { b =>
+      val bits = (0 until r).map { j =>
+        val plane = array(srpPlane(b * r + j, dim).map(lit): _*)
+        when(dotLong(col("xs"), plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }: _*)
+    prep.select(col("vec_id"), col("xs"), col("norm2"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("vec_id"), col("xs"), col("norm2"))
+      .as[(Int, Long, Long, Array[Long], Long)]
+      .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, it) =>
         // consume at most maxBucket+1 rows: oversized buckets cost O(cap),
         // not O(bucket), and are dropped deterministically
         val rows = it.take(maxBucket + 1).toArray
         if (rows.length > maxBucket) Iterator.empty
         else {
-          val sorted = rows.sortBy(_._2)
+          val sorted = rows.sortBy(_._3)
           for {
             i <- sorted.indices.iterator
             j <- (i + 1 until sorted.length).iterator
-            d = dot(sorted(i)._3, sorted(j)._3)
-            if cosAtLeast(d, sorted(i)._4, sorted(j)._4, tauPct)
-          } yield (sorted(i)._2, sorted(j)._2, d)
+            d = dot(sorted(i)._4, sorted(j)._4)
+            if cosAtLeast(d, sorted(i)._5, sorted(j)._5, tauPct)
+          } yield (sorted(i)._3, sorted(j)._3, d)
         }
       }
       .toDF("vec_a", "vec_b", "dot")
