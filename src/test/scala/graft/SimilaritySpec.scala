@@ -53,6 +53,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // LSH never invents pairs (same decision rule)
   }
 
+  test("banded LSH recalls a real fraction of brute pairs on real embeddings") {
+    // regression guard for the r4 srpPlane degeneracy: with collapsed
+    // hyperplanes the capped LSH path silently returned 0 pairs while the
+    // oracle agreed (shared literals). Assert real recall against the
+    // brute-force twin on the actual fixture distribution.
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.nearDupExact(real, tauPct = 40))
+    val lsh = pairSet(Similarity.lshNearDup(real, dim = 64, tauPct = 40))
+    assert(exact.size >= 50, s"fixture changed? brute pairs=${exact.size}")
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (${lsh.size}/${exact.size})")
+    // bucket spread sanity: candidates cannot all come from one projection
+    val buckets = Similarity.prepared(real)
+      .withColumn("b", Similarity.srpBucket(org.apache.spark.sql.functions.col("xs"), 64, 12))
+      .select("b").distinct().count()
+    assert(buckets > 16, s"sign buckets collapsed to $buckets values")
+  }
+
   test("IVF probes recover most of the brute-force top-k on real embeddings") {
     val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 100 === 0
