@@ -112,6 +112,29 @@ class DedupSpec extends AnyFunSuite {
     fast.foreach { case (id, hs) => assert(hs == declarative(id), s"doc $id") }
   }
 
+  test("minhash LSH recalls most true-Jaccard pairs on the real fixture") {
+    // same lesson as the SRP-plane regression guard: the oracle shares the
+    // permutation literals, so only a brute-force twin catches degeneracy.
+    // Ground truth computed driver-side from the hashed shingle sets.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val shingles = Dedup.hashedShingleDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = shingles.keys.toArray.sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      a = shingles(ids(i)); b = shingles(ids(j))
+      inter = (a & b).size
+      if inter * 100 >= (a.size + b.size - inter) * 30
+    } yield (ids(i), ids(j))).toSet
+    val lsh = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 20, s"fixture changed? true pairs=${truth.size}")
+    assert(lsh.subsetOf(truth), "LSH must never invent pairs")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall=$recall (${lsh.size}/${truth.size})")
+  }
+
   test("cluster resolution: chains merge transitively, components stay apart") {
     // component {1,2,3,4} as a chain (diameter 3 — forces >1 round),
     // component {10,11,12} as a triangle, isolated pair {20,21}
