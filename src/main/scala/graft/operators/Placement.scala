@@ -58,6 +58,14 @@ object Placement {
     ClusterSnapshot(nodes, sts)
   }
 
+  /** The `PlacementRequest` a batch request row stands for (shared by the
+    * pick and invariant operators so their greedy inputs cannot drift). */
+  private def toRequest(r: RequestRow): PlacementRequest =
+    PlacementRequest(r.request_id, r.additional, r.writer_uuid,
+      chosen = Nil, returnChosen = false, excludes = r.excludes,
+      blockSize = r.block_size,
+      policy = Map("DISK" -> r.additional.toLong))
+
   /** P1–P9 batch mode: one balanced allocation per request row, computed in
     * executors against the broadcast snapshot. Randomness is seeded by
     * request_id, so results are reproducible across runs and partitionings. */
@@ -66,11 +74,7 @@ object Placement {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(snap)
     requests.as[RequestRow].flatMap { r =>
-      val req = PlacementRequest(r.request_id, r.additional, r.writer_uuid,
-        chosen = Nil, returnChosen = false, excludes = r.excludes,
-        blockSize = r.block_size,
-        policy = Map("DISK" -> r.additional.toLong))
-      PolicyEngine.chooseTarget(bc.value, req, new Random(r.request_id))
+      PolicyEngine.chooseTarget(bc.value, toRequest(r), new Random(r.request_id))
         .zipWithIndex.map { case (st, i) => PickRow(r.request_id, i, st.id, st.nodeUuid) }
     }.toDF()
   }
@@ -88,11 +92,7 @@ object Placement {
     val bc = spark.sparkContext.broadcast(snap)
     requests.as[RequestRow].map { r =>
       val s = bc.value
-      val req = PlacementRequest(r.request_id, r.additional, r.writer_uuid,
-        chosen = Nil, returnChosen = false, excludes = r.excludes,
-        blockSize = r.block_size,
-        policy = Map("DISK" -> r.additional.toLong))
-      val picks = PolicyEngine.chooseTarget(s, req, new Random(r.request_id))
+      val picks = PolicyEngine.chooseTarget(s, toRequest(r), new Random(r.request_id))
       val nodes = picks.map(st => s.nodeByUuid(st.nodeUuid))
       val racks = nodes.map(n => PolicyEngine.parentPath(n.path)) // "/dc/rack"
       val perDc = nodes.groupBy(n => PolicyEngine.topRack(n.path))
