@@ -148,6 +148,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: cluster resolution equals union-find on random graphs") {
+    val rng = new Random(4242)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rng.nextInt(40)
+      val ids = (0 until n).map(_ => rng.nextInt(1000).toLong).distinct
+      val edges = (0 until n).map { _ =>
+        (ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = graft.pipeline.Dedup.resolveClusters(
+            edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("property: simhash banded pairs equal brute-force hamming<=3 pairs") {
     val rng = new Random(99)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
