@@ -113,12 +113,21 @@ object Similarity {
 
   /** Brute-force cosine top-k per query vector: queries broadcast, per-
     * partition top-k heaps, final exact rank over the tiny partials. */
-  def bruteTopK(embs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+  def bruteTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+                maxQueryRows: Long = 100000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val prep = prepared(embs).as[PreparedVec]
+    val querySet = prepared(embs).where(queryPred)
+    val nQueries = querySet.count()
+    // same guard as Ivf.searchTopK: the few-queries/huge-corpus shape
+    // collects the query side — fail fast on a corpus-sized predicate
+    require(nQueries <= maxQueryRows,
+      s"bruteTopK broadcasts the query set: predicate matched $nQueries " +
+        s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise " +
+        "the bound explicitly")
     val queries = spark.sparkContext.broadcast(
-      prepared(embs).where(queryPred).as[PreparedVec].collect())
+      querySet.as[PreparedVec].collect())
     val partials = prep.mapPartitions { it =>
       val qs = queries.value
       // per-query bounded min-heap of (cos, neighbor_id)
