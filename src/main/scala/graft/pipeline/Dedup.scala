@@ -315,9 +315,16 @@ object Dedup {
     * shuffle is the per-doc count of *matching* rows — proportional to the
     * contamination overlap, not the corpus. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, w: Int = 3,
-                    minShared: Int = 3): DataFrame = {
+                    minShared: Int = 3,
+                    maxBenchmarkShingles: Long = 5000000L): DataFrame = {
     val benchSh = hashedShingleDf(benchmark, w)
       .select(explode(col("hs")).as("h")).distinct()
+      .persist()
+    val nBench = benchSh.count()
+    require(nBench <= maxBenchmarkShingles,
+      s"contamination broadcasts the benchmark shingle set: $nBench " +
+        s"distinct shingles > maxBenchmarkShingles=$maxBenchmarkShingles; " +
+        "split the benchmark into batches or raise the bound explicitly")
     hashedShingleDf(corpus, w)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .join(broadcast(benchSh), "h")
@@ -391,6 +398,13 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // no silent caps: returning part-propagated labels would ship wrong
+    // clusters (a >maxRounds-diameter chain keeps local minima as labels)
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within maxRounds=$maxRounds " +
+          "(a component's diameter exceeds the round budget); raise " +
+          "maxRounds, or pre-contract chain-shaped graphs")
     labels
   }
 

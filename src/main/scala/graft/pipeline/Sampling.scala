@@ -44,11 +44,13 @@ object Sampling {
     docs.select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) >= 5 && size(col("toks")) <= 100000 &&
-          TextAnalysis.stopwordCount(col("toks"), TextAnalysis.EnStop) * 100 >=
-            size(col("toks")) * 2 &&
-          length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 10 <=
-            length(col("text"))).as("quality_ok"))
+        TextAnalysis.stopwordCount(col("toks"), TextAnalysis.EnStop)
+          .cast("long").as("stopword_count"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+          .cast("long").as("punct_count"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("quality_ok", TextAnalysis.qualityOkFromStats(col("n_tokens"),
+        col("stopword_count"), col("punct_count"), col("n_chars")))
       .withColumn("mix_bucket",
         when(col("quality_ok"), lit(0L)).otherwise(lit(nBuckets.toLong)) +
           bucket2(col("doc_id"), nBuckets, salt))

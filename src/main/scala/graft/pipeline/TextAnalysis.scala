@@ -37,6 +37,14 @@ object TextAnalysis {
   val FrStop = Seq("le", "la", "et", "les", "des", "une", "est")
   val EsStop = Seq("el", "de", "que", "los", "una", "es", "y")
 
+  /** The single source of truth for the document-quality thresholds, over
+    * already-computed stats columns (callers materialize token counts once;
+    * recomputing them inside the predicate would re-run the tokenizer). */
+  def qualityOkFromStats(nTokens: Column, stopwords: Column,
+                         punct: Column, nChars: Column): Column =
+    nTokens >= 5 && nTokens <= 100000 &&
+      stopwords * 100 >= nTokens * 2 && punct * 10 <= nChars
+
   /** Per-document quality/statistics signals (integer-only outputs).
     *
     * The token array is materialized in a *separate first projection*: four
@@ -55,10 +63,8 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_token_chars"),
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("punct_count"),
         stopwordCount(col("toks"), EnStop).cast("long").as("stopword_count"))
-      .withColumn("quality_ok",
-        col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-          col("stopword_count") * 100 >= col("n_tokens") * 2 &&
-          col("punct_count") * 10 <= col("n_chars"))
+      .withColumn("quality_ok", qualityOkFromStats(col("n_tokens"),
+        col("stopword_count"), col("punct_count"), col("n_chars")))
 
   /** N-gram/stopword language-ID heuristic: CJK by non-ASCII density, then
     * argmax of per-language stopword hits (priority en>de>fr>es on ties),

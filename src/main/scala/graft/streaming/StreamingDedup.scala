@@ -59,19 +59,27 @@ object StreamingDedup {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .as[TimedDoc]
       .groupByKey(_.fingerprint)
-      .flatMapGroupsWithState[Boolean, Doc](
+      // state = the expiry timestamp: Spark CLEARS a group's timeout on
+      // every function invocation, so each duplicate arrival must re-arm
+      // the original first-seen + ttl expiry or the state would silently
+      // become immortal (and the dedup window would never re-open)
+      .flatMapGroupsWithState[Long, Doc](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
-        (fp: String, batch: Iterator[TimedDoc], state: GroupState[Boolean]) =>
+        (fp: String, batch: Iterator[TimedDoc], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
-          else {
+          else if (state.exists) {
+            state.setTimeoutTimestamp(
+              math.max(state.get, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          } else {
             val first = batch.minBy(_.doc_id)
-            state.update(true)
             // expire at first-seen + ttl (clamped above the current
             // watermark, which Spark requires of timeout timestamps)
-            state.setTimeoutTimestamp(math.max(first.ts.getTime + ttlMs,
-              state.getCurrentWatermarkMs + 1))
+            val expiry = math.max(first.ts.getTime + ttlMs,
+              state.getCurrentWatermarkMs + 1)
+            state.update(expiry)
+            state.setTimeoutTimestamp(expiry)
             Iterator.single(Doc(first.doc_id, fp))
           }
       }

@@ -147,6 +147,15 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("cluster resolution fails loudly when the round budget is exceeded") {
+    // diameter-9 chain cannot converge in 2 rounds; silent part-propagated
+    // labels would ship wrong clusters
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(chain, maxRounds = 2).collect()
+    }
+  }
+
   test("cluster resolution labels real minhash pairs with component minima") {
     val pairs = Dedup.minhashLshPairs(corpus)
     val clusters = Dedup.resolveClusters(pairs).collect()

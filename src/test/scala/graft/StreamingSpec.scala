@@ -100,6 +100,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL survives pre-expiry duplicates (timeout re-armed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.firstSeenTtl(spark,
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "0 seconds", ttlMs = 5000L)
+      .writeStream.format("memory").queryName("dedup_ttl_rearm")
+      .outputMode("append").start()
+    try {
+      def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+      mem.addData((1L, t(0), "dup text"))           // first seen; expiry t+5s
+      q.processAllAvailable()
+      // duplicate BEFORE expiry: must be suppressed AND must not erase the
+      // timeout (Spark clears a group's timeout on every invocation)
+      mem.addData((2L, t(2), "dup  TEXT"))
+      q.processAllAvailable()
+      mem.addData((3L, t(100), "advancer one"))     // watermark -> t(2)
+      q.processAllAvailable()
+      mem.addData((4L, t(200), "advancer two"))     // watermark -> t(100): expiry fires
+      q.processAllAvailable()
+      mem.addData((5L, t(210), "dup text"))         // re-admitted after expiry
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ttl_rearm").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L, 5L), ids.toSeq.sorted.mkString(","))
+    } finally q.stop()
+  }
+
   test("placement monitor re-verifies streamed replica snapshots") {
     val tmp = Files.createTempDirectory("graft-monitor").toFile.getAbsolutePath
     val snapDir = s"$tmp/snapshots"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
