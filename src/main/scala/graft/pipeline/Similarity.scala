@@ -236,9 +236,12 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     val prep = prepared(embs)
+    // sizing only needs the order of magnitude: the RAW count (a
+    // metadata-only count-star on parquet sources) avoids running the
+    // norm computation of prepared() just to pick a band width
     val r =
       if (planesPerBand > 0) planesPerBand
-      else planesFor(prep.count())
+      else planesFor(embs.count())
     // all band keys in one projection; posexplode -> (band, key) rows
     val bandKeys = array((0 until bands).map { b =>
       val bits = (0 until r).map { j =>

@@ -60,10 +60,9 @@ class SimilaritySpec extends AnyFunSuite {
     // brute-force twin on the actual fixture distribution.
     val real = Tables.embeddings(spark, "/root/testdata/sf0.01")
     // the embedding_neardup_lsh ORACLE hardcodes planesFor(500); the Spark
-    // side auto-sizes from the prepared count — pin their agreement here so
-    // a fixture change fails a spec instead of the hash gate
-    assert(Similarity.planesFor(Similarity.prepared(real).count()) ==
-      Similarity.planesFor(500L))
+    // side auto-sizes from the raw corpus count — pin their agreement here
+    // so a fixture change fails a spec instead of the hash gate
+    assert(Similarity.planesFor(real.count()) == Similarity.planesFor(500L))
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairSet(Similarity.nearDupExact(real, tauPct = 40))
