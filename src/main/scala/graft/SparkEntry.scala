@@ -820,6 +820,23 @@ object SparkEntry {
        |FROM c WHERE cum <= 5000 GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Token counting under whitespace and BPE-ish lexers (LLM budget proxy). */
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.tokenCounts(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val qTokenCountsSql =
+    s"""SELECT doc_id,
+       | len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS n_bpe_tokens,
+       | len($DuckToks) AS n_word_tokens,
+       | length(text) AS n_chars,
+       | CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+')) > 0
+       |      THEN (length(text) * 1000000)
+       |           // len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+'))
+       |      ELSE 0 END AS chars_per_bpe_micros
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -1499,6 +1516,7 @@ object SparkEntry {
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
     "text_stats" -> (textStats _),
+    "q_token_counts" -> (qTokenCounts _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
@@ -1554,6 +1572,7 @@ object SparkEntry {
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,
     "text_stats" -> textStatsSql,
+    "q_token_counts" -> qTokenCountsSql,
     "q_repetition_stats" -> qRepetitionStatsSql,
     "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,

@@ -22,6 +22,25 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
+  /** Token counting under the two standard cheap lexers: whitespace runs
+    * (`\S+` — what "word count" means to a shell) and a BPE-ish pattern
+    * (letter runs | single digits | punctuation runs — the shape of a
+    * GPT-2-style pre-tokenizer, giving a closer proxy for LLM token budgets
+    * than whitespace). Both are narrow codegen projections; the ratio
+    * column is integer micros for cross-engine exactness. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_word_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("chars_per_bpe_micros",
+        when(col("n_bpe_tokens") > 0,
+          expr("n_chars * 1000000 div n_bpe_tokens")).otherwise(lit(0L)))
+
   /** Count of token occurrences (with multiplicity) that are in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column = {
     val arr = array(words.map(lit): _*)

@@ -42,6 +42,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       5L -> "zh", 6L -> "und"))
   }
 
+  test("token counting: whitespace vs BPE-ish lexer semantics") {
+    val df = docs((1L, "Hello, world! It's 42 degrees...", "en"))
+    val r = TextAnalysis.tokenCounts(df).head()
+    // \S+ runs: ["Hello,", "world!", "It's", "42", "degrees..."]
+    assert(r.getAs[Long]("n_ws_tokens") == 5L)
+    // [a-z]+ | single digit | punct runs over lowercased text:
+    // hello , world ! it ' s 4 2 degrees ...  -> 11
+    assert(r.getAs[Long]("n_bpe_tokens") == 11L)
+    // [a-z0-9]+ words: hello world it s 42 degrees -> 6
+    assert(r.getAs[Long]("n_word_tokens") == 6L)
+    assert(r.getAs[Long]("chars_per_bpe_micros") ==
+      r.getAs[Long]("n_chars") * 1000000L / 11L)
+  }
+
   test("fingerprint is whitespace- and case-invariant") {
     val df = docs((1L, "Hello   World", "en"), (2L, "hello world", "en"),
       (3L, " HELLO\tWORLD ", "en"), (4L, "hello there", "en"))
