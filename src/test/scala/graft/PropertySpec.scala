@@ -148,6 +148,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: budgeted mix equals the independent driver-side model") {
+    val rng = new Random(777)
+    val words = Vector("the", "and", "of", "to", "cat", "dog", "runs", "fast")
+    val docs = (0 until 120).map { i =>
+      val n = 3 + rng.nextInt(30)
+      val text = Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ") +
+        (if (rng.nextBoolean()) "." else "")
+      (i.toLong, text, if (i % 3 == 0) "de" else "en")
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val budget = 150L
+    val nBuckets = 8
+    val got = graft.pipeline.Sampling.budgetedMix(df, budget, nBuckets)
+      .collect().map(_.getLong(0)).toSet
+    // independent model: same salted-md5 bucket + quality thresholds,
+    // cumulative per lang in bucket order, keep while cum <= budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stop = Set("the", "and", "of", "to", "a", "in", "is", "that")
+    val modeled = docs.map { case (id, text, lang) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val punct = text.count(".,;:!?".contains(_))
+      val ok = toks.size >= 5 && toks.size <= 100000 &&
+        toks.count(stop) * 100 >= toks.size * 2 && punct * 10 <= text.length
+      val h = graft.pipeline.Dedup.md5Top60(md, s"graft-mix:$id")
+      val bucket = (if (ok) 0L else nBuckets.toLong) +
+        (h % nBuckets + nBuckets) % nBuckets
+      (lang, bucket, id, toks.size.toLong)
+    }
+    val want = modeled.groupBy(_._1).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (_, bucketRows) =>
+        cum += bucketRows.map(_._4).sum
+        if (cum <= budget) bucketRows.map(_._3) else Nil
+      }
+    }.toSet
+    assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+  }
+
   test("property: cluster resolution equals union-find on random graphs") {
     val rng = new Random(4242)
     (1 to 5).foreach { trial =>
