@@ -1441,6 +1441,80 @@ object SparkEntry {
        |SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
 
+  /** The flagship end-to-end training-corpus pipeline: hold out the
+    * benchmark slice, keep quality-passing docs, exact keep-first dedup,
+    * drop non-canonical near-dup cluster members, drop benchmark-
+    * contaminated docs, and summarize the surviving mixture per language.
+    * Every stage is an oracle-proven operator; the composition is semi/anti
+    * joins against small per-stage decision relations, so the corpus side
+    * stays narrow and each stage's shuffle shape is unchanged from its
+    * standalone query. */
+  private def qTrainingCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val quality = pipeline.TextAnalysis.textStats(docs)
+      .where(col("quality_ok")).select("doc_id")
+    val keepFirst = pipeline.Dedup.exact(docs).where(col("keep")).select("doc_id")
+    val nonCanonical = pipeline.Dedup.resolveClusters(
+        pipeline.Dedup.minhashLshPairs(docs))
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val contaminated = pipeline.Dedup.contamination(corpus, bench).select("doc_id")
+    corpus
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(keepFirst, Seq("doc_id"), "left_semi")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** CTE names are disjoint from those inside the nested MinHash SQL —
+    * under WITH RECURSIVE the outer names are visible inside nested
+    * subqueries and would silently shadow same-named inner CTEs. */
+  private val qTrainingCorpusSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE mh_pairs AS ($dedupMinhashLshSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+       |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |noncanon AS (SELECT u AS doc_id FROM reach
+       |             GROUP BY u HAVING LEAST(u, MIN(v)) <> u),
+       |q_ok AS (SELECT doc_id FROM documents
+       |         WHERE len($DuckToks) >= 5 AND len($DuckToks) <= 100000
+       |           AND len(list_filter($DuckToks, t -> list_contains($stop, t))) * 100
+       |               >= len($DuckToks) * 2
+       |           AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10
+       |               <= length(text)),
+       |fpx AS (SELECT doc_id, $DuckFp AS f FROM documents),
+       |keepfirst AS (SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS m FROM fpx)
+       |  WHERE doc_id = m),
+       |ct_toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |ct_sh AS (SELECT doc_id, list_distinct(list_transform(
+       |            range(1, greatest(len(t) - 2, 0) + 1),
+       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM ct_toks),
+       |ct_sh2 AS (SELECT * FROM ct_sh WHERE len(sh) > 0),
+       |ct_hs AS (SELECT doc_id, list_transform(sh,
+       |            s -> ${DuckHash60.format("s")}) AS hs FROM ct_sh2),
+       |ct_bench AS (SELECT DISTINCT h FROM (
+       |               SELECT unnest(hs) AS h FROM ct_hs WHERE doc_id % 97 = 0)),
+       |ct_expl AS (SELECT doc_id, unnest(hs) AS h FROM ct_hs WHERE doc_id % 97 <> 0),
+       |contaminated AS (SELECT e.doc_id FROM ct_expl e JOIN ct_bench b USING (h)
+       |                 GROUP BY e.doc_id HAVING COUNT(*) >= 3)
+       |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d
+       |JOIN q_ok USING (doc_id)
+       |JOIN keepfirst USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM noncanon n WHERE n.doc_id = d.doc_id)
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     pipeline.Multimodal.extractFeatures(s,
         pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -1535,6 +1609,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_contamination" -> (qContamination _),
+    "q_training_corpus" -> (qTrainingCorpus _),
     "q_corpus_mix" -> (qCorpusMix _),
     "embedding_neardup_exact" -> (embeddingNeardupExact _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
@@ -1591,6 +1666,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_contamination" -> qContaminationSql,
+    "q_training_corpus" -> qTrainingCorpusSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "embedding_neardup_exact" -> embeddingNeardupExactSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
