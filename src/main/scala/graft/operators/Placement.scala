@@ -122,7 +122,11 @@ object Placement {
       .flatMapGroups { (blockId, it) =>
         val rows = it.toVector
         val ids = rows.map(_.storage_id)
-        val configReplica = rows.head.require_replica.toInt
+        // same deterministic reduction as deleteInvariants: `rows.head` of a
+        // mapGroups iterator is partition-order dependent, so a block whose
+        // candidate rows disagree on require_replica would make the greedy
+        // nondeterministic across runs (and drift from the invariant pass)
+        val configReplica = rows.map(_.require_replica).max.toInt
         PolicyEngine.chooseReplicasToDelete(bc.value, ids, configReplica)
           .zipWithIndex.map { case (st, i) => RemovalRow(blockId, i, st.id) }
       }.toDF()

@@ -127,6 +127,38 @@ object Dedup {
       }.toDF("doc_a", "doc_b", "inter", "union_size")
   }
 
+  /** Dropped-bucket observability for the LSH cap sites: the `(band, key)`
+    * bucket relation is capped by an imperative filter that counts every
+    * over-cap bucket (and its member rows) into named `LongAccumulator`s
+    * (`<name>.dropped_buckets` / `<name>.dropped_docs`, visible in the
+    * Spark UI) before dropping it. A degenerate hash family that collapses
+    * the corpus into a handful of giant buckets — the round-4 SRP incident,
+    * which passed its shared-constants oracle gate with zero pairs — now
+    * shows up as a non-zero drop count on any run.
+    *
+    * Deliberately an accumulator, not `Dataset.observe`: AQE's
+    * empty-relation propagation replaces the downstream join with an empty
+    * scan when *no* bucket survives, pruning a `CollectMetrics` node out of
+    * the final plan — the all-dropped case, the one this metric exists for,
+    * was exactly the case the observed metric vanished in. Accumulator
+    * updates are reported at task completion of the bucket stage (which
+    * always runs), so they survive any downstream re-plan. Counts can
+    * over-report under task retries/speculation or when the plan executes
+    * the bucket stage more than once; they are observability, not a
+    * correctness output. The filter is a typed row predicate (one
+    * deserialization per *bucket*, a relation orders of magnitude smaller
+    * than the corpus). */
+  private def capBuckets(buckets: DataFrame, maxBucket: Int,
+                         droppedBuckets: org.apache.spark.util.LongAccumulator,
+                         droppedDocs: org.apache.spark.util.LongAccumulator)
+      : DataFrame =
+    buckets.filter { (r: org.apache.spark.sql.Row) =>
+      val n = r.getSeq[Any](r.fieldIndex("ids")).size
+      if (n > maxBucket) {
+        droppedBuckets.add(1L); droppedDocs.add(n.toLong); false
+      } else n >= 2
+    }
+
   /** Exact dedup: keep-first per normalized-content fingerprint. */
   def exact(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -148,6 +180,10 @@ object Dedup {
     // intersection joins run on BIGINT keys instead of multi-word strings —
     // far less shuffle volume and cheaper probes. The DuckDB oracle hashes
     // identically, so even md5 collisions (~2^-60) agree across engines.
+    // Cache lifetime: the returned lazy DataFrame reads this cache, so it
+    // cannot be unpersisted here — the caller owns it (consume the result,
+    // then `spark.catalog.clearCache()` between pipeline stages, as Bench
+    // does per query; otherwise LRU eviction reclaims it).
     val hdf = hashedShingleDf(docs, w).persist()
     val ex = hdf.select(col("doc_id"), explode(col("hs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
@@ -186,10 +222,17 @@ object Dedup {
     * matches exactly. `maxBucket` caps degenerate buckets (boilerplate
     * shingle sets) so the within-bucket pair join stays bounded. */
   def minhashLshPairs(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
-                      maxBucket: Int = 64, thresholdPct: Int = 30): DataFrame = {
+                      maxBucket: Int = 64, thresholdPct: Int = 30,
+                      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.minhash_lsh.dropped_buckets"))
+    val dropDocsAcc =
+      spark.sparkContext.longAccumulator("graft.minhash_lsh.dropped_docs")
     val r = numPerms / bands
+    // caller-owned cache lifetime — see the note in ngramJaccardPairs
     val hdf = hashedShingleDf(docs).persist()
     // signature via a tight primitive loop per partition over the already-
     // hashed shingles: identical values to minhashSignature, ~10x faster
@@ -219,9 +262,9 @@ object Dedup {
           concat_ws("_", slice(col("sig"), b * r + 1, r)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val buckets = banded.groupBy("band", "key")
-      .agg(collect_list("doc_id").as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+    val buckets = capBuckets(
+      banded.groupBy("band", "key").agg(collect_list("doc_id").as("ids")),
+      maxBucket, dropAcc, dropDocsAcc)
     val cand = buckets
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
@@ -277,7 +320,13 @@ object Dedup {
     * recall on clustered corpora. Verification is the codegen'd
     * `bit_count(xor)` builtin — no UDF. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
-                   bandBits: Int = 15, maxBucket: Int = 64): DataFrame = {
+                   bandBits: Int = 15, maxBucket: Int = 64,
+                   droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val dropAcc = droppedBuckets.getOrElse(
+      sc.longAccumulator("graft.simhash.dropped_buckets"))
+    val dropDocsAcc = sc.longAccumulator("graft.simhash.dropped_docs")
     val sims = simhash(docs)
     val mask = (1L << bandBits) - 1
     val banded = sims.select(col("doc_id"), col("simhash"),
@@ -286,9 +335,10 @@ object Dedup {
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val buckets = banded.groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+    val buckets = capBuckets(
+      banded.groupBy("band", "key")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids")),
+      maxBucket, dropAcc, dropDocsAcc)
     val cand = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
@@ -325,12 +375,19 @@ object Dedup {
       s"contamination broadcasts the benchmark shingle set: $nBench " +
         s"distinct shingles > maxBenchmarkShingles=$maxBenchmarkShingles; " +
         "split the benchmark into batches or raise the bound explicitly")
-    hashedShingleDf(corpus, w)
+    val result = hashedShingleDf(corpus, w)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .join(broadcast(benchSh), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+      // materialize now (the contaminated set is small — proportional to
+      // the leakage, not the corpus) so the benchmark shingle cache can be
+      // released before returning: a long-lived session running repeated
+      // decontamination passes must not accumulate cached relations
+      .localCheckpoint(eager = true)
+    benchSh.unpersist(blocking = false)
+    result
   }
 
   /** Near-dup *cluster resolution*: connected components over pair edges,
@@ -339,29 +396,49 @@ object Dedup {
     * [[minhashLshPairs]] / [[simhashPairs]] / [[ngramJaccardPairs]]) into a
     * keep-one-per-cluster dedup decision.
     *
-    * Algorithm: distributed min-label propagation. Each round joins the
-    * (bidirectional) edge list with current labels and takes the per-node
-    * minimum — one shuffle per round, all relational, no driver-side graph.
-    * Convergence is detected from the monotone label sum (labels only
-    * decrease), a single scalar aggregate per round. Rounds needed equal
-    * the component *diameter*: LSH near-dup components are near-cliques
-    * (every member shares a band bucket with most others), so 2–4 rounds
-    * close them at any corpus size. Pathological chain-shaped graphs would
-    * need the star-contraction variants (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) — not the shape
-    * near-dup buckets produce. Each round's labels are
-    * `localCheckpoint`ed: persist() alone caches *data* but keeps the
-    * logical plan, and since every round references the previous labels
-    * twice (directly and through the neighbor join) the plan tree doubles
-    * per round — exponential analysis memory by round ~20. Checkpointing
-    * truncates the lineage so every round plans against a materialized
-    * relation.
+    * Algorithm: distributed min-label propagation with *pointer jumping*.
+    * Each round (a) joins the (bidirectional) edge list with current labels
+    * and takes the per-node minimum — one shuffle, all relational, no
+    * driver-side graph — then (b) shortcuts `label(u) := label(label(u))`
+    * with a self-join of the label relation. The shortcut is what makes
+    * high-diameter components converge: plain propagation needs
+    * diameter-many rounds (a 1000-long chain would blow any round budget —
+    * the failure mode star-contraction variants exist for, Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), while
+    * propagate+jump halves the remaining pointer depth per round, so
+    * `maxRounds = 25` covers diameters past 2^24. LSH near-dup components
+    * are near-cliques that close in 2-4 rounds either way; the jump costs
+    * one extra small self-join of the (|V|-row) label relation per round.
+    *
+    * Convergence is detected *exactly*: the monotone per-round label sum is
+    * aggregated as DECIMAL(38,0), not BIGINT — at billions of documents a
+    * Long sum wraps, and a wrapped "unchanged" sum would falsely converge
+    * and silently ship wrong clusters.
+    *
+    * Each round's labels are checkpointed: persist() alone caches *data*
+    * but keeps the logical plan, and since every round references the
+    * previous labels twice the plan tree doubles per round — exponential
+    * analysis memory by round ~20. Checkpointing truncates the lineage so
+    * every round plans against a materialized relation. Two modes:
+    * `checkpointDir = None` (default) uses `localCheckpoint` — fastest, but
+    * local checkpoint blocks die with their executor, so an executor loss
+    * mid-iteration fails the job; passing a reliable `checkpointDir` (an
+    * HDFS/object-store path on a real cluster) switches to fault-tolerant
+    * `checkpoint()`, the right mode for long fleet-scale runs.
     *
     * Returns (doc_id, cluster_id) for every document that appears in at
     * least one pair; unpaired documents are their own singleton clusters by
     * definition and are left to the caller (they need no join to decide). */
-  def resolveClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxRounds: Int = 25,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(eager = true)
+    }
     // both edge directions from ONE scan of the (possibly expensive) pair
     // relation — a union of two projections would evaluate it twice, since
     // Spark shares no subplans across DataFrame branches
@@ -370,13 +447,15 @@ object Dedup {
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
-    // coalesce: an empty pair relation must yield an empty result, not a
-    // NULL-sum crash
-    var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
-      .head().getLong(0)
+    var labels = ckpt(edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
+    // exact scalar convergence check; coalesce: an empty pair relation must
+    // yield an empty result, not a NULL-sum crash
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -384,27 +463,36 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
-      val next = labels
+      val prop = ckpt(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(coalesce(sum("cluster_id"), lit(0L)))
-        .head().getLong(0)
+            .as("cluster_id")))
+      // pointer jump: follow the label one hop (label(label(u))). Labels
+      // only decrease and label(v) <= v, so the jumped label never needs a
+      // `least` with the old one; left join + coalesce keeps roots (their
+      // label is themselves) intact. `prop` is checkpointed first — Spark
+      // shares no subplans, so an unmaterialized self-join would run the
+      // propagation twice.
+      val next = ckpt(prop
+        .join(prop.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("jumped")), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jumped"), col("cluster_id")).as("cluster_id")))
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
     }
     edges.unpersist()
     // no silent caps: returning part-propagated labels would ship wrong
-    // clusters (a >maxRounds-diameter chain keeps local minima as labels)
+    // clusters. With pointer jumping this bound means diameter > ~2^maxRounds
+    // — practically unreachable; kept as a loud invariant, not a live path.
     if (!converged)
       throw new IllegalStateException(
         s"resolveClusters did not converge within maxRounds=$maxRounds " +
-          "(a component's diameter exceeds the round budget); raise " +
-          "maxRounds, or pre-contract chain-shaped graphs")
+          "(component pointer depth exceeds the round budget); raise maxRounds")
     labels
   }
 

@@ -167,6 +167,74 @@ class DedupSpec extends AnyFunSuite {
     clusters.foreach { case (d, c) => assert(c <= d && clusters(c) == c) }
   }
 
+  test("cluster resolution closes a diameter-60 chain within the round budget") {
+    // plain min-label propagation would need 60 rounds (> maxRounds=25);
+    // the pointer-jumping shortcut closes it in O(log d). Model: one chain
+    // is one component labeled by its minimum.
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 60L).toSet)
+    assert(got.values.forall(_ == 0L), s"non-min labels: ${got.filter(_._2 != 0L)}")
+  }
+
+  test("cluster resolution matches a union-find model on a random sparse graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(e => e._1 != e._2).distinct
+    // independent union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    val expected = byRoot.values.flatMap { members =>
+      val m = members.min; members.map(_ -> m)
+    }.toMap
+    val got = Dedup.resolveClusters(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("reliable-checkpoint mode yields labels identical to localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.resolveClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+  }
+
+  test("dropped-bucket accumulators surface the maxBucket cap at runtime") {
+    // all five fox docs share band buckets; maxBucket=1 drops every bucket
+    // whole — the silent-0-pair failure class must now be visible from the
+    // accumulator alone. (Deliberately NOT Dataset.observe: AQE's
+    // empty-relation propagation prunes the CollectMetrics node from the
+    // final plan in exactly this all-dropped case.)
+    val acc = spark.sparkContext.longAccumulator("test.minhash_dropped")
+    val n = Dedup.minhashLshPairs(corpus, maxBucket = 1,
+      droppedBuckets = Some(acc)).count()
+    assert(n == 0)
+    assert(acc.value > 0L, "cap fired but the metric stayed silent")
+    // the healthy default path drops nothing on this corpus
+    val acc2 = spark.sparkContext.longAccumulator("test.minhash_dropped2")
+    assert(Dedup.minhashLshPairs(corpus, droppedBuckets = Some(acc2)).count() > 0)
+    assert(acc2.value == 0L)
+    // simhash path: same guard, same metric
+    val acc3 = spark.sparkContext.longAccumulator("test.simhash_dropped")
+    val n3 = Dedup.simhashPairs(corpus, maxBucket = 1,
+      droppedBuckets = Some(acc3)).count()
+    assert(n3 == 0 && acc3.value > 0L)
+  }
+
   test("contamination flags corpus docs overlapping the benchmark set") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog", "en"))
       .toDF("doc_id", "text", "lang")

@@ -94,6 +94,21 @@ class SimilaritySpec extends AnyFunSuite {
       nCentroids = 16, nprobe = 6)))
   }
 
+  test("lshNearDup counts dropped buckets in the accumulator") {
+    // maxBucket=1 drops every shared bucket whole: the result silently
+    // shrinks to 0 pairs, but the accumulator now names the cause
+    val acc = spark.sparkContext.longAccumulator("test.dropped_buckets")
+    val pairs = Similarity.lshNearDup(embs, dim = dim, tauPct = 95,
+      maxBucket = 1, droppedBuckets = Some(acc)).collect()
+    assert(pairs.isEmpty)
+    assert(acc.value > 0L, "cap fired but the metric stayed silent")
+    // healthy run on the same corpus: nothing dropped
+    val acc2 = spark.sparkContext.longAccumulator("test.dropped_buckets2")
+    Similarity.lshNearDup(embs, dim = dim, tauPct = 95,
+      droppedBuckets = Some(acc2)).collect()
+    assert(acc2.value == 0L)
+  }
+
   test("zero vectors are excluded from similarity") {
     val withZero = embs.union(Seq((6L, vec(0, 0, 0, 0, 0, 0, 0, 0), 2))
       .toDF("vec_id", "embedding", "label"))
