@@ -726,6 +726,36 @@ object SparkEntry {
        | ${mavgSql("value")} AS avg_value_micros
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew-guarded dimension join through [[operators.SaltedJoin]]: events
+    * is the canonical hot-key fact (5 event_type values, each carrying
+    * ~20% of all rows — a plain hash join funnels each fifth of the table
+    * into ONE task), joined to a small per-type weight dimension with
+    * explicit salting, then rolled up per type. The salted result is
+    * row-for-row identical to the plain inner join — which is exactly what
+    * the DuckDB oracle runs — so this gates the salting's exactly-once
+    * fact-dim pairing the same way every other operator is gated. */
+  private def qSaltedEventsJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsBase(s, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")).cast("long"))
+    operators.SaltedJoin.innerSalted(ev, dim, "event_type", saltFactor = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000).cast("long") * col("w"))
+          .as("weighted_micros"))
+      .orderBy("event_type")
+  }
+
+  private val qSaltedEventsJoinSql =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS w
+       |  FROM events)
+       |SELECT e.event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT) * d.w) AS BIGINT)
+       |    AS weighted_micros
+       |FROM events e JOIN dim d USING (event_type)
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** JSON scalar extraction from the semi-structured props column. */
   private def qPropsJson(s: SparkSession, dir: String): DataFrame =
     eventsBase2(s, dir)
@@ -1586,6 +1616,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
+    "q_salted_events_join" -> (qSaltedEventsJoin _),
     "q_user_event_pivot" -> (qUserEventPivot _),
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
@@ -1643,6 +1674,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
+    "q_salted_events_join" -> qSaltedEventsJoinSql,
     "q_user_event_pivot" -> qUserEventPivotSql,
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,

@@ -127,6 +127,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup equals batch Dedup.exact on replayed fixture documents") {
+    // the batch-replay equivalence gate: streaming output cannot be
+    // oracle-checked live, but replaying the same corpus through the batch
+    // operator must yield the identical survivor set. Feed in doc_id order
+    // so streaming first-seen coincides with batch keep-min-doc_id.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // planted duplicates (whitespace/case variants) guarantee the gate is
+    // non-trivial even if the fixture had no exact dups
+    val planted = Seq((900001L, base.head._2),
+      (900002L, "  " + base.last._2.toUpperCase + "  "))
+    val all = base.toSeq ++ planted
+    val expected = graft.pipeline.Dedup.exact(all.toDF("doc_id", "text"))
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.firstSeen(spark,
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_replay")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.size / 5)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("dedup_replay").collect().map(_.getLong(0)).toSet
+      assert(expected.size < all.size, "fixture+planted must contain duplicates")
+      assert(got == expected,
+        s"stream-only=${(got -- expected).toSeq.sorted} batch-only=${(expected -- got).toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("TTL streaming dedup equals per-window batch Dedup.exact") {
+    // windowed batch model: split the replayed event stream into session
+    // windows (gap > ttl => every state must have expired between windows),
+    // run the BATCH operator per window, union the survivors. Valid when
+    // intra-window repeats fall within ttl of their first occurrence and a
+    // watermark-advancing batch separates expiry from re-admission (Spark
+    // fires EventTimeTimeout only for groups with no data in the trigger).
+    implicit val sqlCtx = spark.sqlContext
+    val ttlMs = 5000L
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val batches = Seq(
+      Seq((1L, t(0), "alpha doc"), (2L, t(0), "alpha doc"), (3L, t(1), "beta doc")),
+      Seq((4L, t(2), "alpha doc")),      // dup within ttl -> suppressed
+      Seq((5L, t(100), "gamma doc")),    // advances watermark past expiries
+      Seq((8L, t(105), "delta doc")),    // trigger with no alpha/beta data: timeouts fire
+      Seq((6L, t(110), "alpha doc"), (7L, t(110), "beta doc"))) // re-admitted
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.firstSeenTtl(spark,
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "0 seconds", ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("dedup_ttl_replay")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = spark.table("dedup_ttl_replay").collect().map(_.getLong(0)).toSet
+      val windows = batches.flatten.sortBy(e => (e._2.getTime, e._1))
+        .foldLeft(Vector.empty[Vector[(Long, Timestamp, String)]]) { (acc, e) =>
+          if (acc.nonEmpty && e._2.getTime - acc.last.last._2.getTime <= ttlMs)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+      assert(windows.size == 2, s"test data must form 2 ttl windows, got ${windows.size}")
+      val expected = windows.flatMap { w =>
+        graft.pipeline.Dedup.exact(w.map(e => (e._1, e._3)).toDF("doc_id", "text"))
+          .where(col("keep")).select("doc_id").as[Long].collect()
+      }.toSet
+      assert(got == expected,
+        s"stream-only=${(got -- expected).toSeq.sorted} batch-only=${(expected -- got).toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("placement monitor re-verifies streamed replica snapshots") {
     val tmp = Files.createTempDirectory("graft-monitor").toFile.getAbsolutePath
     val snapDir = s"$tmp/snapshots"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
