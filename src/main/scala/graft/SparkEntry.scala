@@ -1545,49 +1545,90 @@ object SparkEntry {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** Real-decode gate: payloads are genuine BMP/WAV/GVF1 files encoded from
+    * the text bytes; the Spark side PARSES them (headers, strides, chunk
+    * walks) and the oracle predicts every decoded value — geometry, byte
+    * counts, and the checksum over decoded pixels/samples — from pure byte
+    * arithmetic (`ascii(substring(...))` per char; the fixture corpus is
+    * all-ASCII so char code = byte). A header/stride/offset parsing bug on
+    * the Spark side changes the checksum and fails the hash. */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     pipeline.Multimodal.extractFeatures(s,
         pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
       .toDF()
       .select("doc_id", "kind", "n_bytes", "width", "height", "channels",
-        "resized_width", "resized_height")
+        "resized_width", "resized_height", "checksum")
       .orderBy("doc_id")
 
+  /** Cyclic fill: payload content byte j = text byte (j mod n), so the sum
+    * of P content bytes = floor(P/n) * total + prefix_sum(P mod n). */
+  private def duckCycSum(p: String): String =
+    s"(($p) // n) * s + COALESCE(list_sum(list_slice(bs, 1, ($p) % n)), 0)"
+
   private val multimodalFeaturesSql =
-    s"""WITH base AS (
-       |  SELECT doc_id,
+    s"""WITH bytes AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs
+       |  FROM documents),
+       |geom AS (
+       |  SELECT doc_id, n, bs, list_sum(bs) AS s,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    octet_length(encode(text)) AS n_bytes,
-       |    64 + octet_length(encode(text)) % 512 AS width,
-       |    64 + (octet_length(encode(text)) * 7) % 512 AS height,
-       |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
-       |  FROM documents)
-       |SELECT doc_id, kind, n_bytes, width, height, channels,
-       |  GREATEST(1, (width * 256) // GREATEST(width, height)) AS resized_width,
-       |  GREATEST(1, (height * 256) // GREATEST(width, height)) AS resized_height
-       |FROM base ORDER BY doc_id""".stripMargin
+       |    8 + n % 24 AS iw,
+       |    GREATEST(1, LEAST(40, n // (3 * (8 + n % 24)))) AS ih,
+       |    8 + n % 16 AS vw, 8 + (n * 3) % 16 AS vh, 1 + n % 5 AS vf
+       |  FROM bytes),
+       |calc AS (
+       |  SELECT doc_id, kind,
+       |    CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN n ELSE vw END AS width,
+       |    CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 1 ELSE vh END AS height,
+       |    CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS channels,
+       |    CASE kind
+       |      WHEN 'image' THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
+       |      WHEN 'audio' THEN 44 + 2 * n
+       |      ELSE 16 + 3 * vw * vh * vf END AS n_bytes,
+       |    CASE kind
+       |      WHEN 'image' THEN ${duckCycSum("3 * iw * ih")}
+       |      WHEN 'audio' THEN s
+       |      ELSE ${duckCycSum("3 * vw * vh * vf")} END AS checksum
+       |  FROM geom)
+       |SELECT doc_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       |  CAST(channels AS BIGINT) AS channels,
+       |  CAST(GREATEST(1, (width * 256) // GREATEST(width, height)) AS BIGINT)
+       |    AS resized_width,
+       |  CAST(GREATEST(1, (height * 256) // GREATEST(width, height)) AS BIGINT)
+       |    AS resized_height,
+       |  CAST(checksum AS BIGINT) AS checksum
+       |FROM calc ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling plumbing for video payloads (1->N expansion). The
-    * per-frame checksum is spec-tested; the oracle checks the sampling
-    * geometry (frame count and offsets) it can derive from byte lengths. */
+  /** Frame sampling through the real GVF1 parse: frame count, parsed byte
+    * offsets, and per-frame decoded checksums, all oracle-predicted. */
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     pipeline.Multimodal.sampleFrames(s,
-        pipeline.Multimodal.mediaTable(Tables.documents(s, dir)), frameBytes = 256)
+        pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
       .toDF()
-      .select("doc_id", "frame_idx", "offset_bytes")
+      .select("doc_id", "frame_idx", "offset_bytes", "frame_checksum")
       .orderBy("doc_id", "frame_idx")
 
   private val multimodalFramesSql =
-    s"""WITH vids AS (
-       |  SELECT doc_id, octet_length(encode(text)) AS nb
+    s"""WITH bytes AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs
        |  FROM documents WHERE doc_id % 3 = 2),
-       |frames AS (
-       |  SELECT doc_id,
-       |    unnest(range(GREATEST(1, (nb + 255) // 256))) AS frame_idx
-       |  FROM vids)
-       |SELECT doc_id, frame_idx, frame_idx * 256 AS offset_bytes
-       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+       |vids AS (
+       |  SELECT doc_id, n, bs, list_sum(bs) AS s,
+       |    3 * (8 + n % 16) * (8 + (n * 3) % 16) AS fb, 1 + n % 5 AS f
+       |  FROM bytes),
+       |fr AS (
+       |  SELECT doc_id, n, bs, s, fb, unnest(range(f)) AS frame_idx FROM vids)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(16 + frame_idx * fb AS BIGINT) AS offset_bytes,
+       |  CAST((${duckCycSum("(frame_idx + 1) * fb")})
+       |     - (${duckCycSum("frame_idx * fb")}) AS BIGINT) AS frame_checksum
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
   // ===================================================================
   // Registry

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.Multimodal
+import graft.pipeline.Multimodal.Codecs
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -14,26 +15,94 @@ class MultimodalSpec extends AnyFunSuite {
     (2L, "日本語", "src2", "zh"))
     .toDF("doc_id", "text", "source", "lang")
 
-  test("media table carries binary payload + kind by doc_id") {
+  private def cyc(bytes: Array[Int], p: Int): Long =
+    (0 until p).map(j => bytes(j % bytes.length).toLong).sum
+
+  test("media table carries REAL format payloads, kind by doc_id") {
     val rows = Multimodal.mediaTable(docs).collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(byId(0L).getAs[String]("kind") == "image")
-    assert(byId(1L).getAs[String]("kind") == "audio")
-    assert(byId(2L).getAs[String]("kind") == "video")
-    assert(byId(0L).getAs[Array[Byte]]("payload").sameElements("abc".getBytes("UTF-8")))
-    // multibyte text: payload is bytes, not chars
-    assert(byId(2L).getAs[Array[Byte]]("payload").length == 9)
+    val bmp = byId(0L).getAs[Array[Byte]]("payload")
+    val wav = byId(1L).getAs[Array[Byte]]("payload")
+    val vid = byId(2L).getAs[Array[Byte]]("payload")
+    assert(byId(0L).getAs[String]("kind") == "image" && bmp(0) == 'B' && bmp(1) == 'M')
+    assert(byId(1L).getAs[String]("kind") == "audio" &&
+      new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(byId(2L).getAs[String]("kind") == "video" &&
+      new String(vid, 0, 4, "US-ASCII") == "GVF1")
   }
 
-  test("feature extraction is deterministic byte arithmetic") {
+  test("BMP decoder round-trips files written by the INDEPENDENT ImageIO encoder") {
+    // javax.imageio writes real bottom-up 24-bit BMPs — if our parser gets
+    // the header, stride, row order, or BGR channel order wrong, the
+    // pixel-for-pixel compare fails
+    for ((w, h) <- Seq((13, 7), (16, 9), (1, 5), (31, 2))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 53 + x) % 256 << 8) | ((x * y + 11) % 256))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", baos))
+      val dec = Codecs.decodeBmp(baos.toByteArray)
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        assert((dec.pixels(d) & 0xff) == ((argb >> 16) & 0xff), s"R at ($x,$y) ${w}x$h")
+        assert((dec.pixels(d + 1) & 0xff) == ((argb >> 8) & 0xff), s"G at ($x,$y)")
+        assert((dec.pixels(d + 2) & 0xff) == (argb & 0xff), s"B at ($x,$y)")
+      }
+    }
+  }
+
+  test("BMP decoder handles top-down (negative height) storage identically") {
+    val w = 11; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * 29 + 3) % 256).toByte)
+    val up = Codecs.decodeBmp(Codecs.encodeBmp24(w, h, rgb))
+    val down = Codecs.decodeBmp(Codecs.encodeBmp24(w, h, rgb, topDown = true))
+    assert(up.pixels.sameElements(rgb))
+    assert(down.pixels.sameElements(rgb))
+  }
+
+  test("WAV decoder round-trips files written by the INDEPENDENT javax.sound encoder") {
+    val samples = Array.tabulate(777)(i => ((i * 131 - 40000) % 32768).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = samples(i).toByte
+      data(2 * i + 1) = (samples(i) >> 8).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val dec = Codecs.decodeWav(baos.toByteArray)
+    assert(dec.sampleRate == 8000 && dec.channels == 1)
+    assert(dec.samples.sameElements(samples)) // negatives included
+  }
+
+  test("feature extraction decodes geometry and content checksums") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
       .collect().map(f => f.doc_id -> f).toMap
+    // image: "abc" -> n=3, w=8+3%24=11, h=max(1,min(40,3/33))=1
     val f0 = feats(0L)
-    assert(f0.n_bytes == 3 && f0.width == 64 + 3 && f0.height == 64 + 21)
-    assert(f0.channels == 3)
-    assert(feats(1L).channels == 1) // audio
-    assert(f0.checksum == ("abc".getBytes("UTF-8").map(_ & 0xff).sum % 997))
-    // run twice: identical
+    val ab = "abc".getBytes("UTF-8").map(_ & 0xff)
+    assert(f0.width == 11 && f0.height == 1 && f0.channels == 3)
+    assert(f0.n_bytes == 54 + ((3 * 11 + 3) / 4) * 4 * 1)
+    assert(f0.checksum == cyc(ab, 3 * 11 * 1))
+    // audio: "hello world" -> 11 samples of the byte values
+    val f1 = feats(1L)
+    val hw = "hello world".getBytes("UTF-8").map(_ & 0xff)
+    assert(f1.width == 11 && f1.height == 1 && f1.channels == 1)
+    assert(f1.n_bytes == 44 + 2 * 11)
+    assert(f1.checksum == hw.sum.toLong)
+    // video: 9 UTF-8 bytes -> w=8+9%16=17, h=8+27%16=19, f=1+9%5=5
+    val f2 = feats(2L)
+    val jp = "日本語".getBytes("UTF-8").map(_ & 0xff)
+    assert(f2.width == 17 && f2.height == 19)
+    assert(f2.n_bytes == 16 + 3 * 17 * 19 * 5)
+    assert(f2.checksum == cyc(jp, 3 * 17 * 19 * 5))
+    // determinism
     val again = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
       .collect().map(f => f.doc_id -> f).toMap
     assert(again == feats)
@@ -45,15 +114,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeDims(1, 10000) == (1L, 256L))
   }
 
-  test("frame sampling windows the payload with per-frame checksums") {
-    val frames = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs), frameBytes = 4)
+  test("nearest-neighbor resample matches an independent per-pixel model") {
+    val w = 19; val h = 7; val rw = 45; val rh = 13
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * 17 + 5) % 256).toByte)
+    val got = Multimodal.resampleNearest(rgb, w, h, rw, rh)
+    for (y <- 0 until rh; x <- 0 until rw; c <- 0 until 3) {
+      val sx = x * w / rw
+      val sy = y * h / rh
+      assert(got((y * rw + x) * 3 + c) == rgb((sy * w + sx) * 3 + c),
+        s"pixel ($x,$y) channel $c")
+    }
+    // the registered query's resized_checksum covers this raster
+    val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val f0 = feats(0L) // 11x1 scales by 256/11 -> 256x23
+    val (rw0, rh0) = Multimodal.resizeDims(11, 1)
+    assert((f0.resized_width, f0.resized_height) == (rw0, rh0))
+    val ab = "abc".getBytes("UTF-8").map(_ & 0xff)
+    val src = Array.tabulate(11 * 1 * 3)(j => ab(j % 3))
+    val model = (for (y <- 0 until rh0.toInt; x <- 0 until rw0.toInt; c <- 0 until 3)
+      yield src(((y * 1 / rh0.toInt) * 11 + x * 11 / rw0.toInt) * 3 + c).toLong).sum
+    assert(f0.resized_checksum == model)
+  }
+
+  test("frame sampling parses the GVF1 container with per-frame checksums") {
+    val frames = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs))
       .collect().sortBy(f => (f.doc_id, f.frame_idx))
-    // only video rows (doc 2, 9 payload bytes -> 3 frames of 4/4/1 bytes)
     assert(frames.forall(_.doc_id == 2L))
-    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
-    assert(frames.map(_.offset_bytes).toSeq == Seq(0L, 4L, 8L))
-    val bytes = "日本語".getBytes("UTF-8").map(_ & 0xff)
-    assert(frames(0).frame_checksum == bytes.slice(0, 4).sum % 997)
-    assert(frames(2).frame_checksum == bytes.slice(8, 9).sum % 997)
+    val jp = "日本語".getBytes("UTF-8").map(_ & 0xff)
+    val fb = 3 * 17 * 19
+    assert(frames.map(_.frame_idx).toSeq == (0L until 5L))
+    assert(frames.map(_.offset_bytes).toSeq == (0 until 5).map(f => 16L + f.toLong * fb))
+    for (f <- 0 until 5)
+      assert(frames(f).frame_checksum == cyc(jp, (f + 1) * fb) - cyc(jp, f * fb),
+        s"frame $f")
   }
 }
