@@ -430,14 +430,26 @@ object Dedup {
     * least one pair; unpaired documents are their own singleton clusters by
     * definition and are left to the caller (they need no join to decide). */
   def resolveClusters(pairs: DataFrame, maxRounds: Int = 25,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      jumpsPerRound: Int = 2): DataFrame = {
     val spark = pairs.sparkSession
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None =>
-        df => df.localCheckpoint(eager = true)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // The checkpointed frame is rebuilt from its RDD (two narrow conversion
+    // maps over the small label relation) to DROP the inherited
+    // `originStats`: Catalyst's size-only estimator gives a join the
+    // PRODUCT of its children's sizeInBytes, and Dataset.checkpoint carries
+    // that BigInt forward — so the pointer-jump SELF-join would SQUARE
+    // sizeInBytes every round. Squaring doubles the BigInt's digit count
+    // per round, and by round ~20 the driver spends tens of seconds per
+    // round inside BigInteger.multiply (Karatsuba/ToomCook) during
+    // planning. Diagnosed via jstack on a minimal repro: an iterated
+    // checkpointed self-join blows up (118 s/iter by iter 25) while the
+    // stripped version stays flat. Fresh LogicalRDDs reset to the default
+    // size estimate, which AQE replaces with real runtime sizes anyway.
+    val ckpt: DataFrame => DataFrame = { df0 =>
+      val ck = if (checkpointDir.isDefined) df0.checkpoint(eager = true)
+               else df0.localCheckpoint(eager = true)
+      spark.createDataFrame(ck.rdd, ck.schema)
     }
     // both edge directions from ONE scan of the (possibly expensive) pair
     // relation — a union of two projections would evaluate it twice, since
@@ -455,35 +467,56 @@ object Dedup {
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")))
         .head().getDecimal(0)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
+      val tProp0 = System.nanoTime()
       val prop = ckpt(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id")))
+      val tProp = (System.nanoTime() - tProp0) / 1000000L
       // pointer jump: follow the label one hop (label(label(u))). Labels
       // only decrease and label(v) <= v, so the jumped label never needs a
       // `least` with the old one; left join + coalesce keeps roots (their
       // label is themselves) intact. `prop` is checkpointed first — Spark
       // shares no subplans, so an unmaterialized self-join would run the
       // propagation twice.
-      val next = ckpt(prop
-        .join(prop.select(col("doc_id").as("cluster_id"),
-          col("cluster_id").as("jumped")), Seq("cluster_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("jumped"), col("cluster_id")).as("cluster_id")))
+      val tJump0 = System.nanoTime()
+      // each jump squares the compressed pointer reach; a couple of these
+      // cheap |V|-row self-joins per round cuts the round count (and with
+      // it the number of expensive edge-list shuffles) on components whose
+      // min-id sits far from most members
+      var next = prop
+      var j = 0
+      while (j < math.max(1, jumpsPerRound)) {
+        next = ckpt(next
+          .join(next.select(col("doc_id").as("cluster_id"),
+            col("cluster_id").as("jumped")), Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("jumped"), col("cluster_id")).as("cluster_id")))
+        j += 1
+      }
+      val tJump = (System.nanoTime() - tJump0) / 1000000L
+      val tSum0 = System.nanoTime()
       val nextSum = labelSum(next)
+      val tSum = (System.nanoTime() - tSum0) / 1000000L
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
+      // rounds-to-converge is THE health metric of this operator at scale
+      // (a growing round count means the input stopped being near-clique)
+      log.info("resolveClusters round {} took {} ms (prop={} jump={} sum={} converged={})",
+        round, (System.nanoTime() - roundT0) / 1000000L, tProp, tJump, tSum, converged)
     }
     edges.unpersist()
     // no silent caps: returning part-propagated labels would ship wrong
