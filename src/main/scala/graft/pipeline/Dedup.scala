@@ -454,11 +454,7 @@ object Dedup {
     // both edge directions from ONE scan of the (possibly expensive) pair
     // relation — a union of two projections would evaluate it twice, since
     // Spark shares no subplans across DataFrame branches
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("u"), col("doc_b").as("v")),
-        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edges0(pairs).persist()
     var labels = ckpt(edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")))
     // exact scalar convergence check; coalesce: an empty pair relation must
@@ -518,15 +514,123 @@ object Dedup {
       log.info("resolveClusters round {} took {} ms (prop={} jump={} sum={} converged={})",
         round, (System.nanoTime() - roundT0) / 1000000L, tProp, tJump, tSum, converged)
     }
+    val result =
+      if (converged) labels
+      else {
+        // High-diameter fallback: min-label propagation is diameter-bound
+        // when node ids are scattered (pointer jumping only doubles reach
+        // when pointer targets are nearer the minimum — true for ordered-id
+        // chains, false for e.g. stride-shifted ids). Rather than throwing,
+        // contract the QUOTIENT graph — edges mapped through the
+        // part-propagated labels, self-loops dropped — with alternating
+        // large-star/small-star (O(log² n) rounds regardless of diameter or
+        // id layout), then compose the two labelings. The quotient is
+        // small: only the unconverged structure survives the mapping.
+        log.info("resolveClusters falling back to star contraction after {} rounds", round)
+        val quotient = edges
+          .join(labels.withColumnRenamed("doc_id", "u")
+            .withColumnRenamed("cluster_id", "lu"), "u")
+          .join(labels.withColumnRenamed("doc_id", "v")
+            .withColumnRenamed("cluster_id", "lv"), "v")
+          .select(col("lu").as("doc_a"), col("lv").as("doc_b"))
+          .where(col("doc_a") =!= col("doc_b"))
+          .distinct()
+        val l2 = starContract(ckpt(quotient), ckpt)
+        // materialized (via ckpt) BEFORE edges.unpersist below
+        ckpt(labels
+          .join(l2.select(col("doc_id").as("cluster_id"),
+            col("cluster_id").as("root")), Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("cluster_id")).as("cluster_id")))
+      }
     edges.unpersist()
-    // no silent caps: returning part-propagated labels would ship wrong
-    // clusters. With pointer jumping this bound means diameter > ~2^maxRounds
-    // — practically unreachable; kept as a loud invariant, not a live path.
-    if (!converged)
+    result
+  }
+
+  /** Bidirectional edge view of a (doc_a, doc_b) pair relation from ONE
+    * scan (Spark shares no subplans across branches). */
+  private def edges0(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log² n) rounds on ANY graph shape —
+    * the guarantee min-label propagation lacks for high-diameter
+    * components with scattered ids. Each round is two grouped passes over
+    * a (shrinking) edge list:
+    *   large-star: every node links its strictly-larger neighbors to the
+    *   minimum of its closed neighborhood;
+    *   small-star: every node links its not-larger neighbors (and itself)
+    *   to that minimum.
+    * Termination is EXACT set equality of the canonical edge relation
+    * (anti-join emptiness, not a hash probe — a hash-sum collision would
+    * silently ship wrong clusters). Returns (doc_id, cluster_id = component
+    * minimum) for every node appearing in `pairs`.
+    *
+    * Used as the [[resolveClusters]] fallback; also correct standalone
+    * (PropertySpec cross-checks it against union-find on random graphs). */
+  def starContract(pairs: DataFrame, ckpt: DataFrame => DataFrame,
+                   maxRounds: Int = 40): DataFrame = {
+    // canonical undirected storage: (a < b), distinct
+    def canon(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+    def bidirect(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+    // large-star: per node u, m = min(N(u) ∪ {u}); emit (v, m) for v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = bidirect(e)
+      val m = b.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      canon(b.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: per node u over neighbors v <= u, m = min(N ∪ {u});
+    // emit (v, m) for every such v != m plus (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient each canonical edge large -> small: node b sees neighbor a
+      val m = e.groupBy(col("b").as("n")).agg(min(col("a")).as("m"))
+      val linkSmall = e.join(m, e("b") === m("n"))
+        .select(col("a").as("u"), col("m").as("v"))
+      val linkSelf = m.select(col("n").as("u"), col("m").as("v"))
+      canon(linkSmall.union(linkSelf))
+    }
+    var e = ckpt(canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      // the large-star intermediate is checkpointed too: small-star
+      // references its input three times, and Spark shares no subplans
+      val next = ckpt(smallStar(ckpt(largeStar(e))))
+      // exact fixpoint: same canonical edge set (both are distinct sets,
+      // so equal counts + empty one-sided difference suffice)
+      stable = next.count() == e.count() &&
+        next.exceptAll(e).isEmpty
+      e = next
+      round += 1
+    }
+    if (!stable)
       throw new IllegalStateException(
-        s"resolveClusters did not converge within maxRounds=$maxRounds " +
-          "(component pointer depth exceeds the round budget); raise maxRounds")
-    labels
+        s"starContract did not reach a star fixpoint in $maxRounds rounds")
+    // terminal stars: every node's label = min of its closed neighborhood;
+    // nodes that contracted out of the edge set are roots of nothing —
+    // they appear on the left of some surviving edge or not at all, so
+    // recover labels for ALL original nodes via left join + self default
+    val b = bidirect(e)
+    val starLabels = b.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), col("doc_id")).as("cluster_id"))
+    pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars

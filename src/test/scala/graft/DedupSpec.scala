@@ -147,12 +147,50 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("cluster resolution fails loudly when the round budget is exceeded") {
-    // diameter-9 chain cannot converge in 2 rounds; silent part-propagated
-    // labels would ship wrong clusters
+  test("round-budget exhaustion falls back to star contraction, not wrong labels") {
+    // diameter-9 chain cannot converge by propagation in 2 rounds; instead
+    // of throwing (r4) or shipping part-propagated labels (never), the
+    // large-star/small-star fallback resolves the quotient graph exactly
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
-      Dedup.resolveClusters(chain, maxRounds = 2).collect()
+    val got = Dedup.resolveClusters(chain, maxRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 9L).toSet && got.values.forall(_ == 0L))
+  }
+
+  test("shuffled-id high-diameter chain resolves via the fallback") {
+    // scattered ids defeat pointer jumping (reach doubles only when pointer
+    // targets are nearer the minimum), so this diameter-100 chain exhausts
+    // the propagation budget — the star-contraction fallback must close it
+    val ids = new scala.util.Random(42).shuffle((0L until 101L).toVector)
+    val edges = (0 until 100).map(i => (ids(i), ids(i + 1)))
+    val got = Dedup.resolveClusters(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L until 101L).toSet)
+    assert(got.values.forall(_ == 0L), s"bad labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("star contraction alone matches union-find on random graphs") {
+    // maxRounds=0 skips propagation entirely: the fallback handles the full
+    // graph, cross-checked against an independent union-find model
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(90)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(find).values
+        .flatMap(ms => { val m = ms.min; ms.map(_ -> m) }).toMap
+      val got = Dedup.resolveClusters(edges.toDF("doc_a", "doc_b"), maxRounds = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
     }
   }
 
