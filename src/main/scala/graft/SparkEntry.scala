@@ -1407,6 +1407,86 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** IVF with Lloyd-refined centroids (2 exact-arithmetic k-means
+    * iterations over the stride init: double-cosine assignment with
+    * low-index tie-break, per-component floor-div integer-micros means).
+    * Every step is a deterministic function of the data, so the oracle
+    * re-derives the full train-then-search pipeline — both k-means
+    * iterations unrolled as CTEs — and any drift in assignment, mean
+    * arithmetic, empty-cluster handling, probing, or ranking fails the
+    * hash. */
+  private def annIvfKmeansTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0,
+        refineIters = 2)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  /** One unrolled Lloyd iteration: assign every vector to its max-cosine
+    * centroid (ties to the lower centroid id), then per-component
+    * floor-div mean in micros; empty clusters keep the previous centroid;
+    * zero-norm means are replaced at the END (matching the Scala fallback
+    * to the stride init, applied once after all iterations). */
+  private def duckLloyd(inCents: String, out: String): String =
+    s"""ac_$out AS (SELECT v.vec_id, v.xs, c.centroid_id,
+       |         ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM en3 v, $inCents c
+       |       WHERE c.norm2 > 0),
+       |asg_$out AS (SELECT vec_id, xs, centroid_id FROM (
+       |         SELECT vec_id, xs, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM ac_$out) WHERE rn = 1),
+       |comp_$out AS (SELECT centroid_id, i,
+       |           CAST(SUM(xs[i]) // COUNT(*) AS BIGINT) AS m
+       |         FROM asg_$out, range(1, 65) t(i)
+       |         GROUP BY centroid_id, i),
+       |newc_$out AS (SELECT centroid_id, list(m ORDER BY i) AS xs
+       |         FROM comp_$out GROUP BY centroid_id),
+       |$out AS (SELECT c.centroid_id,
+       |           COALESCE(n.xs, c.xs) AS xs,
+       |           CAST(list_sum(list_transform(range(1, 65),
+       |             i -> COALESCE(n.xs, c.xs)[i] * COALESCE(n.xs, c.xs)[i])) AS BIGINT) AS norm2
+       |         FROM $inCents c LEFT JOIN newc_$out n USING (centroid_id))""".stripMargin
+
+  private val annIvfKmeansTopkSql =
+    s"""WITH $DuckPrepared,
+       |en3 AS (SELECT vec_id, xs, norm2,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |cents0 AS (SELECT (idx // stride) AS centroid_id, xs, norm2
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |${duckLloyd("cents0", "cents1")},
+       |${duckLloyd("cents1", "cents2")},
+       |cents AS (SELECT c.centroid_id,
+       |          CASE WHEN c.norm2 > 0 THEN c.xs ELSE c0.xs END AS xs,
+       |          CASE WHEN c.norm2 > 0 THEN c.norm2 ELSE c0.norm2 END AS norm2
+       |        FROM cents2 c JOIN cents0 c0 USING (centroid_id)),
+       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM en3 v, cents c),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |         SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM ac) WHERE rn = 1),
+       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
+       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |qc AS (SELECT q.query_id, c.centroid_id, ${duckCos("q.xs", "q.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM q, cents c),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT query_id, centroid_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM qc) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
+       |       FROM probes p
+       |       JOIN q qv ON qv.query_id = p.query_id
+       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |       FROM scored)
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Banded-SRP near-dup. Hyperplanes are md5-derived literals and the
     * accept rule is exact integer arithmetic, so the oracle reproduces
     * band bucketing and verification exactly; recall additionally asserted
@@ -1688,6 +1768,7 @@ object SparkEntry {
     "embedding_clusters" -> (embeddingClusters _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _)
   )
@@ -1746,6 +1827,7 @@ object SparkEntry {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql
   )

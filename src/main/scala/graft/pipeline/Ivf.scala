@@ -47,6 +47,75 @@ object Ivf {
       .sortBy(_.vec_id)
   }
 
+  /** Lloyd-refined coarse centroids: start from the deterministic stride
+    * selection, then run `iters` k-means iterations with EXACT arithmetic —
+    * assignment by the same double-cosine rule as [[assigned]] (IEEE-
+    * identical across engines, ties to the lower index), update by
+    * per-component `Math.floorDiv` of the integer-micros sums (floor, not
+    * truncation, so DuckDB's `//` reproduces it for negative components).
+    * Stride init quality depends on data order; a couple of Lloyd rounds
+    * adapts the buckets to the actual distribution, which is what makes
+    * nprobe recall hold on clustered corpora.
+    *
+    * Scale shape: each iteration is ONE mapPartitions pass over the corpus
+    * emitting at most `nCentroids` partial (sum, count) rows per partition
+    * (map-side combine); the driver merges `nCentroids x partitions` tiny
+    * partials — no shuffle, nothing corpus-sized ever leaves the executors.
+    * Empty clusters keep their previous centroid. */
+  def refinedCentroids(embs: DataFrame, nCentroids: Int,
+                       iters: Int): Array[PreparedVec] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val init = centroids(embs, nCentroids)
+    var cents = init
+    if (iters <= 0) return cents
+    val prep = Similarity.prepared(embs).as[PreparedVec]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = prep.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).xs.length
+        val sums = Array.fill(cs.length)(new Array[Long](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { v =>
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = cos(dot(v.xs, cs(i).xs), v.norm2, cs(i).norm2)
+            if (c > bestCos) { bestCos = c; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var j = 0
+          val s = sums(best)
+          while (j < dim && j < v.xs.length) { s(j) += v.xs(j); j += 1 }
+        }
+        cs.indices.iterator.filter(counts(_) > 0)
+          .map(i => (i, sums(i), counts(i)))
+      }.collect()
+      val merged = partials.groupBy(_._1).map { case (ci, ps) =>
+        val dim = ps(0)._2.length
+        val sum = new Array[Long](dim)
+        var cnt = 0L
+        ps.foreach { case (_, s, c) =>
+          cnt += c
+          var j = 0
+          while (j < dim) { sum(j) += s(j); j += 1 }
+        }
+        val xs = sum.map(Math.floorDiv(_, cnt))
+        ci -> PreparedVec(ci.toLong, xs, dot(xs, xs))
+      }
+      cents = cents.indices.map { i =>
+        merged.getOrElse(i,
+          PreparedVec(i.toLong, cents(i).xs, cents(i).norm2)) // empty cluster
+      }.toArray
+    }
+    // refined centroids with zero norm (all-zero mean) would make cosine
+    // undefined; fall back to the stride centroid for such a bucket
+    cents.zip(init).map { case (c, c0) => if (c.norm2 > 0) c else c0 }
+  }
+
   /** Vectors tagged with their nearest centroid (max cosine). */
   def assigned(embs: DataFrame, cents: Array[PreparedVec]): DataFrame = {
     val spark = embs.sparkSession
@@ -73,10 +142,11 @@ object Ivf {
     * fast instead of OOM-ing the driver mid-collect. */
   def searchTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
                  nCentroids: Int = 16, nprobe: Int = 4,
-                 maxQueryRows: Long = 100000L): DataFrame = {
+                 maxQueryRows: Long = 100000L,
+                 refineIters: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val cents = centroids(embs, nCentroids)
+    val cents = refinedCentroids(embs, nCentroids, refineIters)
     val inv = assigned(embs, cents)
     val querySet = Similarity.prepared(embs).where(queryPred)
     val nQueries = querySet.count()

@@ -94,6 +94,35 @@ class SimilaritySpec extends AnyFunSuite {
       nCentroids = 16, nprobe = 6)))
   }
 
+  test("k-means-refined IVF matches brute recall and actually moves centroids") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.bruteTopK(real, pred, k = 5))
+    val strideIvf = asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
+      nCentroids = 16, nprobe = 6))
+    val kmeansIvf = asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
+      nCentroids = 16, nprobe = 6, refineIters = 2))
+    val strideRecall = (exact & strideIvf).size.toDouble / exact.size
+    val kmeansRecall = (exact & kmeansIvf).size.toDouble / exact.size
+    assert(kmeansRecall >= 0.5, s"kmeans recall=$kmeansRecall")
+    // Lloyd rounds adapt buckets to the distribution — allow noise but the
+    // refinement must not collapse recall below the naive init
+    assert(kmeansRecall >= strideRecall - 0.1,
+      s"kmeans=$kmeansRecall stride=$strideRecall")
+    // the refinement must actually move centroids off the stride init
+    val init = graft.pipeline.Ivf.centroids(real, 16)
+    val refined = graft.pipeline.Ivf.refinedCentroids(real, 16, iters = 2)
+    assert(refined.zip(init).exists { case (r, i) => !r.xs.sameElements(i.xs) })
+    // determinism: same call, same centroids and same results
+    val again = graft.pipeline.Ivf.refinedCentroids(real, 16, iters = 2)
+    assert(refined.zip(again).forall { case (a, b) =>
+      a.xs.sameElements(b.xs) && a.norm2 == b.norm2 })
+    assert(kmeansIvf == asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
+      nCentroids = 16, nprobe = 6, refineIters = 2)))
+  }
+
   test("lshNearDup counts dropped buckets in the accumulator") {
     // maxBucket=1 drops every shared bucket whole: the result silently
     // shrinks to 0 pairs, but the accumulator now names the cause
