@@ -1647,9 +1647,12 @@ object SparkEntry {
 
   private val multimodalFeaturesSql =
     s"""WITH bytes AS (
-       |  SELECT doc_id, length(text) AS n,
-       |    list_transform(range(1, length(text) + 1),
-       |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs
+       |  -- empty text is padded to one 0 byte, mirroring mediaTable's
+       |  -- `if (raw.isEmpty) Array[Byte](0)` branch
+       |  SELECT doc_id, GREATEST(1, length(text)) AS n,
+       |    CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+       |         ELSE list_transform(range(1, length(text) + 1),
+       |           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END AS bs
        |  FROM documents),
        |geom AS (
        |  SELECT doc_id, n, bs, list_sum(bs) AS s,
@@ -1694,9 +1697,11 @@ object SparkEntry {
 
   private val multimodalFramesSql =
     s"""WITH bytes AS (
-       |  SELECT doc_id, length(text) AS n,
-       |    list_transform(range(1, length(text) + 1),
-       |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bs
+       |  -- same empty-text padding branch as multimodal_features
+       |  SELECT doc_id, GREATEST(1, length(text)) AS n,
+       |    CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+       |         ELSE list_transform(range(1, length(text) + 1),
+       |           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END AS bs
        |  FROM documents WHERE doc_id % 3 = 2),
        |vids AS (
        |  SELECT doc_id, n, bs, list_sum(bs) AS s,

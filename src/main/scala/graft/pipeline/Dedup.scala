@@ -426,6 +426,21 @@ object Dedup {
     * HDFS/object-store path on a real cluster) switches to fault-tolerant
     * `checkpoint()`, the right mode for long fleet-scale runs.
     *
+    * Reliable-mode retention: snapshots are written under a unique
+    * `graft-cc-<uuid>` subdirectory of `checkpointDir`, each round's file
+    * is DELETED as soon as the relation that replaces it has materialized
+    * (Spark itself only cleans checkpoints with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and then only
+    * at GC time), and the session's previously-configured checkpoint dir is
+    * restored on exit — so a 20-round job holds at most ~3 snapshots of the
+    * small label relation at any instant instead of 20+, and unrelated
+    * checkpoints in the same session are unaffected. The one file backing
+    * the RETURNED relation is kept; callers may remove the run
+    * subdirectory once they are done with the result. A job that dies
+    * mid-run leaves its run subdirectory behind (crash-time cleanup cannot
+    * be both safe and automatic) — the uuid namespacing makes those safe
+    * to sweep by age.
+    *
     * Returns (doc_id, cluster_id) for every document that appears in at
     * least one pair; unpaired documents are their own singleton clusters by
     * definition and are left to the caller (they need no join to decide). */
@@ -433,7 +448,27 @@ object Dedup {
                       checkpointDir: Option[String] = None,
                       jumpsPerRound: Int = 2): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    val runDir = checkpointDir.map(base =>
+      s"$base/graft-cc-${java.util.UUID.randomUUID()}")
+    runDir.foreach(sc.setCheckpointDir)
+    try {
+      resolveClustersImpl(pairs, maxRounds, checkpointDir.isDefined,
+        jumpsPerRound)
+    } finally {
+      // leave the session's checkpoint configuration the way we found it
+      // (setCheckpointDir mutates SparkContext-global state); if none was
+      // set before, ours stays but points at a uuid-fresh subdir that this
+      // run has already emptied of everything but the result's file
+      if (runDir.isDefined) prevCkptDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  private def resolveClustersImpl(pairs: DataFrame, maxRounds: Int,
+                                  reliable: Boolean,
+                                  jumpsPerRound: Int): DataFrame = {
+    val spark = pairs.sparkSession
     // The checkpointed frame is rebuilt from its RDD (two narrow conversion
     // maps over the small label relation) to DROP the inherited
     // `originStats`: Catalyst's size-only estimator gives a join the
@@ -446,10 +481,32 @@ object Dedup {
     // checkpointed self-join blows up (118 s/iter by iter 25) while the
     // stripped version stays flat. Fresh LogicalRDDs reset to the default
     // size estimate, which AQE replaces with real runtime sizes anyway.
+    // reliable mode tracks each materialized relation's backing checkpoint
+    // file (found by walking the short post-checkpoint lineage) so retired
+    // rounds can be deleted eagerly instead of accumulating one snapshot
+    // per round for the life of the session
+    val ckptFiles = new java.util.IdentityHashMap[DataFrame, String]()
+    def backingFile(rdd: org.apache.spark.rdd.RDD[_], depth: Int): Option[String] =
+      if (depth > 8) None
+      else rdd.getCheckpointFile.orElse(
+        rdd.dependencies.view.flatMap(d => backingFile(d.rdd, depth + 1)).headOption)
     val ckpt: DataFrame => DataFrame = { df0 =>
-      val ck = if (checkpointDir.isDefined) df0.checkpoint(eager = true)
+      val ck = if (reliable) df0.checkpoint(eager = true)
                else df0.localCheckpoint(eager = true)
-      spark.createDataFrame(ck.rdd, ck.schema)
+      val rdd = ck.rdd
+      val out = spark.createDataFrame(rdd, ck.schema)
+      if (reliable) backingFile(rdd, 0).foreach(p => ckptFiles.put(out, p))
+      out
+    }
+    // delete a retired relation's checkpoint file NOW — only ever called
+    // once everything derived from `df` has itself been materialized
+    val retire: DataFrame => Unit = { df =>
+      val p = ckptFiles.remove(df)
+      if (p != null) {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
     }
     // both edge directions from ONE scan of the (possibly expensive) pair
     // relation — a union of two projections would evaluate it twice, since
@@ -479,6 +536,8 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id")))
+      // round k-1's snapshot is dead once `prop` is materialized
+      retire(labels)
       val tProp = (System.nanoTime() - tProp0) / 1000000L
       // pointer jump: follow the label one hop (label(label(u))). Labels
       // only decrease and label(v) <= v, so the jumped label never needs a
@@ -494,11 +553,13 @@ object Dedup {
       var next = prop
       var j = 0
       while (j < math.max(1, jumpsPerRound)) {
-        next = ckpt(next
+        val jumped = ckpt(next
           .join(next.select(col("doc_id").as("cluster_id"),
             col("cluster_id").as("jumped")), Seq("cluster_id"), "left")
           .select(col("doc_id"),
             coalesce(col("jumped"), col("cluster_id")).as("cluster_id")))
+        retire(next)
+        next = jumped
         j += 1
       }
       val tJump = (System.nanoTime() - tJump0) / 1000000L
@@ -527,21 +588,27 @@ object Dedup {
         // id layout), then compose the two labelings. The quotient is
         // small: only the unconverged structure survives the mapping.
         log.info("resolveClusters falling back to star contraction after {} rounds", round)
-        val quotient = edges
+        val quotient = ckpt(edges
           .join(labels.withColumnRenamed("doc_id", "u")
             .withColumnRenamed("cluster_id", "lu"), "u")
           .join(labels.withColumnRenamed("doc_id", "v")
             .withColumnRenamed("cluster_id", "lv"), "v")
           .select(col("lu").as("doc_a"), col("lv").as("doc_b"))
           .where(col("doc_a") =!= col("doc_b"))
-          .distinct()
-        val l2 = starContract(ckpt(quotient), ckpt)
+          .distinct())
+        val l2 = starContract(quotient, ckpt, retire = retire)
+        // starContract materializes its result, so the quotient edges are
+        // already dead here; labels and l2 die once the composition lands
+        retire(quotient)
         // materialized (via ckpt) BEFORE edges.unpersist below
-        ckpt(labels
+        val composed = ckpt(labels
           .join(l2.select(col("doc_id").as("cluster_id"),
             col("cluster_id").as("root")), Seq("cluster_id"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("cluster_id")).as("cluster_id")))
+        retire(l2)
+        retire(labels)
+        composed
       }
     edges.unpersist()
     result
@@ -571,9 +638,16 @@ object Dedup {
     * minimum) for every node appearing in `pairs`.
     *
     * Used as the [[resolveClusters]] fallback; also correct standalone
-    * (PropertySpec cross-checks it against union-find on random graphs). */
+    * (PropertySpec cross-checks it against union-find on random graphs).
+    *
+    * The result is materialized through `ckpt` before returning (so it no
+    * longer references `pairs` or any internal round), and every
+    * superseded internal round is handed to `retire` as soon as its
+    * replacement lands — in resolveClusters' reliable mode that deletes
+    * the round's checkpoint file immediately. */
   def starContract(pairs: DataFrame, ckpt: DataFrame => DataFrame,
-                   maxRounds: Int = 40): DataFrame = {
+                   maxRounds: Int = 40,
+                   retire: DataFrame => Unit = _ => ()): DataFrame = {
     // canonical undirected storage: (a < b), distinct
     def canon(df: DataFrame): DataFrame =
       df.where(col("u") =!= col("v"))
@@ -608,11 +682,14 @@ object Dedup {
     while (!stable && round < maxRounds) {
       // the large-star intermediate is checkpointed too: small-star
       // references its input three times, and Spark shares no subplans
-      val next = ckpt(smallStar(ckpt(largeStar(e))))
+      val ls = ckpt(largeStar(e))
+      val next = ckpt(smallStar(ls))
+      retire(ls)
       // exact fixpoint: same canonical edge set (both are distinct sets,
       // so equal counts + empty one-sided difference suffice)
       stable = next.count() == e.count() &&
         next.exceptAll(e).isEmpty
+      retire(e)
       e = next
       round += 1
     }
@@ -626,11 +703,14 @@ object Dedup {
     val b = bidirect(e)
     val starLabels = b.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), col("doc_id")).as("cluster_id"))
-    pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-      .join(starLabels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val out = ckpt(
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .join(starLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    retire(e)
+    out
   }
 
   /** Top 60 bits of md5 — bit-identical to `hash60` (first 15 hex chars

@@ -231,23 +231,32 @@ object Similarity {
     * via flatMapGroups, so join fan-out is bounded by bucket size at any
     * corpus size.
     *
-    * Every dropped bucket is counted in a named `LongAccumulator`
-    * (`graft.lshNearDup.dropped_buckets`, visible in the Spark UI; pass
-    * `droppedBuckets` to read it programmatically, as SimilaritySpec does).
-    * The cap is deterministic and oracle-mirrored, but was previously
-    * *invisible at runtime* — a degenerate hyperplane family collapsing
-    * everything into a few giant (dropped) buckets produced a silent
-    * 0-pair result. Accumulator counts can over-report under task retries
-    * or speculation; they are observability, not a correctness output. */
+    * Every dropped bucket is counted in named `LongAccumulator`s
+    * (`graft.lshNearDup.dropped_buckets` / `.dropped_docs`, visible in the
+    * Spark UI; pass `droppedBuckets` / `droppedDocs` to read them
+    * programmatically, as SimilaritySpec does) — the same two-metric shape
+    * as the Dedup capBuckets sites, so a few huge dropped buckets and many
+    * tiny ones are distinguishable here too. The doc count is the *capped*
+    * size (at most maxBucket+1 per bucket): the iterator is never drained
+    * past the cap, so the true size of a giant bucket is deliberately not
+    * measured. The cap is deterministic and oracle-mirrored, but was
+    * previously *invisible at runtime* — a degenerate hyperplane family
+    * collapsing everything into a few giant (dropped) buckets produced a
+    * silent 0-pair result. Accumulator counts can over-report under task
+    * retries or speculation; they are observability, not a correctness
+    * output. */
   def lshNearDup(embs: DataFrame, dim: Int, tauPct: Int = 95,
                  bands: Int = 8, planesPerBand: Int = 0,
                  maxBucket: Int = 64,
-                 droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+                 droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None,
+                 droppedDocs: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val dropAcc = droppedBuckets.getOrElse(
       spark.sparkContext.longAccumulator("graft.lshNearDup.dropped_buckets"))
+    val docAcc = droppedDocs.getOrElse(
+      spark.sparkContext.longAccumulator("graft.lshNearDup.dropped_docs"))
     val prep = prepared(embs)
     // sizing only needs the order of magnitude: the RAW count (a
     // metadata-only count-star on parquet sources) avoids running the
@@ -272,7 +281,9 @@ object Similarity {
         // consume at most maxBucket+1 rows: oversized buckets cost O(cap),
         // not O(bucket), and are dropped deterministically
         val rows = it.take(maxBucket + 1).toArray
-        if (rows.length > maxBucket) { dropAcc.add(1L); Iterator.empty }
+        if (rows.length > maxBucket) {
+          dropAcc.add(1L); docAcc.add(rows.length.toLong); Iterator.empty
+        }
         else {
           val sorted = rows.sortBy(_._3)
           for {

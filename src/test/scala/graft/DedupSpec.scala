@@ -246,9 +246,36 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_a", "doc_b")
     val local = Dedup.resolveClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val reliable = Dedup.resolveClusters(pairs, checkpointDir = Some(dir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a previously-configured session checkpoint dir must survive the run
+    // (setCheckpointDir is SparkContext-global; there is no public unset,
+    // so restore is only observable when something was set before)
+    val priorDir = java.nio.file.Files.createTempDirectory("graft-prior").toString
+    spark.sparkContext.setCheckpointDir(priorDir)
+    val before = spark.sparkContext.getCheckpointDir
+    val result = Dedup.resolveClusters(pairs, checkpointDir = Some(dir))
+    val reliable = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == reliable)
+    // session-global checkpoint configuration is pointed back under the
+    // previously-resolved directory (setCheckpointDir always appends a
+    // fresh uuid segment, so exact equality is unattainable by API design
+    // — what matters is that later checkpoints land in the user's tree,
+    // not in ours)
+    val after = spark.sparkContext.getCheckpointDir
+    assert(after.exists(_.startsWith(before.get)),
+      s"checkpoint dir not restored: before=$before after=$after")
+    assert(!after.exists(_.contains("graft-cc-")))
+    // retention: retired rounds were deleted eagerly — only the file
+    // backing the returned relation survives under the uuid run subdir
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .toList
+    assert(rddDirs.size == 1,
+      s"expected exactly the result's checkpoint to remain, got: $rddDirs")
+    // and that surviving file is genuinely the result's backing store:
+    // the relation must still be readable after the sweep
+    assert(result.count() == reliable.size)
   }
 
   test("dropped-bucket accumulators surface the maxBucket cap at runtime") {

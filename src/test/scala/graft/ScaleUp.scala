@@ -92,8 +92,19 @@ object ScaleUp {
     write("lineitem", amplified(Tables.lineitem(spark, src))(
       Map("l_orderkey" -> shifted(K), "l_partkey" -> shifted(K),
         "l_suppkey" -> shifted(K))), files = 16)
+    // events.user_id uses its own small stride so per-user fan-out grows
+    // with copy count the way a larger real corpus's would — but the
+    // per-copy user populations are only disjoint (the header's "join
+    // fan-out per key exactly preserved" claim) while the source user
+    // domain fits under the stride. Enforce it instead of assuming it.
+    val userStride = 1000L
+    val maxUser = Tables.events(spark, src)
+      .agg(max(col("user_id").cast("long"))).head().getLong(0)
+    require(maxUser < userStride,
+      s"source max user_id $maxUser >= user stride $userStride: copies " +
+        "would collide and silently merge distinct users across copies")
     write("events", amplified(Tables.events(spark, src))(
-      Map("event_id" -> shifted(K), "user_id" -> shifted(1000L))), files = 16)
+      Map("event_id" -> shifted(K), "user_id" -> shifted(userStride))), files = 16)
     write("documents", amplified(Tables.documents(spark, src))(
       Map("doc_id" -> shifted(K), "text" -> (t => textVariant(t)))), files = 16)
 

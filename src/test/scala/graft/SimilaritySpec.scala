@@ -123,19 +123,24 @@ class SimilaritySpec extends AnyFunSuite {
       nCentroids = 16, nprobe = 6, refineIters = 2)))
   }
 
-  test("lshNearDup counts dropped buckets in the accumulator") {
+  test("lshNearDup counts dropped buckets AND docs in the accumulators") {
     // maxBucket=1 drops every shared bucket whole: the result silently
-    // shrinks to 0 pairs, but the accumulator now names the cause
+    // shrinks to 0 pairs, but the accumulators now name the cause — and
+    // the docs metric distinguishes a few big buckets from many small ones
     val acc = spark.sparkContext.longAccumulator("test.dropped_buckets")
+    val docs = spark.sparkContext.longAccumulator("test.dropped_docs")
     val pairs = Similarity.lshNearDup(embs, dim = dim, tauPct = 95,
-      maxBucket = 1, droppedBuckets = Some(acc)).collect()
+      maxBucket = 1, droppedBuckets = Some(acc), droppedDocs = Some(docs)).collect()
     assert(pairs.isEmpty)
     assert(acc.value > 0L, "cap fired but the metric stayed silent")
-    // healthy run on the same corpus: nothing dropped
+    // each dropped bucket contributed its capped size (maxBucket+1 = 2)
+    assert(docs.value == 2L * acc.value)
+    // healthy run on the same corpus: nothing dropped on either metric
     val acc2 = spark.sparkContext.longAccumulator("test.dropped_buckets2")
+    val docs2 = spark.sparkContext.longAccumulator("test.dropped_docs2")
     Similarity.lshNearDup(embs, dim = dim, tauPct = 95,
-      droppedBuckets = Some(acc2)).collect()
-    assert(acc2.value == 0L)
+      droppedBuckets = Some(acc2), droppedDocs = Some(docs2)).collect()
+    assert(acc2.value == 0L && docs2.value == 0L)
   }
 
   test("zero vectors are excluded from similarity") {
