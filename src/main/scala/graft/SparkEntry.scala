@@ -1716,6 +1716,170 @@ object SparkEntry {
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
   // ===================================================================
+  // Corpus curation: PII, quality rules, boilerplate blocks, packing,
+  // incremental dedup
+  // ===================================================================
+
+  /** The driver corpus is synthetic word soup with no real PII, so the
+    * scan would gate nothing; this fixture deterministically plants
+    * emails/phones/SSNs/IPs from doc_id arithmetic (same spirit as
+    * MetaFixtures: both engines re-derive the identical augmented text,
+    * so detection AND redaction are oracle-checked on non-trivial
+    * inputs). */
+  private def piiAugmented(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def pad(x: Column, n: Int) = lpad(x.cast("string"), n, "0")
+    Tables.documents(s, dir).withColumn("text", concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com soon"))).otherwise(lit("")),
+      when(id % 5 === 1, concat(lit(" call +1-"), pad((id * 7) % 1000, 3),
+        lit("-"), pad((id * 13) % 1000, 3), lit("-"),
+        pad((id * 17) % 10000, 4))).otherwise(lit("")),
+      when(id % 11 === 3, concat(lit(" ssn "), pad((id * 19) % 1000, 3),
+        lit("-"), pad((id * 23) % 100, 2), lit("-"),
+        pad((id * 29) % 10000, 4))).otherwise(lit("")),
+      when(id % 7 === 2, concat(lit(" host 10."), (id % 250).cast("string"),
+        lit("."), ((id * 3) % 250).cast("string"),
+        lit("."), ((id * 11) % 250).cast("string"))).otherwise(lit(""))))
+  }
+
+  // single physical line per concatenation leg: this fragment is
+  // interpolated into another stripMargin block, and a leading `||` after
+  // the margin would get its first pipe eaten by the second strip
+  private val piiAugmentedSqlText =
+    "text" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com soon' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 1 THEN ' call +1-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 3 THEN ' ssn ' || lpad(CAST((doc_id * 19) % 1000 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST((doc_id * 23) % 100 AS VARCHAR), 2, '0')" +
+      " || '-' || lpad(CAST((doc_id * 29) % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 2 THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR)" +
+      " || '.' || CAST((doc_id * 3) % 250 AS VARCHAR)" +
+      " || '.' || CAST((doc_id * 11) % 250 AS VARCHAR) ELSE '' END"
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.piiScan(piiAugmented(s, dir))
+      .select("doc_id", "n_email", "n_phone", "n_ssn", "n_ip", "n_pii",
+        "redacted")
+      .orderBy("doc_id")
+
+  private val piiRedactSql = {
+    val rules = pipeline.Curation.DefaultPiiRules
+    val counts = rules.map(r =>
+      s"len(regexp_extract_all(text, '${r.regex}')) AS n_${r.name}").mkString(",\n |  ")
+    val redacted = rules.foldLeft("text") { (acc, r) =>
+      s"regexp_replace($acc, '${r.regex}', '${r.replacement}', 'g')"
+    }
+    s"""WITH aug AS (SELECT doc_id, $piiAugmentedSqlText AS text FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  ${rules.map(r => s"len(regexp_extract_all(text, '${r.regex}'))").mkString(" + ")} AS n_pii,
+       |  $redacted AS redacted
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  private def qQualityRules(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.qualityRules(Tables.documents(s, dir))
+      .select("doc_id", "n_tokens", "token_chars", "n_numerals", "stop_hits",
+        "mean_len_micros", "keep", "reasons")
+      .orderBy("doc_id")
+
+  private val qQualityRulesSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    // rule list sorted by name — the same stable order the Scala side uses
+    val fails = Seq(
+      "mean_word_long" -> "mean_len_micros > 12000000",
+      "mean_word_short" -> "n_tokens >= 5 AND mean_len_micros < 2000000",
+      "no_stopwords" -> "stop_hits < 1",
+      "numeral_heavy" -> "n_numerals * 100 > n_tokens * 30",
+      "too_few_tokens" -> "n_tokens < 5",
+      "too_many_tokens" -> "n_tokens > 100000")
+    val reasonList = fails.map { case (n, c) =>
+      s"CASE WHEN $c THEN '$n' END" }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_chars,
+       |  len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_numerals,
+       |  len(list_filter(toks, x -> list_contains($stop, x))) AS stop_hits
+       |  FROM t),
+       |m AS (SELECT *, CASE WHEN n_tokens > 0
+       |    THEN token_chars * 1000000 // n_tokens ELSE 0 END AS mean_len_micros
+       |  FROM s)
+       |SELECT doc_id, n_tokens, token_chars, n_numerals, stop_hits,
+       |  CAST(mean_len_micros AS BIGINT) AS mean_len_micros,
+       |  NOT (${fails.map(_._2).map(c => s"($c)").mkString(" OR ")}) AS keep,
+       |  COALESCE(array_to_string(list_filter($reasonList, x -> x IS NOT NULL), ','), '') AS reasons
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def dedupBlocks(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.dropDuplicateBlocks(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val dedupBlocksSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |nb AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS n_blocks FROM t),
+       |ex AS (SELECT doc_id, toks, unnest(range(n_blocks)) AS pos FROM nb
+       |       WHERE len(toks) > 0),
+       |blk AS (SELECT doc_id, pos,
+       |  array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS blk FROM ex),
+       |hb AS (SELECT doc_id, pos, blk, ${DuckHash60.format("blk")} AS h FROM blk),
+       |dup AS (SELECT h FROM hb GROUP BY h HAVING COUNT(DISTINCT doc_id) > 2),
+       |kept AS (SELECT hb.* FROM hb ANTI JOIN dup ON hb.h = dup.h),
+       |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |  string_agg(blk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+       |SELECT nb.doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+       |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(n_blocks - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(clean_text, '') AS clean_text
+       |FROM nb LEFT JOIN reb ON nb.doc_id = reb.doc_id
+       |ORDER BY nb.doc_id""".stripMargin
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.packSequences(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val qPackSequencesSql =
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+       |  len($DuckToks) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum FROM t)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq,
+       |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Ledger = fingerprints of doc_id % 10 < 3 (the "previously ingested"
+    * snapshot); batch = the rest, deduped against ledger then within
+    * itself. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ledger = docs.where(col("doc_id") % 10 < 3)
+      .select(pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    pipeline.Dedup.incremental(docs.where(col("doc_id") % 10 >= 3), ledger)
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH led AS (SELECT DISTINCT $DuckFp AS fingerprint FROM documents
+       |  WHERE doc_id % 10 < 3),
+       |b AS (SELECT doc_id, $DuckFp AS fingerprint FROM documents
+       |  WHERE doc_id % 10 >= 3),
+       |w AS (SELECT doc_id, fingerprint,
+       |  MIN(doc_id) OVER (PARTITION BY fingerprint) AS first_in FROM b)
+       |SELECT w.doc_id, w.fingerprint,
+       |  CASE WHEN led.fingerprint IS NOT NULL THEN 'ledger_dup'
+       |       WHEN w.doc_id <> w.first_in THEN 'batch_dup'
+       |       ELSE 'admitted' END AS verdict
+       |FROM w LEFT JOIN led ON w.fingerprint = led.fingerprint
+       |ORDER BY doc_id""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -1775,7 +1939,12 @@ object SparkEntry {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _)
+    "multimodal_frames" -> (multimodalFrames _),
+    "pii_redact" -> (piiRedact _),
+    "q_quality_rules" -> (qQualityRules _),
+    "dedup_blocks" -> (dedupBlocks _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1834,6 +2003,11 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_frames" -> multimodalFramesSql
+    "multimodal_frames" -> multimodalFramesSql,
+    "pii_redact" -> piiRedactSql,
+    "q_quality_rules" -> qQualityRulesSql,
+    "dedup_blocks" -> dedupBlocksSql,
+    "q_pack_sequences" -> qPackSequencesSql,
+    "dedup_incremental" -> dedupIncrementalSql
   )
 }

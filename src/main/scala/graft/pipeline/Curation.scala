@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: PII
+  * scrubbing, rule-based quality filtering (the Gopher/C4 shape),
+  * duplicate-block (boilerplate) removal, and token-budget sequence
+  * packing.
+  *
+  * Everything is declarative DataFrame code over codegen'd built-ins —
+  * regexp/array/higher-order functions and window aggregates; the only
+  * shuffles are the ones the semantics require (a global block-frequency
+  * count, a per-bucket packing window), and each is on a key that
+  * hash-distributes evenly at any corpus size. Every expression has an
+  * exact DuckDB spelling (integer-only outputs, RE2-compatible regexes),
+  * so the whole file is oracle-checkable bit-for-bit.
+  */
+object Curation {
+
+  // =================================================================
+  // PII detection + redaction
+  // =================================================================
+
+  /** One scrubbing rule: a detection regex and its redaction token. The
+    * regexes are deliberately RE2-safe (no backreferences/lookaround) so
+    * the same pattern string runs in Spark (Java regex), DuckDB (RE2),
+    * and the usual scan-at-ingest tools. */
+  final case class PiiRule(name: String, regex: String, replacement: String)
+
+  /** The standard scrubbing set, most-specific first: the email rule must
+    * run before the bare-IP rule (an address's host part could otherwise
+    * be half-eaten), and the phone rule before SSN (both are dash-joined
+    * digit runs; the `+1-` prefix disambiguates, but only while intact). */
+  val DefaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiRule("phone", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    PiiRule("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    PiiRule("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Per-document PII scan + redaction: one `n_<rule>` count column per
+    * rule (counted on the ORIGINAL text, so rule order cannot hide a
+    * hit), a total, and the text with every match replaced by the rule's
+    * placeholder, applied in rule order. A narrow projection — each rule
+    * is one codegen'd regexp pass; no shuffle, scales linearly. */
+  def piiScan(docs: DataFrame, rules: Seq[PiiRule] = DefaultPiiRules): DataFrame = {
+    val counts = rules.map(r =>
+      size(regexp_extract_all(col("text"), lit(r.regex), lit(0)))
+        .cast("long").as(s"n_${r.name}"))
+    val redacted = rules.foldLeft(col("text")) { (acc, r) =>
+      regexp_replace(acc, lit(r.regex), lit(r.replacement))
+    }
+    docs.select(
+      (col("doc_id") +: counts :+ redacted.as("redacted")): _*)
+      .withColumn("n_pii",
+        rules.map(r => col(s"n_${r.name}")).reduce(_ + _))
+  }
+
+  // =================================================================
+  // Rule-based quality filtering (Gopher/C4-style)
+  // =================================================================
+
+  /** Per-document quality verdict from the classic heuristic rule set
+    * (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1;
+    * Raffel et al., C4, 2020): token-count bounds, mean-word-length
+    * bounds, numeral-token share, and stopword presence. Emits the exact
+    * integer signals each rule reads, the boolean verdict, and a stable
+    * comma-joined reason string (alphabetical, so it hash-compares across
+    * engines). Pure narrow projection; the tokenizer runs once (same
+    * two-project shape as [[TextAnalysis.textStats]]). */
+  def qualityRules(docs: DataFrame,
+                   minTokens: Int = 5, maxTokens: Int = 100000,
+                   minMeanLenMicros: Long = 2000000L,
+                   maxMeanLenMicros: Long = 12000000L,
+                   maxNumeralPct: Int = 30,
+                   minStopHits: Int = 1): DataFrame = {
+    val stats = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("token_chars"),
+        size(filter(col("toks"), t => t.rlike("^[0-9]+$")))
+          .cast("long").as("n_numerals"),
+        TextAnalysis.stopwordCount(col("toks"), TextAnalysis.EnStop)
+          .cast("long").as("stop_hits"))
+      .withColumn("mean_len_micros",
+        when(col("n_tokens") > 0,
+          expr("token_chars * 1000000 div n_tokens")).otherwise(lit(0L)))
+    val fails = Seq(
+      "too_few_tokens" -> (col("n_tokens") < minTokens),
+      "too_many_tokens" -> (col("n_tokens") > maxTokens),
+      "mean_word_short" -> (col("n_tokens") >= minTokens &&
+        col("mean_len_micros") < minMeanLenMicros),
+      "mean_word_long" -> (col("mean_len_micros") > maxMeanLenMicros),
+      "numeral_heavy" -> (col("n_numerals") * 100 > col("n_tokens") * maxNumeralPct),
+      "no_stopwords" -> (col("stop_hits") < minStopHits))
+    // reasons sorted by rule name for a stable cross-engine string
+    val reason = array_join(
+      filter(array(fails.sortBy(_._1).map { case (n, c) =>
+        when(c, lit(n)).otherwise(lit(null).cast("string"))
+      }: _*), x => x.isNotNull), ",")
+    stats
+      .withColumn("keep", !fails.map(_._2).reduce(_ || _))
+      .withColumn("reasons", reason)
+  }
+
+  // =================================================================
+  // Duplicate-block (boilerplate) removal
+  // =================================================================
+
+  /** Remove duplicated fixed-width token blocks from every document — the
+    * paragraph/boilerplate dedup pass (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022, applies it at the
+    * substring level; Dolma/CCNet at the paragraph level; the driver
+    * corpus has no line structure, so the unit here is a `w`-token block,
+    * stride `w`, trailing partial block included).
+    *
+    * A block whose text occurs in more than `maxDf` DISTINCT documents is
+    * boilerplate: every occurrence is dropped (not keep-first — the
+    * shared block adds no information to any document; exact whole-doc
+    * dedup is [[Dedup.exact]]'s job). Documents are rebuilt from their
+    * surviving blocks in order.
+    *
+    * Scale shape: block df is one hash-shuffled count on the 60-bit block
+    * hash, the verdict joins back on that same key (co-partitioned — AQE
+    * reuses the exchange), and reassembly is a per-doc sort_array over at
+    * most tokens/w entries. Blocks enter both shuffles as BIGINT hashes,
+    * not strings; the oracle hashes identically, so even a md5 collision
+    * (~2^-60) agrees across engines. */
+  def dropDuplicateBlocks(docs: DataFrame, w: Int = 10,
+                          maxDf: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // `div`, not `/`: Column./ is DOUBLE division. Token-less docs are
+    // excluded BEFORE sequence(): sequence(0, -1) does not return empty —
+    // it infers step -1 and yields [0, -1].
+    val nBlocks = expr(s"(size(toks) + ${w - 1}) div $w")
+    val blocks = toks
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), nBlocks - 1),
+          b => array_join(slice(col("toks"), (b * w + 1).cast("int"), lit(w)), " "))
+        ).as(Seq("pos", "blk")))
+    // 60-bit hash of the block string — same primitive loop as the
+    // shingle path, so the shuffles below move BIGINTs
+    val hashed = blocks.as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, pos, blk) => (id, pos, blk, Dedup.md5Top60(md, blk)) }
+      }.toDF("doc_id", "pos", "blk", "h")
+      .persist() // feeds the df count AND the verdict join; no subplan sharing
+    val dupes = hashed.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDf)
+    val kept = hashed.join(dupes.select("h"), Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+          x => x("blk")), " ").as("clean_text"))
+    // left join keeps fully-boilerplate (and empty) documents in the
+    // output with an empty rebuilt text
+    val out = toks
+      .select(col("doc_id"), nBlocks.cast("long").as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    hashed.unpersist(blocking = false)
+    out
+  }
+
+  // =================================================================
+  // Token-budget sequence packing
+  // =================================================================
+
+  /** Assign every document to a training sequence of `budget` tokens:
+    * documents are streamed in doc_id order within a bucket, the running
+    * token total places each document, and a document belongs to the
+    * sequence where it STARTS (`seq = (cumsum - n_tokens) div budget`) —
+    * the contiguous-concatenation packing an LLM data loader performs,
+    * where a document may straddle a sequence boundary. Exactly
+    * window-expressible, hence one shuffle and cross-engine exact —
+    * unlike first-fit bin packing, which is inherently sequential per
+    * bin set and engine-dependent in tie order.
+    *
+    * `buckets` bounds the sequential extent: each bucket is an
+    * independent packing stream, so parallelism = buckets regardless of
+    * corpus size. At fleet scale pass buckets ~ O(cores in the cluster);
+    * each stream's window is a single sort-merge pass. */
+  def packSequences(docs: DataFrame, budget: Long = 256L,
+                    buckets: Int = 8): DataFrame = {
+    val win = Window.partitionBy("bucket").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(win))
+      // `div`/`%`, not `/`: Column./ is DOUBLE division
+      .withColumn("seq", expr(s"(cum_tokens - n_tokens) div $budget"))
+      .withColumn("seq_offset", expr(s"(cum_tokens - n_tokens) % $budget"))
+      .select("doc_id", "bucket", "n_tokens", "seq", "seq_offset")
+  }
+}

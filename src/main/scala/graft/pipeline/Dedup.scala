@@ -167,6 +167,32 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min("doc_id").over(w))
   }
 
+  /** Incremental (snapshot) dedup: admit each batch document unless its
+    * normalized fingerprint already exists in the `ledger` (the fingerprint
+    * set of everything previously ingested) or earlier in the batch itself.
+    * This is the streaming-corpus shape — a crawl refresh deduped against
+    * the standing corpus without re-clustering it — and the batch twin of
+    * [[graft.streaming.StreamingDedup]]'s keyed state.
+    *
+    * Every batch row comes back with a verdict: `admitted`, `ledger_dup`,
+    * or `batch_dup` (first-in-batch wins by min doc_id, matching
+    * [[exact]]). Scale shape: one window over the batch's fingerprints
+    * plus one left join against the ledger, both hash-partitioned on the
+    * fingerprint — the ledger is the 100 TB side and never moves more
+    * than once; nothing is collected or broadcast. */
+  def incremental(batch: DataFrame, ledger: DataFrame): DataFrame = {
+    val fp = batch.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val w = Window.partitionBy("fingerprint")
+    fp.withColumn("first_in_batch", min("doc_id").over(w))
+      .join(ledger.select(col("fingerprint"), lit(true).as("in_ledger"))
+        .distinct(), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("in_ledger"), "ledger_dup")
+          .when(col("doc_id") =!= col("first_in_batch"), "batch_dup")
+          .otherwise("admitted").as("verdict"))
+  }
+
   /** N-gram Jaccard near-dup pairs. Candidates = documents sharing a *rare*
     * shingle (appearing in at most `maxDf` docs) — the bucket-join guard
     * that keeps fan-out bounded at scale. Pairs with

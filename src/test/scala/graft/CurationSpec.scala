@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Curation, Dedup}
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // PII scan + redaction
+  // ---------------------------------------------------------------
+
+  test("piiScan counts and redacts each rule, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "reach me at alice.b+spam@sub.example.org or bob@x.co thanks"),
+      (2L, "call +1-415-555-0199 about ssn 123-45-6789 from 192.168.0.1"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Curation.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Long]("n_email") == 2)
+    assert(out(1L).getAs[Long]("n_pii") == 2)
+    assert(out(1L).getAs[String]("redacted") ==
+      "reach me at <EMAIL> or <EMAIL> thanks")
+
+    assert(out(2L).getAs[Long]("n_phone") == 1)
+    assert(out(2L).getAs[Long]("n_ssn") == 1)
+    assert(out(2L).getAs[Long]("n_ip") == 1)
+    assert(out(2L).getAs[String]("redacted") ==
+      "call <PHONE> about ssn <SSN> from <IP>")
+
+    assert(out(3L).getAs[Long]("n_pii") == 0)
+    assert(out(3L).getAs[String]("redacted") == "nothing sensitive here at all")
+    assert(out(4L).getAs[String]("redacted") == "")
+  }
+
+  test("phone and SSN shapes do not cross-match (3-3-4 vs 3-2-4)") {
+    val docs = Seq((1L, "+1-415-555-0199"), (2L, "123-45-6789")).toDF("doc_id", "text")
+    val out = Curation.piiScan(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_phone") == 1 && out(1L).getAs[Long]("n_ssn") == 0)
+    assert(out(2L).getAs[Long]("n_ssn") == 1 && out(2L).getAs[Long]("n_phone") == 0)
+  }
+
+  // ---------------------------------------------------------------
+  // Quality rules
+  // ---------------------------------------------------------------
+
+  test("qualityRules flags each rule with sorted reasons; healthy doc keeps") {
+    val docs = Seq(
+      // healthy: enough tokens, normal word length, has stopwords
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // too few tokens AND no stopwords
+      (2L, "word"),
+      // numeral-heavy (all digits) and no stopwords
+      (3L, "1 2 3 4 5 6 7 8 9 10"),
+      // mean word length absurdly long
+      (4L, "the pneumonoultramicroscopicsilicovolcanoconiosis supercalifragilisticexpialidocious honorificabilitudinitatibus antidisestablishmentarianism floccinaucinihilipilification")
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityRules(docs).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[String]("reasons") == "")
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("reasons") == "no_stopwords,too_few_tokens")
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[String]("reasons").contains("numeral_heavy"))
+    assert(!out(4L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[String]("reasons").contains("mean_word_long"))
+  }
+
+  // ---------------------------------------------------------------
+  // Duplicate-block removal
+  // ---------------------------------------------------------------
+
+  test("dropDuplicateBlocks removes blocks shared by >maxDf docs, keeps the rest") {
+    // a 10-token boilerplate block planted in docs 1..4 (> maxDf=2),
+    // each doc also has 10 unique tokens
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq(1)}"),
+      (2L, s"$boiler ${uniq(2)}"),
+      (3L, s"$boiler ${uniq(3)}"),
+      (4L, s"$boiler ${uniq(4)}"),
+      (5L, uniq(5)),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Curation.dropDuplicateBlocks(docs, w = 10, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    (1L to 4L).foreach { d =>
+      assert(out(d).getAs[Long]("n_blocks") == 2)
+      assert(out(d).getAs[Long]("n_removed") == 1)
+      assert(out(d).getAs[String]("clean_text") == uniq(d.toInt))
+    }
+    assert(out(5L).getAs[Long]("n_removed") == 0)
+    assert(out(5L).getAs[String]("clean_text") == uniq(5))
+    // empty doc: zero blocks, present in output
+    assert(out(6L).getAs[Long]("n_blocks") == 0)
+    assert(out(6L).getAs[String]("clean_text") == "")
+  }
+
+  test("a fully-boilerplate doc rebuilds to empty, order is preserved") {
+    val blockA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, blockA), (2L, blockA), (3L, blockA),
+      // doc 4: unique, boiler, unique — middle block removed, order kept
+      (4L, s"$blockB $blockA ${(1 to 10).map(i => s"c$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val out = Curation.dropDuplicateBlocks(docs, w = 10, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "")
+    assert(out(4L).getAs[String]("clean_text") ==
+      s"$blockB ${(1 to 10).map(i => s"c$i").mkString(" ")}")
+  }
+
+  // ---------------------------------------------------------------
+  // Sequence packing
+  // ---------------------------------------------------------------
+
+  test("packSequences matches the sequential cumulative model per bucket") {
+    val docs = (0L until 40L).map { i =>
+      // token counts 1..13 in a deterministic pattern
+      (i, (0 until (1 + (i % 13)).toInt).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 16L
+    val out = Curation.packSequences(docs, budget = budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    // independent driver-side model
+    val byBucket = (0L until 40L).groupBy(_ % 4)
+    val expected = byBucket.flatMap { case (b, ids) =>
+      var cum = 0L
+      ids.sorted.map { id =>
+        val n = 1 + (id % 13)
+        val start = cum
+        cum += n
+        (id, b, n, start / budget, start % budget)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    // a document that straddles a boundary belongs to the seq it starts in
+    val straddler = out.find(r => r._5 + r._3 > budget)
+    assert(straddler.isDefined, "fixture should contain a straddling doc")
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental dedup
+  // ---------------------------------------------------------------
+
+  test("incremental dedup: ledger dup, batch dup, admitted") {
+    val ledger = Seq("known doc one", "known doc two").toDF("text")
+      .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (10L, "known doc one"),        // in ledger
+      (11L, "KNOWN   DOC one"),      // normalizes to the same -> ledger dup
+      (12L, "fresh content a"),      // admitted
+      (13L, "fresh content a"),      // dup of 12 within batch
+      (14L, "fresh content b")).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, ledger).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) == "ledger_dup")
+    assert(out(11L) == "ledger_dup")
+    assert(out(12L) == "admitted")
+    assert(out(13L) == "batch_dup")
+    assert(out(14L) == "admitted")
+  }
+
+  test("incremental dedup admits everything against an empty ledger") {
+    val ledger = spark.emptyDataset[String].toDF("text")
+      .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq((1L, "a doc"), (2L, "b doc")).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, ledger).collect()
+    assert(out.forall(_.getString(2) == "admitted"))
+  }
+}
