@@ -1865,6 +1865,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Same inputs and oracle as [[dedupIncremental]]; the bloom prune is an
+    * exactness-preserving plan change (no false negatives; false positives
+    * are re-checked by the verdict join), so both variants gate against the
+    * identical DuckDB statement. */
+  private def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ledger = docs.where(col("doc_id") % 10 < 3)
+      .select(pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    pipeline.Dedup.incrementalBloom(docs.where(col("doc_id") % 10 >= 3), ledger)
+      .orderBy("doc_id")
+  }
+
   private val dedupIncrementalSql =
     s"""WITH led AS (SELECT DISTINCT $DuckFp AS fingerprint FROM documents
        |  WHERE doc_id % 10 < 3),
@@ -1944,7 +1956,8 @@ object SparkEntry {
     "q_quality_rules" -> (qQualityRules _),
     "dedup_blocks" -> (dedupBlocks _),
     "q_pack_sequences" -> (qPackSequences _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2008,6 +2021,7 @@ object SparkEntry {
     "q_quality_rules" -> qQualityRulesSql,
     "dedup_blocks" -> dedupBlocksSql,
     "q_pack_sequences" -> qPackSequencesSql,
-    "dedup_incremental" -> dedupIncrementalSql
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_bloom" -> dedupIncrementalSql
   )
 }

@@ -22,5 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[LongTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => LongTopK(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[LongBloomAgg].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        LongBloomAgg(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
   }
 }

@@ -180,9 +180,52 @@ object Dedup {
     * plus one left join against the ledger, both hash-partitioned on the
     * fingerprint — the ledger is the 100 TB side and never moves more
     * than once; nothing is collected or broadcast. */
-  def incremental(batch: DataFrame, ledger: DataFrame): DataFrame = {
-    val fp = batch.select(col("doc_id"),
+  def incremental(batch: DataFrame, ledger: DataFrame): DataFrame =
+    incrementalVerdicts(batchFingerprints(batch), ledger)
+
+  /** Bloom-pruned incremental dedup — bit-identical output to
+    * [[incremental]], built for the asymmetric production shape: a crawl
+    * batch of millions against a standing ledger of 100 TB. [[incremental]]
+    * hash-joins the FULL ledger fingerprint set against the batch — at
+    * fleet scale that shuffles (the distinct of) the ledger to compare
+    * against a relation five orders of magnitude smaller.
+    *
+    * This variant sketches the SMALL side instead: a native
+    * `graft_bloom_agg` ([[graft.functions.LongBloomAgg]]) over the batch's
+    * fingerprint hashes collapses map-side to one `numBits/8`-byte blob on
+    * the driver (bounded by construction, not by data — the one acceptable
+    * collect shape), which then rides into the ledger scan as a literal so
+    * `graft_might_contain` prunes ledger rows INSIDE the scan's codegen
+    * span, before any exchange. Only possible matches — true overlaps plus
+    * the filter's false positives — reach the verdict join, and since the
+    * join re-checks exact fingerprints, false positives cost a few spurious
+    * join rows, never a wrong verdict. No false negatives exist, so every
+    * real ledger duplicate still arrives. Default 4 Mi bits / 5 hashes ≈
+    * 0.9% false positives at 500k batch keys; size `numBits` ~8-10 bits per
+    * batch key. */
+  def incrementalBloom(batch: DataFrame, ledger: DataFrame,
+                       numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    require(spark.catalog.functionExists("graft_bloom_agg"),
+      "graft_bloom_agg not registered — set spark.sql.extensions=" +
+        "graft.functions.GraftExtensions, or use Dedup.incremental")
+    // fp feeds both the sketch job and the verdict join; persist so the
+    // fingerprint pass over the batch runs once (caller owns the cache —
+    // clearCache between pipeline stages, as Bench does per query)
+    val fp = batchFingerprints(batch).persist()
+    val blob = fp.agg(call_function("graft_bloom_agg",
+        hash60(col("fingerprint")), lit(numBits), lit(numHashes)).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = ledger.where(call_function("graft_might_contain",
+      lit(blob), hash60(col("fingerprint"))))
+    incrementalVerdicts(fp, pruned)
+  }
+
+  private def batchFingerprints(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  private def incrementalVerdicts(fp: DataFrame, ledger: DataFrame): DataFrame = {
     val w = Window.partitionBy("fingerprint")
     fp.withColumn("first_in_batch", min("doc_id").over(w))
       .join(ledger.select(col("fingerprint"), lit(true).as("in_ledger"))

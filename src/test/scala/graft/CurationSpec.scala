@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{call_function, col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{Curation, Dedup}
@@ -178,5 +178,58 @@ class CurationSpec extends AnyFunSuite {
     val batch = Seq((1L, "a doc"), (2L, "b doc")).toDF("doc_id", "text")
     val out = Dedup.incremental(batch, ledger).collect()
     assert(out.forall(_.getString(2) == "admitted"))
+  }
+
+  test("bloom-pruned incremental dedup is bit-identical to the join form") {
+    // 400 batch docs, every third fingerprint also in a 300-row ledger,
+    // plus intra-batch dups — exercises all three verdicts through the
+    // pruned path
+    val batch = spark.range(0, 400)
+      .selectExpr("id AS doc_id", "concat('doc ', CAST(id % 250 AS STRING)) AS text")
+    val ledger = spark.range(0, 300)
+      .selectExpr("concat('doc ', CAST(id * 3 AS STRING)) AS text")
+      .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2))
+    val plain = Dedup.incremental(batch, ledger).collect().map(key).toSet
+    val bloom = Dedup.incrementalBloom(batch, ledger).collect().map(key).toSet
+    assert(bloom == plain)
+    spark.catalog.clearCache()
+  }
+
+  test("bloom-pruned incremental dedup stays exact even when the filter saturates") {
+    // 64-bit filter over 200 keys: nearly every probe is a false positive —
+    // the verdict join must absorb them all without changing any verdict
+    val batch = spark.range(0, 200)
+      .selectExpr("id AS doc_id", "concat('s', CAST(id AS STRING)) AS text")
+    val ledger = spark.range(100, 300)
+      .selectExpr("concat('s', CAST(id AS STRING)) AS text")
+      .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val plain = Dedup.incremental(batch, ledger).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val bloom = Dedup.incrementalBloom(batch, ledger, numBits = 64, numHashes = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bloom == plain)
+    assert(plain.count(_._2 == "ledger_dup") == 100)
+    spark.catalog.clearCache()
+  }
+
+  test("bloom prune actually removes disjoint ledger rows before the join") {
+    val batch = spark.range(0, 100)
+      .selectExpr("id AS doc_id", "concat('b', CAST(id AS STRING)) AS text")
+    val ledgerTexts = spark.range(0, 5000)
+      .selectExpr("concat('L', CAST(id AS STRING)) AS text") // fully disjoint
+    val ledger = ledgerTexts
+      .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val blob = batch
+      .select(Dedup.hash60(
+        graft.pipeline.TextAnalysis.fingerprint(col("text"))).as("v"))
+      .agg(call_function("graft_bloom_agg", col("v"), lit(1 << 16), lit(5)))
+      .head().getAs[Array[Byte]](0)
+    val survivors = ledger.where(call_function("graft_might_contain",
+      lit(blob), Dedup.hash60(col("fingerprint")))).count()
+    // 5000 disjoint keys vs a 64 Ki-bit / 100-key filter: fp ~ 1e-10 of
+    // saturation; allow a broad margin, the point is orders of magnitude
+    assert(survivors < 50L, s"$survivors of 5000 disjoint ledger rows survived")
   }
 }

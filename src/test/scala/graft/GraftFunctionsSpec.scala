@@ -84,4 +84,78 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got(1L) == Seq(9L, 9L))
     assert(got(2L) == Seq(5L))
   }
+
+  // --- graft_bloom_agg / graft_might_contain ---
+
+  private def bloomOver(df: org.apache.spark.sql.DataFrame, bits: Int,
+                        hashes: Int): Array[Byte] =
+    df.agg(call_function("graft_bloom_agg", col("v"), lit(bits), lit(hashes)))
+      .head().getAs[Array[Byte]](0)
+
+  test("bloom: no false negatives over distributed random inserts") {
+    val df = spark.range(0, 20000)
+      .selectExpr("CAST(id * 2654435761 + 17 AS BIGINT) AS v")
+      .repartition(16)
+    val blob = bloomOver(df, 1 << 18, 5)
+    val misses = df.where(
+      !call_function("graft_might_contain", lit(blob), col("v"))).count()
+    assert(misses == 0L)
+  }
+
+  test("bloom: blob is a pure function of the value set (merge-order invariant)") {
+    val vals = spark.range(0, 5000).selectExpr("CAST(id * 97 AS BIGINT) AS v")
+    val a = bloomOver(vals.repartition(1), 1 << 14, 4)
+    val b = bloomOver(vals.repartition(32), 1 << 14, 4)
+    val c = bloomOver(vals.union(vals).repartition(7), 1 << 14, 4) // idempotent
+    assert(java.util.Arrays.equals(a, b))
+    assert(java.util.Arrays.equals(a, c))
+  }
+
+  test("bloom: false-positive rate is in the expected band, not saturated") {
+    // 20k keys into 2^18 bits / 5 hashes -> theoretical fp ~ 0.04%; assert
+    // the orders of magnitude: far below 5%, and > 0 probes pass so the
+    // filter is not degenerate-empty either way
+    val members = spark.range(0, 20000).selectExpr("CAST(id * 31 + 5 AS BIGINT) AS v")
+    val blob = bloomOver(members, 1 << 18, 5)
+    val nonMembers = spark.range(0, 20000)
+      .selectExpr("CAST(-(id * 131 + 7) AS BIGINT) AS v")
+    val fp = nonMembers.where(
+      call_function("graft_might_contain", lit(blob), col("v"))).count()
+    assert(fp < 1000L, s"false-positive count $fp out of 20000 is saturated")
+  }
+
+  test("graft_might_contain participates in whole-stage codegen") {
+    val blob = bloomOver(
+      spark.range(0, 100).selectExpr("CAST(id AS BIGINT) AS v"), 1 << 10, 3)
+    val df = spark.range(0, 1000)
+      .where(call_function("graft_might_contain", lit(blob), col("id")))
+    val hasWsc = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    // all 100 members pass; any extras are false positives, never misses
+    assert(df.count() >= 100L)
+  }
+
+  test("bloom: null values are skipped on insert, null probe yields null") {
+    val blob = Seq(Some(1L), None, Some(2L)).toDF("v")
+      .agg(call_function("graft_bloom_agg", col("v"), lit(1 << 10), lit(3)))
+      .head().getAs[Array[Byte]](0)
+    assert(graft.functions.LongBloom.contains(blob, 1L) &&
+      graft.functions.LongBloom.contains(blob, 2L))
+    val r = Seq(Option.empty[Long]).toDF("v")
+      .select(call_function("graft_might_contain", lit(blob), col("v"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("bloom: invalid sizes are rejected at analysis time") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("id AS v")
+        .agg(call_function("graft_bloom_agg", col("v"), lit(0), lit(3))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("id AS v")
+        .agg(call_function("graft_bloom_agg", col("v"), lit(1 << 10), lit(0))).head()
+    }
+  }
 }
