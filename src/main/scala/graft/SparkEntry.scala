@@ -1891,6 +1891,30 @@ object SparkEntry {
        |FROM w LEFT JOIN led ON w.fingerprint = led.fingerprint
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained bigram LM scoring (see
+    * [[graft.pipeline.TextAnalysis.lmScore]]); exact integer micros, so the
+    * oracle re-derives the identical model and scores in DuckDB. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.lmScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val qLmScoreSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t
+       |        WHERE len(toks) >= 2)),
+       |h AS (SELECT doc_id, ${DuckHash60.format("bg")} AS hb,
+       |  ${DuckHash60.format("w1")} AS h1 FROM bg),
+       |m12 AS (SELECT hb, count(*) AS c12 FROM h GROUP BY hb),
+       |m1 AS (SELECT h1, count(*) AS c1 FROM h GROUP BY h1),
+       |sc AS (SELECT doc_id, 1000000 * c12 // c1 AS p
+       |  FROM h JOIN m12 USING (hb) JOIN m1 USING (h1)),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score_micros
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(agg.lm_score_micros, 0) AS lm_score_micros
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1957,7 +1981,8 @@ object SparkEntry {
     "dedup_blocks" -> (dedupBlocks _),
     "q_pack_sequences" -> (qPackSequences _),
     "dedup_incremental" -> (dedupIncremental _),
-    "dedup_incremental_bloom" -> (dedupIncrementalBloom _)
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
+    "q_lm_score" -> (qLmScore _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2022,6 +2047,7 @@ object SparkEntry {
     "dedup_blocks" -> dedupBlocksSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "dedup_incremental_bloom" -> dedupIncrementalSql
+    "dedup_incremental_bloom" -> dedupIncrementalSql,
+    "q_lm_score" -> qLmScoreSql
   )
 }

@@ -188,6 +188,53 @@ object TextAnalysis {
     * branches] -> groupBy(term) [df] -> broadcast N -> window top-k per
     * doc. The tf relation is the only fact-sized shuffle.
     */
+  /** Corpus-trained bigram language-model score — the perplexity-style
+    * quality signal (CCNet/Gopher lineage): documents whose word
+    * transitions are typical of the corpus score high, word-soup scores
+    * low. Train and score are one pipeline over the same relation:
+    *
+    *  1. occurrences: every adjacent token pair of every doc, with
+    *     multiplicity, built by zipping two shifted slices at argument
+    *     level (one narrow projection; see [[Dedup.shinglesFromTokens]]
+    *     for why the lambda must not re-reference the tokenizer);
+    *  2. model: `c12 = count(w1,w2)` and context totals `c1 = count(w1·)`
+    *     — two hash aggregates with map-side partials, both keyed on
+    *     60-bit BIGINT hashes so the shuffles move longs, not strings;
+    *  3. score: each occurrence's conditional probability in integer
+    *     micros `1e6*c12 div c1`, averaged per doc with integer division.
+    *
+    * Scale shape: the occurrence relation is fact-sized (≈ token count);
+    * everything downstream is keyed aggregation/join on BIGINT — no
+    * driver state, no broadcast of data-sized relations (the model is
+    * vocab²-bounded, usually ≪ corpus; AQE picks the join strategy).
+    * Exact integer arithmetic end-to-end, so the DuckDB oracle matches
+    * bit-for-bit. Docs with <2 tokens score (0, 0). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val pairs = zip_with(
+      slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
+    val occ = toks.where(n >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"),
+        Dedup.hash60(col("p.bg")).as("hb"),
+        Dedup.hash60(col("p.w1")).as("h1"))
+    val m12 = occ.groupBy("hb").agg(count(lit(1)).as("c12"))
+    val m1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val scored = occ.join(m12, "hb").join(m1, "h1")
+      .select(col("doc_id"), expr("1000000 * c12 div c1").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p) div count(1)").as("lm_score_micros"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_micros"), lit(0L)).as("lm_score_micros"))
+  }
+
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs

@@ -56,6 +56,58 @@ class TextAnalysisSpec extends AnyFunSuite {
       r.getAs[Long]("n_chars") * 1000000L / 11L)
   }
 
+  test("lmScore: hand-derived bigram model, short docs score zero") {
+    val df = docs(
+      (1L, "the cat sat", "en"),
+      (2L, "the cat ran", "en"),
+      (3L, "zz", "en"),      // 1 token -> no bigrams
+      (4L, "", "en"))        // empty
+    val got = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // model: c("the cat")=2 c("cat sat")=1 c("cat ran")=1; c1("the")=2 c1("cat")=2
+    // doc1: p = (1e6*2/2 + 1e6*1/2) / 2 = 750000; doc2 symmetric
+    assert(got(1L) == (2L, 750000L))
+    assert(got(2L) == (2L, 750000L))
+    assert(got(3L) == (0L, 0L))
+    assert(got(4L) == (0L, 0L))
+  }
+
+  test("lmScore: self-repetitive text maxes the conditional probability") {
+    val df = docs((1L, "a a a", "en"), (2L, "a b c", "en"))
+    val got = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // corpus model: c("a a")=2, c1("a")=3 (two from doc1, one from "a b")
+    // doc1: both bigrams p = 1e6*2 div 3 = 666666 -> score 666666
+    assert(got(1L) == 666666L)
+    // doc2: "a b" p=1e6*1 div 3=333333; "b c" p=1e6*1 div 1=1e6 -> (333333+1000000) div 2
+    assert(got(2L) == (333333L + 1000000L) / 2L)
+  }
+
+  test("lmScore agrees with an independently-computed model on random text") {
+    val words = Array("red", "blue", "fish", "dog", "run", "the")
+    val rows = (1L to 60L).map { i =>
+      val n = (i % 7).toInt + 1
+      val txt = (0 until n).map(j => words(((i * 31 + j * 17) % 6).toInt)).mkString(" ")
+      (i, txt, "en")
+    }
+    val df = docs(rows: _*)
+    // independent driver-side model over the same corpus
+    val toks = rows.map { case (id, t, _) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+    val bgs = toks.flatMap { case (id, ts) => ts.sliding(2).filter(_.size == 2)
+      .map(p => (id, p.head, p.mkString(" "))).toSeq }
+    val c12 = bgs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = toks.map { case (id, ts) =>
+      val ps = ts.sliding(2).filter(_.size == 2).toSeq
+        .map(p => 1000000L * c12(p.mkString(" ")) / c1(p.head))
+      id -> (ps.size.toLong, if (ps.isEmpty) 0L else ps.sum / ps.size)
+    }.toMap
+    val got = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("fingerprint is whitespace- and case-invariant") {
     val df = docs((1L, "Hello   World", "en"), (2L, "hello world", "en"),
       (3L, " HELLO\tWORLD ", "en"), (4L, "hello there", "en"))
