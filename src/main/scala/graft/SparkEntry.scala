@@ -1916,6 +1916,108 @@ object SparkEntry {
        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ===================================================================
+  // Product quantization
+  // ===================================================================
+
+  /** Shared PQ derivation: unit-normalized integer-micros vectors
+    * (floor(x*1e6/sqrt(norm2)) — IEEE-correctly-rounded on exact integer
+    * inputs, so both engines produce identical longs; on unit vectors
+    * squared L2 is monotone with cosine), stride codebooks (the ann_ivf
+    * rule), 8 subspaces of 8 components, exact integer squared-L2 per
+    * subspace, ties to the lower code. `best WHERE rn = 1` is the corpus
+    * encoding. */
+  private val DuckPqBase =
+    s"""un AS (SELECT vec_id, list_transform(range(1, len(xs) + 1),
+       |        i -> CAST(floor(CAST(xs[i] AS DOUBLE) * 1000000 /
+       |               sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS xs
+       |      FROM en2),
+       |en3 AS (SELECT vec_id, xs,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM un),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |cents AS (SELECT (idx // stride) AS cid, xs FROM en3, params
+       |          WHERE idx % stride = 0 AND idx // stride < 16),
+       |vs AS (SELECT vec_id, s, xs[s * 8 + 1 : s * 8 + 8] AS v
+       |       FROM en3, range(8) t(s)),
+       |cs AS (SELECT cid, s, xs[s * 8 + 1 : s * 8 + 8] AS c
+       |       FROM cents, range(8) t(s)),
+       |d AS (SELECT vec_id, vs.s, cid,
+       |        CAST(list_sum(list_transform(range(1, 9),
+       |          j -> (v[j] - c[j]) * (v[j] - c[j]))) AS BIGINT) AS dist
+       |      FROM vs JOIN cs ON vs.s = cs.s),
+       |best AS (SELECT vec_id, s, cid, dist,
+       |        row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+       |        FROM d)""".stripMargin
+
+  private def qPqEncode(s: SparkSession, dir: String): DataFrame =
+    pipeline.Pq.encoded(Tables.embeddings(s, dir), m = 8, k = 16)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("err"))
+      .orderBy("vec_id", "sub")
+
+  private val qPqEncodeSql =
+    s"""WITH $DuckPrepared,
+       |$DuckPqBase
+       |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       |       dist AS err
+       |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+
+  private def annPqTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Pq.adcTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  /** ADC scoring + ranking over the [[DuckPqBase]] encoding, shared by the
+    * pure-ADC and the rerank query. */
+  private val DuckAdcRanked =
+    s"""codes AS (SELECT vec_id, s, cid FROM best WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, xs FROM un WHERE vec_id % 50 = 0),
+       |qs AS (SELECT query_id, s, xs[s * 8 + 1 : s * 8 + 8] AS v
+       |       FROM q, range(8) t(s)),
+       |qd AS (SELECT query_id, qs.s, cid,
+       |        CAST(list_sum(list_transform(range(1, 9),
+       |          j -> (v[j] - c[j]) * (v[j] - c[j]))) AS BIGINT) AS dist
+       |      FROM qs JOIN cs ON qs.s = cs.s),
+       |ad AS (SELECT qd.query_id, c2.vec_id AS neighbor_id,
+       |        CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+       |       FROM codes c2 JOIN qd ON qd.s = c2.s AND qd.cid = c2.cid
+       |       WHERE c2.vec_id <> qd.query_id
+       |       GROUP BY qd.query_id, c2.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY adc_dist, neighbor_id) AS rk FROM ad)""".stripMargin
+
+  private val annPqTopkSql =
+    s"""WITH $DuckPrepared,
+       |$DuckPqBase,
+       |$DuckAdcRanked
+       |SELECT query_id, rk, neighbor_id, adc_dist
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** ADC shortlist (100) + exact integer-micros cosine rerank — the
+    * production PQ search; output shape matches ann_cosine_topk. */
+  private def annPqRerankTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Pq.adcRerankTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 50 === 0, k = 5, shortlist = 100)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  private val annPqRerankTopkSql =
+    s"""WITH $DuckPrepared,
+       |$DuckPqBase,
+       |$DuckAdcRanked,
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 100),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |        ${duckCos("qv.xs", "qv.norm2", "v.xs", "v.norm2")} AS cos
+       |       FROM cand c JOIN en2 qv ON qv.vec_id = c.query_id
+       |                   JOIN en2 v ON v.vec_id = c.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rk FROM ex)
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -1982,7 +2084,10 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
-    "q_lm_score" -> (qLmScore _)
+    "q_lm_score" -> (qLmScore _),
+    "q_pq_encode" -> (qPqEncode _),
+    "ann_pq_topk" -> (annPqTopk _),
+    "ann_pq_rerank_topk" -> (annPqRerankTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2048,6 +2153,9 @@ object SparkEntry {
     "q_pack_sequences" -> qPackSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
-    "q_lm_score" -> qLmScoreSql
+    "q_lm_score" -> qLmScoreSql,
+    "q_pq_encode" -> qPqEncodeSql,
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_pq_rerank_topk" -> annPqRerankTopkSql
   )
 }

@@ -38,7 +38,15 @@ object Ivf {
   def centroids(embs: DataFrame, nCentroids: Int): Array[PreparedVec] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val sorted = Similarity.prepared(embs).as[PreparedVec].orderBy("vec_id")
+    strideSelect(Similarity.prepared(embs).as[PreparedVec], nCentroids)
+  }
+
+  /** The stride rule over any prepared relation (also used by [[Pq]] over
+    * unit-normalized vectors). */
+  private[pipeline] def strideSelect(
+      prep: org.apache.spark.sql.Dataset[PreparedVec],
+      nCentroids: Int): Array[PreparedVec] = {
+    val sorted = prep.orderBy("vec_id")
     val n = sorted.count()
     val stride = math.max(1L, n / nCentroids)
     sorted.rdd.zipWithIndex()

@@ -1,0 +1,229 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity.PreparedVec
+
+/** Product quantization: the memory-scale path for embedding search.
+  *
+  * A D-dim vector is split into `m` contiguous subvectors; each subspace
+  * gets its own codebook of `k` centroid subvectors, and a vector is stored
+  * as `m` small codes (its nearest centroid per subspace) — 64 float
+  * components (256 B) become 8 codes (8 B), the 32x compression that lets a
+  * 100 TB embedding corpus's index live in cluster memory. Search uses
+  * asymmetric distance computation (ADC): a query precomputes its exact
+  * distance to every codebook entry (an `m x k` table), after which each
+  * corpus vector scores in `m` table lookups over its codes — no float
+  * vector is ever touched at scan time.
+  *
+  * Determinism: subvector distances are EXACT integer arithmetic over the
+  * [[Similarity]] integer-micros scaling (squared L2, ties to the lower
+  * code), and codebooks use the same seedless stride rule as
+  * [[Ivf.centroids]], so the whole train-encode-search pipeline is a pure
+  * function of the corpus that the DuckDB oracle re-derives bit-for-bit.
+  *
+  * Scale shape: codebooks are `m*k` subvectors — broadcast-sized by
+  * construction. Encoding is one `mapPartitions` pass (narrow, no shuffle).
+  * ADC search broadcasts the per-query lookup tables (guarded by
+  * `maxQueryRows`) and keeps per-partition bounded top-k heaps like
+  * [[Similarity.bruteTopK]]; only `queries x k` partial rows reach the
+  * final rank.
+  */
+object Pq {
+
+  final case class CodeRow(vec_id: Long, sub: Int, code: Int, err: Long)
+
+  /** Unit-normalized integer-micros vectors: `floor(x * 1e6 / sqrt(norm2))`
+    * per component over the [[Similarity.prepared]] micros. Every operation
+    * is IEEE-correctly-rounded on exact integer inputs, so Spark and DuckDB
+    * produce identical longs. On unit vectors squared L2 is monotone with
+    * cosine (`‖a−b‖² = 2 − 2cosθ`), which makes PQ's L2 codebooks and ADC
+    * ranking agree with the cosine semantics of the rest of the stack. */
+  private def unitPrepared(embs: DataFrame) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    Similarity.prepared(embs)
+      .select(col("vec_id"), transform(col("xs"), x =>
+        floor(x.cast("double") * lit(1000000.0) /
+          sqrt(col("norm2").cast("double"))).cast("long")).as("xs"))
+      .withColumn("norm2",
+        Similarity.nativeDot(spark, col("xs"), col("xs")))
+      .as[PreparedVec]
+  }
+
+  /** Per-subspace codebooks `[sub][code] -> centroid subvector`, from the
+    * stride-selected unit-normalized corpus rows (every stride-th vector in
+    * vec_id order — [[Ivf.centroids]]' exact rule), sliced into `m` equal
+    * subspaces. */
+  def codebooks(embs: DataFrame, m: Int, k: Int): Array[Array[Array[Long]]] = {
+    val cents = Ivf.strideSelect(unitPrepared(embs), k)
+    require(cents.nonEmpty, "PQ codebooks need a non-empty prepared corpus")
+    val dim = cents(0).xs.length
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
+    val sd = dim / m
+    Array.tabulate(m)(s => cents.map(_.xs.slice(s * sd, (s + 1) * sd)))
+  }
+
+  /** Exact squared L2 between `v[off, off+len)` and a codebook subvector. */
+  private def sqDist(v: Array[Long], off: Int, c: Array[Long]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < c.length) { val d = v(off + j) - c(j); s += d * d; j += 1 }
+    s
+  }
+
+  private def encodeOne(v: PreparedVec, books: Array[Array[Array[Long]]],
+                        sd: Int): (Array[Int], Array[Long]) = {
+    val m = books.length
+    val codes = new Array[Int](m)
+    val errs = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var ci = 0
+      while (ci < cb.length) {
+        val d = sqDist(v.xs, s * sd, cb(ci))
+        if (d < bestD) { bestD = d; best = ci } // strict: ties keep lower code
+        ci += 1
+      }
+      codes(s) = best
+      errs(s) = bestD
+      s += 1
+    }
+    (codes, errs)
+  }
+
+  /** PQ encoding as a relation: one row per (vector, subspace) with the
+    * chosen code and that subspace's exact quantization error. */
+  def encoded(embs: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val books = codebooks(embs, m, k)
+    val sd = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    unitPrepared(embs).mapPartitions { it =>
+      it.flatMap { v =>
+        val (codes, errs) = encodeOne(v, bc.value, sd)
+        codes.indices.iterator.map(s => CodeRow(v.vec_id, s, codes(s), errs(s)))
+      }
+    }.toDF()
+  }
+
+  /** ADC top-k per query: smallest approximate squared distance
+    * `sum_s table[q][s][code_s(x)]`, ties to the lower neighbor id. The
+    * query set is collected and broadcast (same few-queries/huge-corpus
+    * contract and `maxQueryRows` guard as [[Similarity.bruteTopK]]); the
+    * corpus side streams as codes only. */
+  def adcTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+              m: Int = 8, codebookSize: Int = 16,
+              maxQueryRows: Long = 100000L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val books = codebooks(embs, m, codebookSize)
+    val sd = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val querySet = unitPrepared(embs).where(queryPred)
+    val nQueries = querySet.count()
+    require(nQueries <= maxQueryRows,
+      s"adcTopK broadcasts the query set: predicate matched $nQueries " +
+        s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise " +
+        "the bound explicitly")
+    val queries = querySet.collect().sortBy(_.vec_id)
+    // per-query ADC lookup tables: exact distance to every codebook entry
+    val tables = queries.map { q =>
+      Array.tabulate(m)(s => books(s).map(c => sqDist(q.xs, s * sd, c)))
+    }
+    val qids = queries.map(_.vec_id)
+    val bcT = spark.sparkContext.broadcast(tables)
+    val partials = unitPrepared(embs).mapPartitions { it =>
+      val ts = bcT.value
+      // per-query bounded max-heap of (adist, neighbor_id): root = worst kept
+      val heaps = qids.map(_ => mutable.PriorityQueue.empty[(Long, Long)](
+        Ordering.by[(Long, Long), (Long, Long)](t => (t._1, -t._2))))
+      it.foreach { v =>
+        val (codes, _) = encodeOne(v, bcBooks.value, sd)
+        var qi = 0
+        while (qi < qids.length) {
+          if (qids(qi) != v.vec_id) {
+            var ad = 0L
+            var s = 0
+            while (s < m) { ad += ts(qi)(s)(codes(s)); s += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((ad, v.vec_id))
+            else {
+              val worst = h.head
+              if (ad < worst._1 || (ad == worst._1 && v.vec_id < worst._2)) {
+                h.dequeue(); h.enqueue((ad, v.vec_id))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (ad, nid) => (qids(qi), nid, ad) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IEEE-deterministic cosine from exact integers (same rule as
+    * [[Similarity.bruteTopK]]'s ranking). */
+  private def cosDouble(d: Long, n1: Long, n2: Long): Double =
+    d.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+
+  /** The production PQ search: ADC generates a `shortlist`-sized candidate
+    * set per query (codes only — no float vector touched), then ONLY those
+    * candidates are reranked with the exact integer-micros cosine. PQ's
+    * quantization error decides which ~50 rows get exact scoring, not the
+    * final order, so recall approaches brute force while the scan cost
+    * stays `m` table lookups per corpus row (the asymmetric refine step of
+    * the classic IVFADC pipeline). Output shape matches
+    * [[Similarity.bruteTopK]] (`cos_micros` ranking, id tie-break). */
+  def adcRerankTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+                    shortlist: Int = 50, m: Int = 8, codebookSize: Int = 16,
+                    maxQueryRows: Long = 100000L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cand = adcTopK(embs, queryPred, shortlist, m, codebookSize, maxQueryRows)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank over original (non-unit) micros — cosine is
+    // scale-invariant, and this matches bruteTopK's arithmetic exactly
+    val queries = Similarity.prepared(embs).where(queryPred)
+      .as[PreparedVec].collect().map(q => q.vec_id -> q).toMap
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val prep = Similarity.prepared(embs)
+    val scored = prep
+      .join(broadcast(cand), prep("vec_id") === cand("neighbor_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("xs"), col("norm2"))
+      .as[(Long, Long, Array[Long], Long)]
+      .map { case (qid, nid, xs, n2) =>
+        val q = bcQ.value(qid)
+        var d = 0L
+        var i = 0
+        val qx = q.xs
+        while (i < qx.length && i < xs.length) { d += qx(i) * xs(i); i += 1 }
+        (qid, nid, cosDouble(d, q.norm2, n2))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+  }
+}

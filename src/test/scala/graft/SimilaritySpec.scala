@@ -123,6 +123,60 @@ class SimilaritySpec extends AnyFunSuite {
       nCentroids = 16, nprobe = 6, refineIters = 2)))
   }
 
+  test("PQ encode: codebook members quantize to themselves with zero error") {
+    // 4 vectors, dim 8, m=2/k=2 -> stride 2: centroids are rows 0 and 2
+    // (vec_ids 1 and 3); those must encode to their own code with err 0
+    val four = Seq(
+      (1L, vec(1, 0, 0, 0, 1, 0, 0, 1), 0),
+      (2L, vec(0, 1, 0, 0, 0, 1, 0, 0), 0),
+      (3L, vec(5, 5, 5, 5, 5, 5, 5, 5), 0),
+      (4L, vec(5, 5, 5, 4, 5, 5, 5, 4), 0)).toDF("vec_id", "embedding", "label")
+    val rows = graft.pipeline.Pq.encoded(four, m = 2, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub")) ->
+        (r.getAs[Int]("code"), r.getAs[Long]("err"))).toMap
+    assert(rows.size == 8) // 4 vectors x 2 subspaces
+    assert(rows((1L, 0)) == (0, 0L) && rows((1L, 1)) == (0, 0L))
+    assert(rows((3L, 0)) == (1, 0L) && rows((3L, 1)) == (1, 0L))
+    // 4 is nearer centroid 3 than centroid 1 in both halves, err > 0
+    assert(rows((4L, 0))._1 == 1 && rows((4L, 0))._2 > 0L)
+    assert(rows((4L, 1))._1 == 1)
+  }
+
+  test("PQ ADC shortlist contains the exact top-k; rerank recovers the ranking") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.bruteTopK(real, pred, k = 5))
+    assert(exact.nonEmpty)
+    // the contract rerank depends on: the 100-deep ADC shortlist holds a
+    // clear majority of the true top-5 (16-code quantization can't order
+    // near-ties — measured 8% top-5 agreement — but it CAN shortlist)
+    val shortlist = asSet(graft.pipeline.Pq.adcTopK(real, pred, k = 100))
+    val slRecall = (exact & shortlist).size.toDouble / exact.size
+    assert(slRecall >= 0.6,
+      s"shortlist recall=$slRecall exact=${exact.size} hit=${(exact & shortlist).size}")
+    // the production search: ADC shortlist + exact cosine rerank
+    val rr = graft.pipeline.Pq.adcRerankTopK(real, pred, k = 5, shortlist = 100)
+    val rrSet = asSet(rr)
+    val rrRecall = (exact & rrSet).size.toDouble / exact.size
+    assert(rrRecall >= 0.6,
+      s"rerank recall=$rrRecall exact=${exact.size} hit=${(exact & rrSet).size}")
+    // determinism: integer ADC distances + IEEE cosine, bit-identical reruns
+    assert(rrSet == asSet(
+      graft.pipeline.Pq.adcRerankTopK(real, pred, k = 5, shortlist = 100)))
+    // ADC distances are exact integer sums of subspace table entries
+    val adc = graft.pipeline.Pq.adcTopK(real, pred, k = 5)
+    assert(adc.collect().forall(_.getAs[Long]("adc_dist") >= 0L))
+    assert(asSet(adc) == asSet(graft.pipeline.Pq.adcTopK(real, pred, k = 5)))
+  }
+
+  test("PQ rejects a subspace count that does not divide the dimension") {
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pq.encoded(embs, m = 3, k = 2).collect()
+    }
+  }
+
   test("lshNearDup counts dropped buckets AND docs in the accumulators") {
     // maxBucket=1 drops every shared bucket whole: the result silently
     // shrinks to 0 pairs, but the accumulators now name the cause — and
