@@ -97,7 +97,11 @@ object ScaleUp {
     // per-copy user populations are only disjoint (the header's "join
     // fan-out per key exactly preserved" claim) while the source user
     // domain fits under the stride. Enforce it instead of assuming it.
-    val userStride = 1000L
+    // (The enforcement caught a real collision: sf0.1 has 1500 users, and
+    // the round-5 sweep's stride of 1000 silently merged a third of each
+    // copy's users into the next copy — event-query ratios in that sweep
+    // ran on inflated per-user fan-out. 10000 clears the domain.)
+    val userStride = 10000L
     val maxUser = Tables.events(spark, src)
       .agg(max(col("user_id").cast("long"))).head().getLong(0)
     require(maxUser < userStride,

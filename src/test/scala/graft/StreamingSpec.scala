@@ -55,6 +55,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window streaming sessions equal batch session_window exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two sessions (25 min > 10 min gap); user 2: one; user 3: the
+    // boundary case — 10:10 is EXACTLY gap after 10:00, and session_window
+    // merges it (a new session needs strictly > gap, the lag model's rule)
+    val batch1 = Seq(
+      (1L, t(10, 0), 1.0), (1L, t(10, 5), 2.0),
+      (2L, t(10, 0), 4.0), (3L, t(10, 0), 6.0))
+    val batch2 = Seq( // out of order in-batch
+      (1L, t(10, 30), 3.0), (3L, t(10, 10), 5.0))
+    val events = batch1 ++ batch2
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = graft.streaming.EventSessions.sessions(
+        mem.toDF().toDF("user_id", "ts", "value"),
+        gap = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString, r.getAs[Long]("n_events"),
+        r.getAs[Long]("sum_value_micros"))).toSet
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      // two sentinel batches push the watermark past every real session end
+      mem.addData((99L, t(23, 0), 0.0)); q.processAllAvailable()
+      mem.addData((99L, t(23, 30), 0.0)); q.processAllAvailable()
+      val got = asSet(spark.table("sess_stream")
+        .where(col("user_id") =!= 99L).collect())
+      val batch = asSet(graft.streaming.EventSessions.sessions(
+          events.toDF("user_id", "ts", "value"), gap = "10 minutes")
+        .collect())
+      assert(got == batch,
+        s"stream-only=${got -- batch} batch-only=${batch -- got}")
+      // boundary pin: user 3's exactly-gap event MERGES (> rule, not >=)
+      assert(batch.count(_._1 == 3L) == 1)
+      assert(batch.find(_._1 == 3L).exists(_._4 == 2L))
+      assert(batch.count(_._1 == 1L) == 2)
+      assert(batch.count(_._1 == 2L) == 1)
+      // micros sums are exact per-event truncations
+      assert(batch.find(t5 => t5._1 == 1L && t5._4 == 2L).exists(_._5 == 3000000L))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first document per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
