@@ -216,11 +216,17 @@ object TextAnalysis {
       slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
       slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
+    // occ feeds three consumers (both model aggregates + the scored join);
+    // without a cache each one re-tokenizes and re-hashes the corpus (the
+    // plan showed three Generate-over-scan branches). Persist the compact
+    // hashed relation once — caller owns the cache lifetime (clearCache
+    // between pipeline stages, as Bench does per query).
     val occ = toks.where(n >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"),
         Dedup.hash60(col("p.bg")).as("hb"),
         Dedup.hash60(col("p.w1")).as("h1"))
+      .persist()
     val m12 = occ.groupBy("hb").agg(count(lit(1)).as("c12"))
     val m1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
     val scored = occ.join(m12, "hb").join(m1, "h1")
