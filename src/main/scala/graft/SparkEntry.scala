@@ -2018,6 +2018,148 @@ object SparkEntry {
        |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ===================================================================
+  // IVF-PQ (residual quantization)
+  // ===================================================================
+
+  /** One per-subspace exact-integer Lloyd iteration over the residual
+    * codebooks: assign every residual subvector to its min-L2 entry (ties
+    * to the lower code), per-component floor-div means, empty cells keep
+    * the previous entry. Mirrors `Pq.refineBooks` exactly. */
+  private def duckPqLloyd(in: String, out: String): String =
+    s"""d_$out AS (SELECT vec_id, rvs.s, rcid,
+       |        CAST(list_sum(list_transform(range(1, 9),
+       |          j -> (v[j] - c[j]) * (v[j] - c[j]))) AS BIGINT) AS dist
+       |      FROM rvs JOIN $in ON rvs.s = $in.s),
+       |asg_$out AS (SELECT vec_id, s, rcid FROM (
+       |        SELECT vec_id, s, rcid, row_number() OVER (
+       |          PARTITION BY vec_id, s ORDER BY dist, rcid) AS rn FROM d_$out)
+       |        WHERE rn = 1),
+       |comp_$out AS (SELECT a.s, a.rcid, j,
+       |        -- exact FLOOR division (Math.floorDiv): DuckDB's // truncates
+       |        -- toward zero, and residual sums go negative
+       |        CAST((SUM(v[j]) - ((SUM(v[j]) % COUNT(*) + COUNT(*)) % COUNT(*)))
+       |          // COUNT(*) AS BIGINT) AS mj
+       |      FROM asg_$out a
+       |      JOIN rvs ON rvs.vec_id = a.vec_id AND rvs.s = a.s,
+       |      range(1, 9) u(j)
+       |      GROUP BY a.s, a.rcid, j),
+       |newc_$out AS (SELECT s, rcid, list(mj ORDER BY j) AS c
+       |      FROM comp_$out GROUP BY s, rcid),
+       |$out AS (SELECT r0.rcid, r0.s, COALESCE(n.c, r0.c) AS c
+       |      FROM $in r0 LEFT JOIN newc_$out n
+       |        ON n.s = r0.s AND n.rcid = r0.rcid)""".stripMargin
+
+  /** Shared IVF-PQ derivation: coarse stride centroids over unit vectors,
+    * exact-integer-L2 bucket assignment (ties to the lower cid), residuals,
+    * stride-initialized residual codebooks refined by TWO unrolled Lloyd
+    * iterations, and the corpus encoding. Everything BIGINT — no floating
+    * point anywhere in the pipeline. */
+  private val DuckIvfPqBase =
+    s"""en3 AS (SELECT vec_id, xs,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM un),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |ccents AS (SELECT (idx // stride) AS ccid, xs AS cxs FROM en3, params
+       |          WHERE idx % stride = 0 AND idx // stride < 16),
+       |adist AS (SELECT e.vec_id, c.ccid,
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> (e.xs[i] - c.cxs[i]) * (e.xs[i] - c.cxs[i]))) AS BIGINT) AS d
+       |       FROM en3 e, ccents c),
+       |assign AS (SELECT vec_id, ccid FROM (
+       |        SELECT vec_id, ccid, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY d, ccid) AS rn FROM adist)
+       |        WHERE rn = 1),
+       |residual AS (SELECT e.vec_id, e.idx, a.ccid,
+       |        list_transform(range(1, 65), i -> e.xs[i] - c.cxs[i]) AS r
+       |       FROM en3 e JOIN assign a USING (vec_id)
+       |       JOIN ccents c ON c.ccid = a.ccid),
+       |rparams AS (SELECT GREATEST(1, COUNT(*) // 16) AS rstride FROM residual),
+       |rcents0 AS (SELECT (idx // rstride) AS rcid, r FROM residual, rparams
+       |       WHERE idx % rstride = 0 AND idx // rstride < 16),
+       |rvs AS (SELECT vec_id, ccid, s, r[s * 8 + 1 : s * 8 + 8] AS v
+       |       FROM residual, range(8) t(s)),
+       |rcs0 AS (SELECT rcid, s, r[s * 8 + 1 : s * 8 + 8] AS c
+       |       FROM rcents0, range(8) t(s)),
+       |${duckPqLloyd("rcs0", "rcs1")},
+       |${duckPqLloyd("rcs1", "rcs2")},
+       |d_enc AS (SELECT vec_id, rvs.s, rcid,
+       |        CAST(list_sum(list_transform(range(1, 9),
+       |          j -> (v[j] - c[j]) * (v[j] - c[j]))) AS BIGINT) AS dist
+       |      FROM rvs JOIN rcs2 ON rvs.s = rcs2.s),
+       |codes AS (SELECT vec_id, s, rcid AS code FROM (
+       |        SELECT vec_id, s, rcid, row_number() OVER (
+       |          PARTITION BY vec_id, s ORDER BY dist, rcid) AS rn FROM d_enc)
+       |        WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, xs FROM un WHERE vec_id % 50 = 0),
+       |qad AS (SELECT q.query_id, c.ccid,
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> (q.xs[i] - c.cxs[i]) * (q.xs[i] - c.cxs[i]))) AS BIGINT) AS d
+       |       FROM q, ccents c),
+       |probes AS (SELECT query_id, ccid FROM (
+       |        SELECT query_id, ccid, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY d, ccid) AS rn FROM qad)
+       |        WHERE rn <= 4),
+       |qres AS (SELECT p.query_id, p.ccid,
+       |        list_transform(range(1, 65), i -> q.xs[i] - c.cxs[i]) AS qr
+       |       FROM probes p JOIN q ON q.query_id = p.query_id
+       |       JOIN ccents c ON c.ccid = p.ccid),
+       |qrs AS (SELECT query_id, ccid, s, qr[s * 8 + 1 : s * 8 + 8] AS v
+       |       FROM qres, range(8) t(s)),
+       |qd AS (SELECT query_id, ccid, qrs.s, rcid,
+       |        CAST(list_sum(list_transform(range(1, 9),
+       |          j -> (v[j] - c[j]) * (v[j] - c[j]))) AS BIGINT) AS dist
+       |       FROM qrs JOIN rcs2 ON qrs.s = rcs2.s),
+       |ad AS (SELECT qd.query_id, x.vec_id AS neighbor_id,
+       |        CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+       |       FROM codes x
+       |       JOIN assign a2 ON a2.vec_id = x.vec_id
+       |       JOIN qd ON qd.ccid = a2.ccid AND qd.s = x.s AND qd.rcid = x.code
+       |       WHERE x.vec_id <> qd.query_id
+       |       GROUP BY qd.query_id, x.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY adc_dist, neighbor_id) AS rk FROM ad)""".stripMargin
+
+  private def annIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Pq.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  private val annIvfPqTopkSql =
+    s"""WITH $DuckPrepared,
+       |un AS (SELECT vec_id, list_transform(range(1, len(xs) + 1),
+       |        i -> CAST(floor(CAST(xs[i] AS DOUBLE) * 1000000 /
+       |               sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS xs
+       |      FROM en2),
+       |$DuckIvfPqBase
+       |SELECT query_id, rk, neighbor_id, adc_dist
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  private def annIvfPqRerankTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Pq.ivfPqRerankTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 50 === 0, k = 5, shortlist = 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  private val annIvfPqRerankTopkSql =
+    s"""WITH $DuckPrepared,
+       |un AS (SELECT vec_id, list_transform(range(1, len(xs) + 1),
+       |        i -> CAST(floor(CAST(xs[i] AS DOUBLE) * 1000000 /
+       |               sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS xs
+       |      FROM en2),
+       |$DuckIvfPqBase,
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 50),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |        ${duckCos("qv.xs", "qv.norm2", "v.xs", "v.norm2")} AS cos
+       |       FROM cand c JOIN en2 qv ON qv.vec_id = c.query_id
+       |                   JOIN en2 v ON v.vec_id = c.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rk FROM ex)
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2087,7 +2229,9 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_pq_encode" -> (qPqEncode _),
     "ann_pq_topk" -> (annPqTopk _),
-    "ann_pq_rerank_topk" -> (annPqRerankTopk _)
+    "ann_pq_rerank_topk" -> (annPqRerankTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2156,6 +2300,8 @@ object SparkEntry {
     "q_lm_score" -> qLmScoreSql,
     "q_pq_encode" -> qPqEncodeSql,
     "ann_pq_topk" -> annPqTopkSql,
-    "ann_pq_rerank_topk" -> annPqRerankTopkSql
+    "ann_pq_rerank_topk" -> annPqRerankTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql
   )
 }

