@@ -2017,6 +2017,38 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Click→purchase attribution pairs within a 2-hour band, via the
+    * bucketed interval join (`operators/IntervalJoin`) — the shape that
+    * stays an equi-join at power-law key scale. The oracle is the naive
+    * BETWEEN range join, so the bucketing must be pair-for-pair exact. */
+  private def qIntervalPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsBase(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    operators.IntervalJoin.within(clicks, purchases, "user_id",
+        "click_ms", "purchase_ms", 7200000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_ms") - col("click_ms")).as("delta_ms"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  private val qIntervalPairsSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |  epoch_ms(ts) AS ts_ms FROM events),
+       |c AS (SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ms
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT c.user_id AS user_id, click_id, purchase_id,
+       |       purchase_ms - click_ms AS delta_ms
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND p.purchase_ms BETWEEN c.click_ms - 7200000 AND c.click_ms + 7200000
+       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   // ===================================================================
   // IVF-PQ (residual quantization)
   // ===================================================================
@@ -2231,7 +2263,8 @@ object SparkEntry {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
-    "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _)
+    "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
+    "q_interval_pairs" -> (qIntervalPairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2302,6 +2335,7 @@ object SparkEntry {
     "ann_pq_topk" -> annPqTopkSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
-    "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql
+    "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
+    "q_interval_pairs" -> qIntervalPairsSql
   )
 }

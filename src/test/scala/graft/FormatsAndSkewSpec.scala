@@ -39,4 +39,52 @@ class FormatsAndSkewSpec extends AnyFunSuite {
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("bucketed interval join equals the naive range join on skewed keys") {
+    // one hot key with dense timestamps + sparse cold keys; pseudo-random
+    // spacing so pairs fall inside bins, across bin boundaries, and out
+    // of range
+    val tol = 1000L
+    val left = (1 to 300).map { i =>
+      val k = if (i % 10 != 0) 1L else (i % 7).toLong + 2
+      (k, i.toLong, (i.toLong * 337) % 20000)
+    }.toDF("k", "lid", "lms")
+    val right = (1 to 300).map { i =>
+      val k = if (i % 9 != 0) 1L else (i % 5).toLong + 2
+      (k, i.toLong + 1000, (i.toLong * 211) % 20000)
+    }.toDF("k", "rid", "rms")
+    val naive = left.join(right, Seq("k"))
+      .where(abs(col("lms") - col("rms")) <= tol)
+      .select("k", "lid", "rid").collect().map(_.toSeq).toSet
+    val bucketed = graft.operators.IntervalJoin
+      .within(left, right, "k", "lms", "rms", tol)
+      .select("k", "lid", "rid").collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty)
+    assert(bucketed == naive,
+      s"missing=${(naive -- bucketed).size} extra=${(bucketed -- naive).size}")
+  }
+
+  test("interval join bound is inclusive and bins do not duplicate pairs") {
+    val tol = 100L
+    val left = Seq((1L, 10L, 1000L)).toDF("k", "lid", "lms")
+    val right = Seq(
+      (1L, 20L, 1100L),  // exactly +tol -> kept (inclusive)
+      (1L, 21L, 1101L),  // +tol+1 -> dropped
+      (1L, 22L, 900L),   // exactly -tol -> kept
+      (1L, 23L, 999L),   // same bin -> kept once
+      (2L, 24L, 1000L))  // other key -> dropped
+      .toDF("k", "rid", "rms")
+    val got = graft.operators.IntervalJoin
+      .within(left, right, "k", "lms", "rms", tol)
+      .collect().map(_.getAs[Long]("rid")).sorted.toSeq
+    assert(got == Seq(20L, 22L, 23L)) // exactly once each
+  }
+
+  test("interval join rejects colliding non-key column names") {
+    val l = Seq((1L, 1L)).toDF("k", "ms")
+    val r = Seq((1L, 2L)).toDF("k", "ms")
+    intercept[IllegalArgumentException] {
+      graft.operators.IntervalJoin.within(l, r, "k", "ms", "ms", 10L)
+    }
+  }
 }
