@@ -2017,6 +2017,26 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Sliding-window token chunking (size 64, overlap 16) — the
+    * long-document → training-sequence splitter. */
+  private def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    pipeline.TextAnalysis.chunkOverlap(Tables.documents(s, dir))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val qChunkOverlapSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |k AS (SELECT doc_id, toks, n, CASE WHEN n = 0 THEN 0
+       |        ELSE 1 + (GREATEST(n - 64, 0) + 47) // 48 END AS n_chunks
+       |      FROM n),
+       |ex AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS chunk_idx
+       |       FROM k WHERE n_chunks > 0)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+       |    AS chunk_text,
+       |  CAST(LEAST(n - chunk_idx * 48, 64) AS BIGINT) AS chunk_tokens
+       |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Click→purchase attribution pairs within a 2-hour band, via the
     * bucketed interval join (`operators/IntervalJoin`) — the shape that
     * stays an equi-join at power-law key scale. The oracle is the naive
@@ -2264,7 +2284,8 @@ object SparkEntry {
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
-    "q_interval_pairs" -> (qIntervalPairs _)
+    "q_interval_pairs" -> (qIntervalPairs _),
+    "q_chunk_overlap" -> (qChunkOverlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2336,6 +2357,7 @@ object SparkEntry {
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
-    "q_interval_pairs" -> qIntervalPairsSql
+    "q_interval_pairs" -> qIntervalPairsSql,
+    "q_chunk_overlap" -> qChunkOverlapSql
   )
 }

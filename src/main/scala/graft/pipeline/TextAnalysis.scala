@@ -241,6 +241,38 @@ object TextAnalysis {
         coalesce(col("lm_score_micros"), lit(0L)).as("lm_score_micros"))
   }
 
+  /** Sliding-window token chunking with overlap — the long-document →
+    * training-sequence splitter (HF `return_overflowing_tokens` shape):
+    * chunk i covers tokens `[i*stride, i*stride + size)` with
+    * `stride = size - overlap`; the chunk count is
+    * `1 + ceil(max(0, n - size) / stride)` (empty docs yield none, short
+    * docs one). One narrow projection + one explode — no shuffle, no
+    * per-chunk re-tokenization (the token array is materialized once and
+    * sliced per chunk at argument level). */
+  def chunkOverlap(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // `size` the parameter shadows functions.size here
+    val n = org.apache.spark.sql.functions.size(col("toks")).cast("long")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", n)
+      // exact integer chunk count; ceil-div on non-negative operands
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n = 0 THEN 0L ELSE 1L + " +
+          s"(greatest(n - $size, 0L) + ${stride - 1}L) div ${stride}L END"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        // sequence(0, -1) counts DOWN (see shingles note) — guard n_chunks = 0
+        explode(when(col("n_chunks") > 0,
+            sequence(lit(0L), col("n_chunks") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)), " ").as("chunk_text"),
+        least(col("n") - col("chunk_idx") * stride, lit(size.toLong))
+          .as("chunk_tokens"))
+  }
+
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs

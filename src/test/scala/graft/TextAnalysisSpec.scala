@@ -108,6 +108,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("chunkOverlap: window arithmetic, overlap, short and empty docs") {
+    val df = docs(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en"), // 10 tokens
+      (2L, "a b c", "en"),                                  // shorter than size
+      (3L, "", "en"))                                       // no chunks
+    val got = TextAnalysis.chunkOverlap(df, size = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // stride 2: doc 1 (n=10) -> 1 + ceil(6/2) = 4 chunks
+    assert(got.keys.count(_._1 == 1L) == 4)
+    assert(got((1L, 0L)) == ("w1 w2 w3 w4", 4L))
+    assert(got((1L, 1L)) == ("w3 w4 w5 w6", 4L)) // 2-token overlap
+    assert(got((1L, 3L)) == ("w7 w8 w9 w10", 4L))
+    assert(got.keys.count(_._1 == 2L) == 1)
+    assert(got((2L, 0L)) == ("a b c", 3L)) // short doc: one partial chunk
+    assert(!got.keys.exists(_._1 == 3L))   // empty doc: no rows
+    // every token of doc 1 appears in some chunk (coverage is complete)
+    val covered = got.collect { case ((1L, _), (txt, _)) => txt.split(" ") }
+      .flatten.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("fingerprint is whitespace- and case-invariant") {
     val df = docs((1L, "Hello   World", "en"), (2L, "hello world", "en"),
       (3L, " HELLO\tWORLD ", "en"), (4L, "hello there", "en"))
