@@ -2017,6 +2017,24 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** One-pass column profiling over lineitem (`operators/Profile`). */
+  private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+          "l_linestatus", "l_shipdate"))
+      .orderBy("column")
+
+  private val qProfileLineitemSql = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+      "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** Sliding-window token chunking (size 64, overlap 16) — the
     * long-document → training-sequence splitter. */
   private def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
@@ -2285,7 +2303,8 @@ object SparkEntry {
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
-    "q_chunk_overlap" -> (qChunkOverlap _)
+    "q_chunk_overlap" -> (qChunkOverlap _),
+    "q_profile_lineitem" -> (qProfileLineitem _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2358,6 +2377,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,
-    "q_chunk_overlap" -> qChunkOverlapSql
+    "q_chunk_overlap" -> qChunkOverlapSql,
+    "q_profile_lineitem" -> qProfileLineitemSql
   )
 }

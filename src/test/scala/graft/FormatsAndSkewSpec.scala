@@ -80,6 +80,24 @@ class FormatsAndSkewSpec extends AnyFunSuite {
     assert(got == Seq(20L, 22L, 23L)) // exactly once each
   }
 
+  test("profile counts nulls, exact distincts and stringified min/max") {
+    val df = Seq(
+      (1L, Some("b"), Some(10)),
+      (2L, None, Some(30)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(10))).toDF("id", "s", "v")
+    val got = graft.operators.Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == (4L, 4L, 4L, "1", "4"))
+    assert(got("s") == (4L, 3L, 2L, "a", "b"))   // null excluded everywhere
+    assert(got("v") == (4L, 3L, 2L, "10", "30"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.profile(df, Seq("nope"))
+    }
+  }
+
   test("interval join rejects colliding non-key column names") {
     val l = Seq((1L, 1L)).toDF("k", "ms")
     val r = Seq((1L, 2L)).toDF("k", "ms")
