@@ -2230,6 +2230,124 @@ object SparkEntry {
        |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ===================================================================
+  // Event funnel
+  // ===================================================================
+
+  /** Three-step earliest-completion funnel (view -> click -> purchase,
+    * 7-day conversion window from the first view). Comparisons run on raw
+    * nanos for exact strict-ordering; output floors to epoch millis like
+    * every other event query. One exchange total (stacked same-key window
+    * layers — see `operators.Funnel`). */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), col("ts"))
+    operators.Funnel.earliestCompletion(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(7L * 24 * 3600 * 1000000000L))
+      .select(col("user_id"),
+        expr("t1 div 1000000").as("t1_ms"),
+        expr("t2 div 1000000").as("t2_ms"),
+        expr("t3 div 1000000").as("t3_ms"),
+        col("depth").cast("long").as("depth"))
+      .orderBy("user_id")
+  }
+
+  private val qFunnelSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+       |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsn END)
+       |         OVER (PARTITION BY user_id) AS t1 FROM ev),
+       |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsn > t1
+       |           AND tsn <= t1 + 604800000000000 THEN tsn END)
+       |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+       |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsn > t2
+       |           AND tsn <= t1 + 604800000000000 THEN tsn END)
+       |         OVER (PARTITION BY user_id) AS t3 FROM s2)
+       |SELECT DISTINCT user_id, t1 // 1000000 AS t1_ms, t2 // 1000000 AS t2_ms,
+       |  t3 // 1000000 AS t3_ms,
+       |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |       ELSE 1 END AS BIGINT) AS depth
+       |FROM s3 WHERE t1 IS NOT NULL ORDER BY user_id""".stripMargin
+
+  // ===================================================================
+  // Bucketed co-located join
+  // ===================================================================
+
+  /** Customer order rollup over tables BUCKETED on the join key: orders and
+    * customer are written once as 8-bucket tables (the amortized one-time
+    * shuffle), then the join AND the groupBy ride the stored partitioning —
+    * the only exchange left in the query is the gate's final orderBy.
+    * BucketedSpec pins the exchange-free plan; this gate pins the values. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"/tmp/graft_bucketed_${new java.io.File(dir).getName}"
+    sources.Bucketed.writeBucketed(s,
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt_orders", s"$wh/orders", "o_custkey", 8)
+    sources.Bucketed.writeBucketed(s,
+      Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+      "graft_bkt_customer", s"$wh/customer", "c_custkey", 8)
+    sources.Bucketed.colocatedJoin(s, "graft_bkt_customer",
+        "graft_bkt_orders", "c_custkey", "o_custkey")
+      .groupBy("c_custkey")
+      .agg(max(col("c_nationkey")).as("c_nationkey"),
+        count(lit(1)).as("n_orders"),
+        msum(col("o_totalprice")).as("sum_total_micros"))
+      .orderBy("c_custkey")
+  }
+
+  private val qBucketedJoinSql =
+    s"""SELECT c_custkey, MAX(c_nationkey) AS c_nationkey,
+       |  COUNT(*) AS n_orders, ${msumSql("o_totalprice")} AS sum_total_micros
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ===================================================================
+  // BM25 keyword search
+  // ===================================================================
+
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("join", "merge"),
+    1L -> Seq("window", "filter"),
+    2L -> Seq("spark", "stream", "batch"))
+
+  /** BM25 top-10 over the documents corpus for a three-query workload
+    * (rational ln-free idf, exact BIGINT scoring — see pipeline.Search). */
+  private def qBm25Topk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Search.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Queries, k = 10)
+      .orderBy("query_id", "rk")
+
+  private val qBm25TopkSql = {
+    val values = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+       |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |    (SELECT SUM(dl) FROM dl) AS sum_dl),
+       |q(query_id, term) AS (VALUES $values),
+       |dft AS (SELECT term, COUNT(*) AS df FROM postings
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |contrib AS (SELECT q.query_id, p.doc_id,
+       |    (((2 * (s.n - f.df) + 1) * 1000000) // (2 * f.df + 1)
+       |      * ((p.tf * 2200000 * 1000000)
+       |         // (p.tf * 1000000 + (1200000 * (1000000 - 750000 +
+       |              (750000 * ((d.dl * s.n * 1000000) // s.sum_dl)) // 1000000))
+       |            // 1000000))) // 1000000 AS c
+       |  FROM q JOIN postings p USING (term)
+       |  JOIN dft f USING (term) JOIN dl d USING (doc_id)
+       |  CROSS JOIN stats s),
+       |scored AS (SELECT query_id, doc_id, SUM(c) AS score_micros
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micros DESC, doc_id) AS rk FROM scored)
+       |SELECT query_id, rk, doc_id, score_micros
+       |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2304,7 +2422,10 @@ object SparkEntry {
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
     "q_chunk_overlap" -> (qChunkOverlap _),
-    "q_profile_lineitem" -> (qProfileLineitem _)
+    "q_profile_lineitem" -> (qProfileLineitem _),
+    "q_funnel" -> (qFunnel _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_bm25_topk" -> (qBm25Topk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2378,6 +2499,9 @@ object SparkEntry {
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,
     "q_chunk_overlap" -> qChunkOverlapSql,
-    "q_profile_lineitem" -> qProfileLineitemSql
+    "q_profile_lineitem" -> qProfileLineitemSql,
+    "q_funnel" -> qFunnelSql,
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_bm25_topk" -> qBm25TopkSql
   )
 }

@@ -13,8 +13,13 @@ object PlanAuditR6 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("dedup_incremental_bloom", "q_lm_score", "q_pq_encode",
-        "ann_pq_topk")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("dedup_incremental_bloom", "q_lm_score", "q_pq_encode",
+        "ann_pq_topk", "ann_ivfpq_topk", "q_interval_pairs",
+        "q_chunk_overlap", "q_profile_lineitem", "q_funnel",
+        "q_bucketed_join", "q_bm25_topk")
+    for (name <- names) {
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
