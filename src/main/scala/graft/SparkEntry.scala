@@ -2348,6 +2348,73 @@ object SparkEntry {
   }
 
   // ===================================================================
+  // SCD2 history + CUBE grouping sets
+  // ===================================================================
+
+  /** SCD2 effective-dated state history over the events change log:
+    * per-user event_type intervals with consecutive no-ops collapsed.
+    * Interval boundaries computed on raw nanos, floored to ms on output
+    * (see operators.Scd2 — one exchange for the whole operator). */
+  private def qScd2Users(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    operators.Scd2.history(ev, Seq("user_id"), "ts", Seq("event_id"),
+        Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        expr("valid_from div 1000000").as("valid_from_ms"),
+        expr("valid_to div 1000000").as("valid_to_ms"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_ms", "event_type")
+  }
+
+  private val qScd2UsersSql =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+       |  FROM events),
+       |lagged AS (SELECT *, lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+       |dd AS (SELECT * FROM lagged WHERE prev IS NULL OR prev <> event_type),
+       |iv AS (SELECT user_id, event_type, tsn AS vf, lead(tsn) OVER (
+       |    PARTITION BY user_id ORDER BY tsn, event_id) AS vt FROM dd)
+       |SELECT user_id, event_type, vf // 1000000 AS valid_from_ms,
+       |  vt // 1000000 AS valid_to_ms, vt IS NULL AS is_current
+       |FROM iv ORDER BY user_id, valid_from_ms, event_type""".stripMargin
+
+  /** CUBE over (event_type, day-of-week): all four grouping sets in one
+    * pass. Same scale shape as the ROLLUP gate: the cube runs over the
+    * COMPACT per-(type, dow) partial relation, not the raw facts, so the
+    * grouping-set Expand multiplies 35 rows, not 100M. Day-of-week is
+    * integer epoch arithmetic (1970-01-01 was a Thursday), not a date
+    * function — exact on both engines. */
+  private def qEventCube(s: SparkSession, dir: String): DataFrame = {
+    val partials = eventsBase(s, dir)
+      .withColumn("dow", expr("((ts_ms div 86400000) + 4) % 7"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("pn"),
+        sum((col("value") * lit(1000000.0)).cast(DecimalType(38, 0))).as("pv"))
+    partials
+      .cube("event_type", "dow")
+      .agg(grouping_id().as("gid"), sum("pn").as("n_events"),
+        sum("pv").cast("long").as("sum_value_micros"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("gid").cast("long").as("gid"),
+        col("n_events").cast("long").as("n_events"), col("sum_value_micros"))
+      .orderBy("event_type", "dow", "gid")
+  }
+
+  private val qEventCubeSql =
+    s"""WITH ev AS (SELECT event_type,
+       |    ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow, value FROM events)
+       |SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |  COALESCE(dow, -1) AS dow,
+       |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       |  COUNT(*) AS n_events,
+       |  ${msumSql("value")} AS sum_value_micros
+       |FROM ev GROUP BY CUBE(event_type, dow)
+       |ORDER BY event_type, dow, gid""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2425,7 +2492,9 @@ object SparkEntry {
     "q_profile_lineitem" -> (qProfileLineitem _),
     "q_funnel" -> (qFunnel _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_bm25_topk" -> (qBm25Topk _)
+    "q_bm25_topk" -> (qBm25Topk _),
+    "q_scd2_users" -> (qScd2Users _),
+    "q_event_cube" -> (qEventCube _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2502,6 +2571,8 @@ object SparkEntry {
     "q_profile_lineitem" -> qProfileLineitemSql,
     "q_funnel" -> qFunnelSql,
     "q_bucketed_join" -> qBucketedJoinSql,
-    "q_bm25_topk" -> qBm25TopkSql
+    "q_bm25_topk" -> qBm25TopkSql,
+    "q_scd2_users" -> qScd2UsersSql,
+    "q_event_cube" -> qEventCubeSql
   )
 }

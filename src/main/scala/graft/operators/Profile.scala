@@ -2,40 +2,73 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
-/** Generic one-pass column profiling — the ANALYZE-TABLE-shaped operator:
-  * for each requested column, row count, non-null count, exact distinct
-  * count, and min/max (stringified so heterogeneous columns share one
-  * result schema).
+/** Generic column profiling — the ANALYZE-TABLE-shaped operator: for each
+  * requested column, row count, non-null count, exact distinct count, and
+  * min/max (stringified so heterogeneous columns share one result schema).
   *
-  * Shape: ONE aggregation job over the table produces a single wide row
-  * (4 stats x k columns); a driver-free projection then explodes it into
-  * the per-column relation. The multiple exact `count_distinct`s compile
-  * to Spark's Expand strategy — the input is replicated k times in the
-  * map stage. That is the documented cost of EXACT profiling (what the
-  * oracle checks); at fleet scale swap `approx_count_distinct` in the
-  * same frame for a single-pass sketch when 2% error is acceptable.
+  * Shape (two jobs, both pure hash/fold — nothing ever sorts the fact
+  * table):
+  *
+  *  1. Base stats: ONE global aggregate (count/min/max per column). The
+  *     string-typed min/max buffers disqualify HashAggregate, but with no
+  *     grouping keys the fallback SortAggregate has nothing to sort — it
+  *     is a per-partition fold + single merge.
+  *  2. Exact distincts: a NARROW Expand — each row becomes k
+  *     `(column, value-as-string)` pairs (2 columns wide, not 4k+1) —
+  *     into hash-aggregate distinct + per-column count. The stringify is
+  *     injective per type (binary goes through hex), so counts equal the
+  *     native-type distincts.
+  *
+  * The first version computed k `count_distinct`s inside one aggregate:
+  * Catalyst planned the full-width Expand into a SORT aggregate (string
+  * min/max buffers + grouping keys from distinct rewriting), i.e. a
+  * 7x-replicated full-table sort — measured 4.6x for 10x data with heavy
+  * spill variance at sf1. The split form keeps every fact-table operator
+  * a hash aggregate; only k+1 tiny rows ever reach the driver side.
+  * At fleet scale swap `approx_count_distinct` into the base aggregate
+  * for a true single-pass sketch when ~2% error is acceptable.
   */
 object Profile {
+
+  /** Injective string rendering for distinct counting. */
+  private def asKey(df: DataFrame, c: String) =
+    df.schema(c).dataType match {
+      case BinaryType => hex(col(c))
+      case _          => col(c).cast("string")
+    }
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.forall(df.columns.contains),
       s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
-    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+
+    val baseAggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col("n").as("n_rows"),
         col(s"__nn_$c").as("n_nonnull"),
-        col(s"__nd_$c").as("n_distinct"),
         col(s"__mn_$c").as("min_value"),
         col(s"__mx_$c").as("max_value"))): _*)).as("p"))
       .select("p.*")
+
+    val distincts = df
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), asKey(df, c).as("v"))): _*)).as("p"))
+      .select("p.*")
+      .where(col("v").isNotNull)
+      .distinct()
+      .groupBy("column").agg(count(lit(1)).as("n_distinct"))
+
+    base.join(broadcast(distincts), Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_nonnull"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 }
