@@ -2415,6 +2415,95 @@ object SparkEntry {
        |ORDER BY event_type, dow, gid""".stripMargin
 
   // ===================================================================
+  // Z-order layout
+  // ===================================================================
+
+  /** Morton keys of (l_partkey, l_suppkey) for every lineitem row — the
+    * write-side computation of multi-dimensional clustering (see
+    * operators.ZOrder; ZOrderSpec measures the pruning effect). The gate
+    * pins the bit-exact interleave against the same magic-number spread
+    * re-derived in SQL. */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        operators.ZOrder.zValue2(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+
+  /** The five magic-number spread steps as SQL text (each step referenced
+    * twice, so the expression is 2^5 copies of `e` — fine for a column
+    * name). */
+  private def spreadSql(e: String): String = {
+    var s = s"(($e | ($e << 16)) & 281470681808895)"
+    s = s"(($s | ($s << 8)) & 71777214294589695)"
+    s = s"(($s | ($s << 4)) & 1085102592571150095)"
+    s = s"(($s | ($s << 2)) & 3689348814741910323)"
+    s"(($s | ($s << 1)) & 6148914691236517205)"
+  }
+
+  private val qZorderLayoutSql =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_partkey, l_suppkey,
+       |  (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS z
+       |FROM lineitem ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+
+  // ===================================================================
+  // Triangle counting
+  // ===================================================================
+
+  /** Per-part triangle counts over the co-order graph (parts appearing in
+    * the same order are adjacent). Edge build is one equi-join on
+    * l_orderkey with per-order-bounded fan-out; counting is the
+    * degree-oriented wedge-close join (see operators.Triangles — found
+    * once per triangle, no /3 correction). */
+  private def qPartTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"), "l_orderkey")
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .where(col("u") < col("v"))
+    operators.Triangles.perNode(e, "u", "v")
+      .withColumnRenamed("node", "l_partkey")
+      .orderBy("l_partkey")
+  }
+
+  private val qPartTrianglesSql =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+       |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |  WHERE l1.l_partkey < l2.l_partkey),
+       |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |x AS (SELECT a AS l_partkey FROM t UNION ALL SELECT b FROM t
+       |  UNION ALL SELECT c FROM t)
+       |SELECT l_partkey, COUNT(*) AS n_triangles
+       |FROM x GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // ===================================================================
+  // Fuzzy (edit-distance) join
+  // ===================================================================
+
+  /** Entity resolution over distinct part names: all name pairs within
+    * Levenshtein distance 2 via symmetric-deletion blocking + exact
+    * verification (see operators.FuzzyJoin). The oracle is the naive
+    * quadratic join, so the blocking must be pair-for-pair complete. */
+  private def qFuzzyPartNames(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      .select(col("p_name").as("id"), col("p_name"))
+    operators.FuzzyJoin.selfJoin(names, "id", "p_name", d = 2)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("distance"))
+      .orderBy("name_a", "name_b")
+  }
+
+  private val qFuzzyPartNamesSql =
+    s"""WITH names AS (SELECT DISTINCT p_name FROM part)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+       |FROM names a JOIN names b ON a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= 2
+       |ORDER BY name_a, name_b""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2494,7 +2583,10 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bm25_topk" -> (qBm25Topk _),
     "q_scd2_users" -> (qScd2Users _),
-    "q_event_cube" -> (qEventCube _)
+    "q_event_cube" -> (qEventCube _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_part_triangles" -> (qPartTriangles _),
+    "q_fuzzy_part_names" -> (qFuzzyPartNames _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2573,6 +2665,9 @@ object SparkEntry {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bm25_topk" -> qBm25TopkSql,
     "q_scd2_users" -> qScd2UsersSql,
-    "q_event_cube" -> qEventCubeSql
+    "q_event_cube" -> qEventCubeSql,
+    "q_zorder_layout" -> qZorderLayoutSql,
+    "q_part_triangles" -> qPartTrianglesSql,
+    "q_fuzzy_part_names" -> qFuzzyPartNamesSql
   )
 }

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Spread the low 32 bits of `x` to even bit positions (0, 2, 4, ...). */
-  private def spread2(x: Column): Column = {
+  /** Spread the low 32 bits of `x` to even bit positions (0, 2, 4, ...).
+    * Input widened to long first — int columns would shift in 32 bits. */
+  private def spread2(xIn: Column): Column = {
+    val x = xIn.cast("long")
     val m1 = lit(0x0000FFFF0000FFFFL)
     val m2 = lit(0x00FF00FF00FF00FFL)
     val m3 = lit(0x0F0F0F0F0F0F0F0FL)
@@ -49,7 +51,7 @@ object ZOrder {
     val terms = for {
       (d, di) <- dims.zipWithIndex
       b <- 0 until bits
-    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * n + di)
+    } yield shiftleft(shiftright(d.cast("long"), b).bitwiseAND(lit(1L)), b * n + di)
     terms.reduce(_ bitwiseOR _)
   }
 

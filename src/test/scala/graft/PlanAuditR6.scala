@@ -18,7 +18,8 @@ object PlanAuditR6 {
       else Seq("dedup_incremental_bloom", "q_lm_score", "q_pq_encode",
         "ann_pq_topk", "ann_ivfpq_topk", "q_interval_pairs",
         "q_chunk_overlap", "q_profile_lineitem", "q_funnel",
-        "q_bucketed_join", "q_bm25_topk", "q_scd2_users", "q_event_cube")
+        "q_bucketed_join", "q_bm25_topk", "q_scd2_users", "q_event_cube",
+        "q_zorder_layout", "q_part_triangles", "q_fuzzy_part_names")
     for (name <- names) {
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
