@@ -2504,6 +2504,40 @@ object SparkEntry {
        |ORDER BY name_a, name_b""".stripMargin
 
   // ===================================================================
+  // Cohort retention
+  // ===================================================================
+
+  /** Daily cohort retention matrix: users grouped by first-event day,
+    * counted on each later day they made a purchase. Two aggregates +
+    * one join, all keyed on user_id (the first-event relation reuses the
+    * activity partitioning); integer epoch-day arithmetic. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsBase(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ms div 86400000").as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.where(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .distinct()
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val qRetentionSql =
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    epoch_ms(ts) // 86400000 AS day FROM events),
+       |first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+       |activity AS (SELECT DISTINCT e.user_id, f.cohort_day,
+       |    e.day - f.cohort_day AS offset_days
+       |  FROM ev e JOIN first f USING (user_id)
+       |  WHERE e.event_type = 'purchase')
+       |SELECT cohort_day, offset_days, COUNT(*) AS n_users
+       |FROM activity GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2586,7 +2620,8 @@ object SparkEntry {
     "q_event_cube" -> (qEventCube _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_part_triangles" -> (qPartTriangles _),
-    "q_fuzzy_part_names" -> (qFuzzyPartNames _)
+    "q_fuzzy_part_names" -> (qFuzzyPartNames _),
+    "q_retention" -> (qRetention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2668,6 +2703,7 @@ object SparkEntry {
     "q_event_cube" -> qEventCubeSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
-    "q_fuzzy_part_names" -> qFuzzyPartNamesSql
+    "q_fuzzy_part_names" -> qFuzzyPartNamesSql,
+    "q_retention" -> qRetentionSql
   )
 }

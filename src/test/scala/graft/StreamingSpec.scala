@@ -263,4 +263,77 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Boolean]("satisfied")).toMap
     assert(res == Map(1L -> true, 2L -> false))
   }
+
+  /** Deterministic synthetic step events: ~60 entities, three steps with
+    * assorted orderings, gaps and repeats. */
+  private def funnelFixture: Seq[graft.streaming.StreamingFunnel.StepEvent] =
+    (0L until 60L).flatMap { u =>
+      val base = u * 1000L
+      val evs = Seq(
+        graft.streaming.StreamingFunnel.StepEvent(u, 1, base + (u * 7) % 50),
+        graft.streaming.StreamingFunnel.StepEvent(u, 1, base + 60 + (u * 13) % 40),
+        graft.streaming.StreamingFunnel.StepEvent(u, 2, base + (u * 11) % 120),
+        graft.streaming.StreamingFunnel.StepEvent(u, 2, base + 130 + (u % 3) * 40),
+        graft.streaming.StreamingFunnel.StepEvent(u, 3, base + (u * 17) % 260))
+      // a third of entities never see step 3 in range; some get a late one
+      if (u % 3 == 0) evs.filter(_.step != 3)
+      else if (u % 5 == 0)
+        evs :+ graft.streaming.StreamingFunnel.StepEvent(u, 3, base + 900)
+      else evs
+    }
+
+  private def batchFunnel(events: Seq[graft.streaming.StreamingFunnel.StepEvent],
+      window: Option[Long]): Map[Long, Seq[Long]] = {
+    val names = Map(1 -> "a", 2 -> "b", 3 -> "c")
+    val df = events.map(e => (e.entity, names(e.step), e.ts))
+      .toDF("u", "event_type", "ts")
+    graft.operators.Funnel
+      .earliestCompletion(df, "u", "ts", "event_type", Seq("a", "b", "c"), window)
+      .where(col("depth") === 3)
+      .collect()
+      .map(r => r.getAs[Long]("u") ->
+        Seq(r.getAs[Long]("t1"), r.getAs[Long]("t2"), r.getAs[Long]("t3")))
+      .toMap
+  }
+
+  test("streaming funnel completions equal batch funnel on shuffled replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = funnelFixture
+    val window = Some(400L)
+    val expected = batchFunnel(events, window)
+    // adversarial order: shuffle deterministically, deliver in 6 chunks
+    val shuffled = events.sortBy(e => (e.ts * 2654435761L + e.entity) % 997)
+    val mem = MemoryStream[graft.streaming.StreamingFunnel.StepEvent]
+    val q = graft.streaming.StreamingFunnel.completions(mem.toDS(), 3, window)
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.size / 6)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("funnel_replay").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(expected.nonEmpty && expected.size < 60)
+      assert(got == expected.keySet,
+        s"stream-only=${(got -- expected.keySet).toSeq.sorted} " +
+          s"batch-only=${(expected.keySet -- got).toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel times equal batch exactly on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = funnelFixture.sortBy(_.ts)
+    val window = Some(400L)
+    val expected = batchFunnel(events, window)
+    val mem = MemoryStream[graft.streaming.StreamingFunnel.StepEvent]
+    val q = graft.streaming.StreamingFunnel.completions(mem.toDS(), 3, window)
+      .writeStream.format("memory").queryName("funnel_inorder")
+      .outputMode("append").start()
+    try {
+      events.grouped(60).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = spark.table("funnel_inorder").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
