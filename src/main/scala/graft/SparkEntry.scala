@@ -2538,6 +2538,168 @@ object SparkEntry {
        |FROM activity GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ===================================================================
+  // Snapshot diff, event transitions, outliers
+  // ===================================================================
+
+  /** Snapshot reconciliation: documents vs a deterministically-edited v2
+    * (drops, text rewrites, additions derived in-query so the oracle can
+    * re-derive them). One full-outer join (see operators.Diff). */
+  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val v2 = v1
+      .where(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 61 === 0, upper(col("text"))).otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"), col("lang")))
+    operators.Diff.diff(v1, v2, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  private val qTableDiffSql =
+    s"""WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 61 = 0 THEN upper(text) ELSE text END AS text,
+       |    lang
+       |  FROM v1 WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text, lang FROM v1 WHERE doc_id % 103 = 0)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |       WHEN v2.doc_id IS NULL THEN 'removed'
+       |       WHEN v1.text IS DISTINCT FROM v2.text
+       |         OR v1.lang IS DISTINCT FROM v2.lang THEN 'changed' END AS change
+       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+       |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL
+       |  OR v1.text IS DISTINCT FROM v2.text OR v1.lang IS DISTINCT FROM v2.lang)
+       |ORDER BY doc_id""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * consecutive (from, to) pairs by event_id order, counts and exact
+    * integer-micros conditional probabilities. One window shuffle. */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    eventsBase(s, dir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_micros",
+        expr("n * 1000000 div sum(n) over (partition by from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qEventTransitionsSql =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type FROM events),
+       |seq AS (SELECT event_type AS to_type, lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY event_id) AS from_type FROM ev),
+       |pairs AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+       |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_micros
+       |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
+  /** IQR outliers per event type: exact rank-statistic quartiles (the
+    * q_doc_length_quantiles pattern), fence arithmetic on raw doubles —
+    * the SAME IEEE operations in the same order on both engines, so the
+    * comparison is bit-deterministic without emitting any double. */
+  private def qValueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ranked = eventsBase(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val fences = ranked
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rk") === expr("(n + 3) div 4"), col("value"))).as("q1"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("value"))).as("q3"))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ranked.join(broadcast(fences.select("event_type", "hi")), "event_type")
+      .where(col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  private val qValueOutliersSql =
+    s"""WITH ranked AS (
+       |  SELECT event_id, event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |fences AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rk = (n + 3) // 4 THEN value END) AS q1,
+       |    MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN value END) AS q3
+       |  FROM ranked GROUP BY event_type)
+       |SELECT event_id, ranked.event_type
+       |FROM ranked JOIN fences USING (event_type)
+       |WHERE value > q3 + 1.5 * (q3 - q1)
+       |ORDER BY event_id""".stripMargin
+
+  // ===================================================================
+  // Table constraint checking
+  // ===================================================================
+
+  /** Deequ-shaped constraint suite over orders: pk uniqueness, payload
+    * completeness/positivity (one fused aggregate pass), FK coverage into
+    * customer, and a deliberately failing uniqueness rule so the verdict
+    * column is exercised both ways (see operators.Constraints). */
+  private def qConstraintsOrders(s: SparkSession, dir: String): DataFrame = {
+    import operators.Constraints
+    val orders = Tables.orders(s, dir)
+    Constraints.rowRules(orders, Seq(
+        Constraints.RowRule("orders_totalprice_complete",
+          col("o_totalprice").isNotNull, 1000000L),
+        Constraints.RowRule("orders_totalprice_positive",
+          col("o_totalprice") > 0, 1000000L),
+        Constraints.RowRule("orders_status_domain",
+          col("o_orderstatus").isin("O", "F", "P"), 1000000L)))
+      .unionByName(Constraints.unique(orders, "orders_pk_unique",
+        Seq("o_orderkey")))
+      .unionByName(Constraints.unique(orders, "orders_custkey_unique",
+        Seq("o_custkey"))) // deliberately failing: customers repeat
+      .unionByName(Constraints.fkCoverage(orders, "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders_custkey_fk"))
+      .orderBy("constraint")
+  }
+
+  private val qConstraintsOrdersSql =
+    s"""SELECT 'orders_totalprice_complete' AS "constraint",
+       |  SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS actual_micros,
+       |  SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) >= 1000000 AS satisfied FROM orders
+       |UNION ALL
+       |SELECT 'orders_totalprice_positive',
+       |  SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*),
+       |  SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) >= 1000000 FROM orders
+       |UNION ALL
+       |SELECT 'orders_status_domain',
+       |  SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*),
+       |  SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) >= 1000000 FROM orders
+       |UNION ALL
+       |SELECT 'orders_pk_unique',
+       |  COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(*),
+       |  COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(*) >= 1000000 FROM orders
+       |UNION ALL
+       |SELECT 'orders_custkey_unique',
+       |  COUNT(DISTINCT o_custkey) * 1000000 // COUNT(*),
+       |  COUNT(DISTINCT o_custkey) * 1000000 // COUNT(*) >= 1000000 FROM orders
+       |UNION ALL
+       |SELECT 'orders_custkey_fk',
+       |  SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*),
+       |  SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) >= 1000000
+       |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+       |  ON o.o_custkey = c.c_custkey
+       |ORDER BY "constraint"""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2621,7 +2783,11 @@ object SparkEntry {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_part_triangles" -> (qPartTriangles _),
     "q_fuzzy_part_names" -> (qFuzzyPartNames _),
-    "q_retention" -> (qRetention _)
+    "q_retention" -> (qRetention _),
+    "q_table_diff" -> (qTableDiff _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_value_outliers" -> (qValueOutliers _),
+    "q_constraints_orders" -> (qConstraintsOrders _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2704,6 +2870,10 @@ object SparkEntry {
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
     "q_fuzzy_part_names" -> qFuzzyPartNamesSql,
-    "q_retention" -> qRetentionSql
+    "q_retention" -> qRetentionSql,
+    "q_table_diff" -> qTableDiffSql,
+    "q_event_transitions" -> qEventTransitionsSql,
+    "q_value_outliers" -> qValueOutliersSql,
+    "q_constraints_orders" -> qConstraintsOrdersSql
   )
 }
