@@ -19,7 +19,9 @@ object PlanAuditR6 {
         "ann_pq_topk", "ann_ivfpq_topk", "q_interval_pairs",
         "q_chunk_overlap", "q_profile_lineitem", "q_funnel",
         "q_bucketed_join", "q_bm25_topk", "q_scd2_users", "q_event_cube",
-        "q_zorder_layout", "q_part_triangles", "q_fuzzy_part_names")
+        "q_zorder_layout", "q_part_triangles", "q_fuzzy_part_names",
+        "q_retention", "q_table_diff", "q_event_transitions",
+        "q_value_outliers", "q_constraints_orders")
     for (name <- names) {
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
