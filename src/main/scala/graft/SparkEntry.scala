@@ -2700,6 +2700,66 @@ object SparkEntry {
        |ORDER BY "constraint"""".stripMargin
 
   // ===================================================================
+  // Skew diagnostics + partitioned layout
+  // ===================================================================
+
+  /** Key-skew report for a fact table's join/grouping key: per-key top-10
+    * heavy hitters with exact integer-micros share, plus the max/avg skew
+    * factor every key row carries. One hash aggregate + a rank window that
+    * WindowGroupLimit prunes to 10 rows pre-shuffle — the diagnostic you
+    * run BEFORE deciding to salt a join (operators/SaltedJoin). */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = eventsBase(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").as("total"),
+      count(lit(1)).as("n_keys"), max("n").as("max_n"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))))
+      .where(col("rk") <= 10)
+      .crossJoin(broadcast(stats))
+      .select(col("rk"), col("user_id"), col("n"),
+        expr("n * 1000000 div total").as("share_micros"),
+        expr("max_n * n_keys * 1000000 div total").as("skew_factor_micros"))
+      .orderBy("rk")
+  }
+
+  private val qSkewReportSql =
+    s"""WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+       |stats AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n
+       |  FROM counts),
+       |ranked AS (SELECT user_id, n, row_number() OVER (
+       |    ORDER BY n DESC, user_id) AS rk FROM counts)
+       |SELECT rk, user_id, n, n * 1000000 // total AS share_micros,
+       |  max_n * n_keys * 1000000 // total AS skew_factor_micros
+       |FROM ranked CROSS JOIN stats WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** Partition-pruned aggregation: events written once as a hive-style
+    * `event_type=` layout, then aggregated with a partition-column filter
+    * — the scan lists ONE directory (PartitionedSpec pins the
+    * PartitionFilters evidence; this gate pins the values against the
+    * unpartitioned oracle). */
+  private def qPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"/tmp/graft_partitioned_${new java.io.File(dir).getName}"
+    sources.Partitioned.write(
+      Tables.events(s, dir).select("event_id", "ts", "user_id", "value",
+        "event_type"),
+      path, Seq("event_type"))
+    sources.Partitioned.read(s, path)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), msum(col("value")).as("sum_value_micros"))
+      .orderBy("user_id")
+  }
+
+  private val qPartitionedPruneSql =
+    s"""SELECT user_id, COUNT(*) AS n_purchases,
+       |  ${msumSql("value")} AS sum_value_micros
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2787,7 +2847,9 @@ object SparkEntry {
     "q_table_diff" -> (qTableDiff _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
-    "q_constraints_orders" -> (qConstraintsOrders _)
+    "q_constraints_orders" -> (qConstraintsOrders _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_partitioned_prune" -> (qPartitionedPrune _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2874,6 +2936,8 @@ object SparkEntry {
     "q_table_diff" -> qTableDiffSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
-    "q_constraints_orders" -> qConstraintsOrdersSql
+    "q_constraints_orders" -> qConstraintsOrdersSql,
+    "q_skew_report" -> qSkewReportSql,
+    "q_partitioned_prune" -> qPartitionedPruneSql
   )
 }
