@@ -2760,6 +2760,32 @@ object SparkEntry {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ===================================================================
+  // Weighted (priority) sampling
+  // ===================================================================
+
+  /** Priority sampling (Duffield/Lund/Thorup): 20 docs per language,
+    * inclusion probability proportional to n_chars — priority =
+    * salted-hash div weight, k smallest win. Integer-exact, RNG-free,
+    * re-run-stable (see pipeline.Sampling.prioritySample). */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    pipeline.Sampling.prioritySample(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        col("lang"), col("doc_id"), col("n_chars"), k = 20)
+      .orderBy("lang", "doc_id")
+
+  private val qWeightedSampleSql =
+    s"""WITH pri AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    ${DuckHash60.format("concat('graft-pri:', CAST(doc_id AS VARCHAR))")} AS u
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, lang, n_chars, row_number() OVER (
+       |    PARTITION BY lang ORDER BY u // n_chars, u, doc_id) AS rk
+       |  FROM pri)
+       |SELECT doc_id, lang, n_chars FROM ranked
+       |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -2849,7 +2875,8 @@ object SparkEntry {
     "q_value_outliers" -> (qValueOutliers _),
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
-    "q_partitioned_prune" -> (qPartitionedPrune _)
+    "q_partitioned_prune" -> (qPartitionedPrune _),
+    "q_weighted_sample" -> (qWeightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2938,6 +2965,7 @@ object SparkEntry {
     "q_value_outliers" -> qValueOutliersSql,
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,
-    "q_partitioned_prune" -> qPartitionedPruneSql
+    "q_partitioned_prune" -> qPartitionedPruneSql,
+    "q_weighted_sample" -> qWeightedSampleSql
   )
 }

@@ -99,4 +99,37 @@ object Sampling {
       .join(broadcast(kept), Seq("lang", "mix_bucket"))
       .select("doc_id", "lang", "n_tokens", "mix_bucket")
   }
+
+  // ---------------------------------------------------- weighted sampling
+
+  /** Weight-proportional sample of k rows per group — Priority Sampling
+    * (Duffield/Lund/Thorup): each row gets priority `u / w` for a uniform
+    * u, and the k SMALLEST priorities win, so inclusion probability grows
+    * with weight. u is the salted 60-bit key hash (deterministic,
+    * coordination-free, same value in the oracle) and the division is
+    * integer — no `ln`, no float, no RNG state. Ties (identical priority)
+    * break on the key hash then the key itself, so re-runs pick the same
+    * rows bit-for-bit.
+    *
+    * Shape: one narrow projection + one rank window per group;
+    * WindowGroupLimit prunes each partition to k rows before the
+    * exchange. */
+  def prioritySample(df: DataFrame, groupCol: Column, key: Column,
+                     weight: Column, k: Int,
+                     salt: String = "graft-pri"): DataFrame = {
+    require(k > 0)
+    val u = Dedup.hash60(concat(lit(salt), lit(":"), key.cast("string")))
+    df.withColumn("__u", u)
+      .withColumn("__w", weight.cast("long"))
+      // non-positive weights are excluded, not ranked: a zero weight would
+      // make the integer division null, and nulls sort FIRST ascending —
+      // a weightless row must never win the sample
+      .where(col("__w") > 0)
+      .withColumn("__pri", expr("__u div __w"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+          .orderBy(col("__pri"), col("__u"), key)))
+      .where(col("__rk") <= k)
+      .drop("__u", "__w", "__pri", "__rk")
+  }
 }

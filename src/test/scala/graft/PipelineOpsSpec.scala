@@ -57,6 +57,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(buckets("en") == kept.count(_._2 == "en"))
   }
 
+  test("priority sampling favors heavy weights, is deterministic, bounds k") {
+    import graft.pipeline.Sampling
+    // 200 light rows (w=1) + 20 heavy rows (w=1000) in one group
+    val rows = ((1L to 200L).map(i => (i, "g", 1L)) ++
+      (201L to 220L).map(i => (i, "g", 1000L))).toDF("id", "grp", "w")
+    val got = Sampling.prioritySample(rows, col("grp"), col("id"), col("w"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 20)
+    // heavy rows are 1000x likelier per slot: expect a clear majority
+    assert(got.count(_ > 200L) >= 15, s"heavy picked ${got.count(_ > 200L)}")
+    // deterministic across runs
+    val again = Sampling.prioritySample(rows, col("grp"), col("id"), col("w"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == again)
+    // non-positive weights never win
+    val withZero = rows.unionByName(Seq((999L, "g", 0L)).toDF("id", "grp", "w"))
+    val z = Sampling.prioritySample(withZero, col("grp"), col("id"), col("w"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(!z.contains(999L))
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val df = spark.range(0, 3000)
       .select(col("id").as("doc_id"),
