@@ -235,4 +235,65 @@ class PropertySpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(banded == brute)
   }
+
+  test("funnel agrees with an independent model on random event streams") {
+    val rnd = new Random(20260813L)
+    val steps = Seq("a", "b", "c")
+    val events = (0 until 1500).map { _ =>
+      (rnd.nextInt(40).toLong, steps(rnd.nextInt(3)), rnd.nextInt(1000).toLong)
+    }
+    val window = 300L
+    // independent model: earliest completion with strict ordering + window
+    def model(evs: Seq[(Long, String, Long)]): Map[Long, (Option[Long], Option[Long], Option[Long])] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val byStep = es.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+        byStep.get("a").map(_.min).map { t1 =>
+          val lim = t1 + window
+          val t2 = byStep.getOrElse("b", Nil).filter(t => t > t1 && t <= lim)
+            .sorted.headOption
+          val t3 = t2.flatMap(p => byStep.getOrElse("c", Nil)
+            .filter(t => t > p && t <= lim).sorted.headOption)
+          u -> ((Some(t1): Option[Long], t2, t3))
+        }
+      }
+    val got = graft.operators.Funnel.earliestCompletion(
+        events.toDF("u", "event_type", "ts"), "u", "ts", "event_type",
+        steps, Some(window))
+      .collect()
+      .map(r => r.getAs[Long]("u") -> ((Option(r.getAs[Any]("t1")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("t2")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("t3")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got == model(events))
+  }
+
+  test("scd2 agrees with an independent model on random change logs") {
+    val rnd = new Random(997L)
+    val changes = (0 until 800).map { i =>
+      (rnd.nextInt(25).toLong, i.toLong, rnd.nextInt(200).toLong,
+        s"s${rnd.nextInt(4)}")
+    }
+    // independent model: order by (version, id), drop no-ops, chain leads
+    def model(rows: Seq[(Long, Long, Long, String)]) =
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        val kept = ordered.foldLeft(List.empty[(Long, Long, Long, String)]) {
+          (acc, r) => if (acc.headOption.exists(_._4 == r._4)) acc else r :: acc
+        }.reverse
+        kept.indices.map { i =>
+          val r = kept(i)
+          val vt = if (i + 1 < kept.size) Some(kept(i + 1)._3) else None
+          (k, r._4, r._3, vt)
+        }
+      }.toSet
+    val got = graft.operators.Scd2.history(
+        changes.toDF("k", "id", "v", "state"),
+        Seq("k"), "v", Seq("id"), Seq("state"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == model(changes))
+  }
 }
