@@ -2339,7 +2339,7 @@ object SparkEntry {
        |  FROM q JOIN postings p USING (term)
        |  JOIN dft f USING (term) JOIN dl d USING (doc_id)
        |  CROSS JOIN stats s),
-       |scored AS (SELECT query_id, doc_id, SUM(c) AS score_micros
+       |scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
        |  FROM contrib GROUP BY 1, 2),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_micros DESC, doc_id) AS rk FROM scored)
@@ -2596,7 +2596,8 @@ object SparkEntry {
        |pairs AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
        |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
        |SELECT from_type, to_type, n,
-       |  n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_micros
+       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |    AS p_micros
        |FROM pairs ORDER BY from_type, to_type""".stripMargin
 
   /** IQR outliers per event type: exact rank-statistic quartiles (the
@@ -2666,33 +2667,34 @@ object SparkEntry {
 
   private val qConstraintsOrdersSql =
     s"""SELECT 'orders_totalprice_complete' AS "constraint",
-       |  SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-       |    // COUNT(*) AS actual_micros,
+       |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS actual_micros,
        |  SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) >= 1000000 AS satisfied FROM orders
        |UNION ALL
        |SELECT 'orders_totalprice_positive',
-       |  SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*),
+       |  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT),
        |  SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) >= 1000000 FROM orders
        |UNION ALL
        |SELECT 'orders_status_domain',
-       |  SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1000000
-       |    // COUNT(*),
+       |  CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT),
        |  SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) >= 1000000 FROM orders
        |UNION ALL
        |SELECT 'orders_pk_unique',
-       |  COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(*),
+       |  CAST(COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(*) AS BIGINT),
        |  COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(*) >= 1000000 FROM orders
        |UNION ALL
        |SELECT 'orders_custkey_unique',
-       |  COUNT(DISTINCT o_custkey) * 1000000 // COUNT(*),
+       |  CAST(COUNT(DISTINCT o_custkey) * 1000000 // COUNT(*) AS BIGINT),
        |  COUNT(DISTINCT o_custkey) * 1000000 // COUNT(*) >= 1000000 FROM orders
        |UNION ALL
        |SELECT 'orders_custkey_fk',
-       |  SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-       |    // COUNT(*),
+       |  CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT),
        |  SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) >= 1000000
        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
@@ -2730,8 +2732,9 @@ object SparkEntry {
        |  FROM counts),
        |ranked AS (SELECT user_id, n, row_number() OVER (
        |    ORDER BY n DESC, user_id) AS rk FROM counts)
-       |SELECT rk, user_id, n, n * 1000000 // total AS share_micros,
-       |  max_n * n_keys * 1000000 // total AS skew_factor_micros
+       |SELECT rk, user_id, n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS share_micros,
+       |  CAST(max_n * n_keys * 1000000 // total AS BIGINT) AS skew_factor_micros
        |FROM ranked CROSS JOIN stats WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   /** Partition-pruned aggregation: events written once as a hive-style
@@ -2777,7 +2780,7 @@ object SparkEntry {
     s"""WITH pri AS (
        |  SELECT doc_id, lang, n_chars,
        |    ${DuckHash60.format("concat('graft-pri:', CAST(doc_id AS VARCHAR))")} AS u
-       |  FROM documents),
+       |  FROM documents WHERE n_chars > 0),
        |ranked AS (
        |  SELECT doc_id, lang, n_chars, row_number() OVER (
        |    PARTITION BY lang ORDER BY u // n_chars, u, doc_id) AS rk
