@@ -43,6 +43,20 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // Fixed-cost calibration sentinel: a deterministic CPU-bound aggregate
+    // whose cost is independent of sfDir and the query set. Measured before
+    // and after the sweep and emitted in the JSON line, so a contended host
+    // self-identifies — if calibration_sec is far above its quiet-host
+    // reference (BASELINE.md records ~0.2-0.5 s at 32 cpus), the per-query
+    // numbers of that run are not comparable across rounds.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 29).selectExpr("sum(hash(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // one unmeasured pass absorbs codegen for the sentinel shape
+    val calPre = calibrate()
+
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Per-query isolation: drop caches persisted by the previous query
       // (dedup/minhash intermediates) so later queries aren't taxed by old
@@ -72,10 +86,11 @@ object Bench {
         name -> (if (second < 0) first else math.min(first, second))
       }
     }
+    val calPost = calibrate()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"calibration_sec":{"pre":$calPre,"post":$calPost}}""")
     spark.stop()
   }
 }
