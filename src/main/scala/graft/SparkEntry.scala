@@ -494,6 +494,63 @@ object SparkEntry {
        |FROM cls ORDER BY request_id""".stripMargin
   }
 
+  /** Favored-nodes allocation (the reference test's
+    * `chooseTarget(..., favored, ...)` overload,
+    * `TestCrossAZBlockPlacementPolicy.java:371-375`) over a request fixture
+    * with one LCG-chosen favored datanode each. Semantics under gate:
+    * an eligible favored node (healthy, outside excluded subtrees, with a
+    * NORMAL/DISK storage that fits the block) is picked FIRST and counts
+    * against the quota; the balanced remainder spreads around it like an
+    * already-chosen replica. The oracle recomputes eligibility from the
+    * fixture arithmetic (datanode health flags + storage remaining) and
+    * predicts every spread/balance column, so a favored-path drift —
+    * skipped eligible node, quota overrun, favored emitted after a
+    * balanced pick, exclusion leak — fails the hash. */
+  private def placementChooseFavored(s: SparkSession, dir: String): DataFrame = {
+    val snap = operators.Placement.snapshot(
+      MetaFixtures.storages(s), MetaFixtures.datanodes(s), MetaFixtures.topology(s),
+      AsOfMs, DefaultStaleMs)
+    operators.Placement.chooseFavoredInvariants(s, snap, MetaFixtures.favoredRequests(s))
+      .orderBy("request_id")
+  }
+
+  /** Favored contract recomputed from fixture arithmetic: eligibility =
+    * health AND not-excluded AND the node's NORMAL/DISK storage fits the
+    * block; spread columns match the unfavored classes (the favored seed
+    * occupies one slot of the same balanced shape). */
+  private val placementChooseFavoredSql = {
+    val a = s"(1 + ${MetaFixtures.prand("i * 3 + 17")} % 4)"
+    val f = s"(1 + ${MetaFixtures.prand("i * 19 + 41")} % ${MetaFixtures.NumNodes})"
+    s"""$cteSql,
+       |sel AS (
+       |  SELECT i AS request_id, $a AS a, $f AS f, (i % 7 = 0) AS has_excl
+       |  FROM range(0, ${MetaFixtures.NumRequests}) t(i)),
+       |elig AS (
+       |  SELECT s.request_id, s.a, s.has_excl,
+       |    (d.registered AND NOT d.decommission_in_progress
+       |     AND NOT d.decommissioned AND NOT d.disallowed
+       |     AND $AsOfMs - d.last_heartbeat_ms <= $DefaultStaleMs
+       |     AND st.remaining >= 12
+       |     AND NOT (s.has_excl AND s.f % 2 = 1)) AS fe
+       |  FROM sel s
+       |  JOIN datanodes d ON d.datanode_uuid = concat('dn-', s.f)
+       |  JOIN storages st ON st.storage_id = concat('st-', s.f, '-0-0'))
+       |SELECT request_id,
+       |  CAST(a AS BIGINT) AS n_picked,
+       |  CAST(a AS BIGINT) AS n_distinct_nodes,
+       |  CAST(a AS BIGINT) AS n_distinct_racks,
+       |  CAST(CASE WHEN has_excl THEN 1 ELSE LEAST(2, a) END AS BIGINT) AS n_dcs,
+       |  CAST(CASE WHEN has_excl THEN a ELSE (a + 1) // 2 END AS BIGINT) AS max_per_dc,
+       |  CAST(1 AS BIGINT) AS n_favored,
+       |  CAST(CASE WHEN fe THEN 1 ELSE 0 END AS BIGINT) AS n_favored_eligible,
+       |  CAST(CASE WHEN fe THEN 1 ELSE 0 END AS BIGINT) AS n_favored_picked,
+       |  true AS favored_first,
+       |  CAST(0 AS BIGINT) AS n_excl_violations,
+       |  CAST(0 AS BIGINT) AS n_unhealthy,
+       |  CAST(0 AS BIGINT) AS n_bad_storage
+       |FROM elig ORDER BY request_id""".stripMargin
+  }
+
   /** P13–P14 batch deletion over every fixture block, reported as a
     * per-block *invariant summary*. The greedy pick order itself is not
     * SQL-expressible (the comparator recomputes sibling counts after each
@@ -2810,6 +2867,7 @@ object SparkEntry {
     "placement_verify_fast" -> (placementVerifyFast _),
     "placement_hierarchy_stats" -> (placementHierarchyStats _),
     "placement_choose" -> (placementChoose _),
+    "placement_choose_favored" -> (placementChooseFavored _),
     "placement_delete" -> (placementDelete _),
     "q_user_windows" -> (qUserWindows _),
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
@@ -2901,6 +2959,7 @@ object SparkEntry {
     "placement_hierarchy_stats" -> placementHierarchyStatsSql,
     "placement_delete" -> placementDeleteSql,
     "placement_choose" -> placementChooseSql,
+    "placement_choose_favored" -> placementChooseFavoredSql,
     "q_user_windows" -> qUserWindowsSql,
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,

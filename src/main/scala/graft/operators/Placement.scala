@@ -23,6 +23,16 @@ object Placement {
                               block_size: Long)
   final case class PickRow(request_id: Long, pick_order: Int, storage_id: String,
                            datanode_uuid: String)
+  final case class FavoredRequestRow(request_id: Long, additional: Int,
+                                     writer_uuid: Option[String], excludes: Seq[String],
+                                     favored: Seq[String], block_size: Long)
+  final case class FavoredSummary(request_id: Long, n_picked: Long,
+                                  n_distinct_nodes: Long, n_distinct_racks: Long,
+                                  n_dcs: Long, max_per_dc: Long,
+                                  n_favored: Long, n_favored_eligible: Long,
+                                  n_favored_picked: Long, favored_first: Boolean,
+                                  n_excl_violations: Long, n_unhealthy: Long,
+                                  n_bad_storage: Long)
   final case class CandidateRow(block_id: Long, require_replica: Long, storage_id: String)
   final case class RemovalRow(block_id: Long, removal_order: Int, storage_id: String)
   final case class ChooseSummary(request_id: Long, n_picked: Long,
@@ -103,6 +113,49 @@ object Placement {
         n_distinct_racks = racks.distinct.size.toLong,
         n_dcs = perDc.size.toLong,
         max_per_dc = if (perDc.isEmpty) 0L else perDc.values.map(_.size).max.toLong,
+        n_excl_violations = nodes.count(n => r.excludes.exists(n.path.startsWith)).toLong,
+        n_unhealthy = nodes.count(!_.healthy).toLong,
+        n_bad_storage = picks.count(st => st.state != "NORMAL" ||
+          st.tpe != "DISK" || st.remaining < r.block_size).toLong)
+    }.toDF()
+  }
+
+  /** Favored-nodes variant of [[chooseInvariants]]: same data-parallel
+    * shape (broadcast snapshot, one narrow map per request, no shuffles),
+    * with the favored contract made observable — how many favored nodes
+    * were eligible, how many were picked, and whether every favored pick
+    * came before every balanced pick. The DuckDB oracle recomputes
+    * eligibility (health, exclusion, storage state/type/space) from the
+    * fixture arithmetic, so a favored-path drift (skipped eligible node,
+    * quota overrun, favored picked after a balanced pick) fails the hash. */
+  def chooseFavoredInvariants(spark: SparkSession, snap: ClusterSnapshot,
+                              requests: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(snap)
+    requests.as[FavoredRequestRow].map { r =>
+      val s = bc.value
+      val req = PlacementRequest(r.request_id, r.additional, r.writer_uuid,
+        chosen = Nil, returnChosen = false, excludes = r.excludes,
+        blockSize = r.block_size,
+        policy = Map("DISK" -> r.additional.toLong), favored = r.favored)
+      val picks = PolicyEngine.chooseTarget(s, req, new Random(r.request_id))
+      val nodes = picks.map(st => s.nodeByUuid(st.nodeUuid))
+      val racks = nodes.map(n => PolicyEngine.parentPath(n.path))
+      val perDc = nodes.groupBy(n => PolicyEngine.topRack(n.path))
+      val eligible = PolicyEngine.favoredEligible(s, req).map(_.uuid).toSet
+      val favoredSet = r.favored.toSet
+      val nFavoredPicked = nodes.count(n => favoredSet.contains(n.uuid))
+      FavoredSummary(
+        r.request_id,
+        n_picked = picks.size.toLong,
+        n_distinct_nodes = nodes.map(_.uuid).distinct.size.toLong,
+        n_distinct_racks = racks.distinct.size.toLong,
+        n_dcs = perDc.size.toLong,
+        max_per_dc = if (perDc.isEmpty) 0L else perDc.values.map(_.size).max.toLong,
+        n_favored = r.favored.distinct.size.toLong,
+        n_favored_eligible = eligible.size.toLong,
+        n_favored_picked = nFavoredPicked.toLong,
+        favored_first = nodes.take(nFavoredPicked).forall(n => favoredSet.contains(n.uuid)),
         n_excl_violations = nodes.count(n => r.excludes.exists(n.path.startsWith)).toLong,
         n_unhealthy = nodes.count(!_.healthy).toLong,
         n_bad_storage = picks.count(st => st.state != "NORMAL" ||

@@ -11,7 +11,9 @@ final case class StorageMeta(id: String, nodeUuid: String, state: String,
                              tpe: String, remaining: Long)
 
 /** Allocation request — the Spark-side shape of the reference's
-  * `chooseTarget` signature (`CrossAZBlockPlacementPolicy.java:104-112`). */
+  * `chooseTarget` signature (`CrossAZBlockPlacementPolicy.java:104-112`).
+  * `favored` carries the favored-datanode overload the reference test
+  * exercises (`TestCrossAZBlockPlacementPolicy.java:371-375`). */
 final case class PlacementRequest(
     requestId: Long,
     additional: Int,
@@ -20,7 +22,8 @@ final case class PlacementRequest(
     returnChosen: Boolean,
     excludes: Seq[String],        // node-path prefixes
     blockSize: Long,
-    policy: Map[String, Long])    // preferred storage type -> count
+    policy: Map[String, Long],    // preferred storage type -> count
+    favored: Seq[String] = Nil)   // favored datanode uuids, in preference order
 
 /** Immutable cluster-metadata snapshot, broadcast to executors.
   *
@@ -239,8 +242,55 @@ object PolicyEngine {
 
     val rootNode = if (snap.childrenOf.contains(selectionRoot) ||
       snap.nodeByPath.contains(selectionRoot)) selectionRoot else ""
-    val selected = selectInNode(rootNode, req.additional).take(req.additional)
+
+    // Favored-nodes seeding. The reference inherits the base
+    // `BlockPlacementPolicy` favored overload
+    // (`TestCrossAZBlockPlacementPolicy.java:371-375` drives it); we
+    // implement the useful HDFS-default-policy semantics: each eligible
+    // favored node (healthy, not excluded, not already holding a replica,
+    // with a storage passing the same state/type/space filters) is picked
+    // FIRST, in the caller's preference order, counting against the quota.
+    // The balanced remainder then spreads around the favored picks exactly
+    // as it spreads around already-chosen replicas (they seed
+    // `currently_had` via `consume`).
+    val favoredPicks = Vector.newBuilder[StorageMeta]
+    var nFavored = 0
+    req.favored.distinct.foreach { uuid =>
+      if (nFavored < req.additional) {
+        snap.nodeByUuid.get(uuid).foreach { n =>
+          if (n.healthy && !nodeExcluded(n.path) && !currentlyHad.contains(n.path)) {
+            snap.storagesByNode.getOrElse(n.uuid, Vector.empty)
+              .filter(storageOk).minByOption(preferKey).foreach { st =>
+                consume(st); favoredPicks += st; nFavored += 1
+              }
+          }
+        }
+      }
+    }
+    val favored = favoredPicks.result()
+    val rest = req.additional - favored.size
+    val selected = favored ++ selectInNode(rootNode, rest).take(rest)
     if (req.returnChosen) selected ++ chosenStorages else selected
+  }
+
+  /** Favored nodes eligible to be seeded by [[chooseTarget]] at request
+    * start: deduplicated, present in the snapshot, healthy, outside every
+    * excluded subtree, not already holding a replica, with at least one
+    * storage passing the state/type/space filters. Shared by the invariant
+    * summary so the gate and the greedy cannot drift. */
+  def favoredEligible(snap: ClusterSnapshot, req: PlacementRequest): Vector[NodeMeta] = {
+    val chosenNodePaths = req.chosen.flatMap(snap.storageById.get)
+      .flatMap(s => snap.nodeByUuid.get(s.nodeUuid)).map(_.path).toSet
+    val preferType = req.policy
+    req.favored.distinct.flatMap(snap.nodeByUuid.get).filter { n =>
+      n.healthy &&
+        !req.excludes.exists(n.path.startsWith) &&
+        !chosenNodePaths.contains(n.path) &&
+        snap.storagesByNode.getOrElse(n.uuid, Vector.empty).exists(st =>
+          st.state != "FAILED" && st.state != "READ_ONLY_SHARED" &&
+            st.remaining >= req.blockSize &&
+            (preferType.isEmpty || preferType.contains(st.tpe)))
+    }.toVector
   }
 
   // --------------------------------------------------- chooseReplicasToDelete

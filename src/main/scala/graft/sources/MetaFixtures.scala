@@ -171,6 +171,19 @@ object MetaFixtures {
       "CASE WHEN id % 7 = 0 THEN array('/odd') ELSE array() END AS excludes",
       "CAST(12 AS BIGINT) AS block_size")
 
+  /** Favored-nodes placement requests: one favored datanode per request
+    * (LCG-chosen so the oracle recomputes it), no writer, a seventh
+    * excluding the odd datacenter — which makes odd favored nodes
+    * ineligible there, exercising the skip path. */
+  def favoredRequests(spark: SparkSession): DataFrame =
+    spark.range(0, NumRequests).selectExpr(
+      "id AS request_id",
+      s"CAST(1 + ${prand("id * 3 + 17")} % 4 AS INT) AS additional",
+      "CAST(NULL AS STRING) AS writer_uuid",
+      "CASE WHEN id % 7 = 0 THEN array('/odd') ELSE array() END AS excludes",
+      s"array(concat('dn-', 1 + ${prand("id * 19 + 41")} % $NumNodes)) AS favored",
+      "CAST(12 AS BIGINT) AS block_size")
+
   /** Common-table-expression prelude for every fixture-based oracle query.
     * DuckDB binds CTEs lazily, so unused ones cost nothing. */
   def cteSql: String =

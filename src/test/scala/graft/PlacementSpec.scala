@@ -35,9 +35,11 @@ class PlacementSpec extends AnyFunSuite {
 
   private def req(id: Long = 1, additional: Int, writer: Option[String] = None,
                   chosen: Seq[String] = Nil, returnChosen: Boolean = false,
-                  excludes: Seq[String] = Nil): PlacementRequest =
+                  excludes: Seq[String] = Nil,
+                  favored: Seq[String] = Nil): PlacementRequest =
     PlacementRequest(id, additional, writer, chosen, returnChosen, excludes,
-      blockSize = 12, policy = Map("DISK" -> additional.toLong))
+      blockSize = 12, policy = Map("DISK" -> additional.toLong),
+      favored = favored)
 
   private val snap = cleanSnapshot
 
@@ -129,6 +131,74 @@ class PlacementSpec extends AnyFunSuite {
         .toDF("block_id", "replica_index", "datanode_uuid")
       val blocks = Seq((1L, k)).toDF("block_id", "require_replica")
       val row = Verification.verifyBalancedOptimal(replicas, topoDf, blocks).head()
+      assert(row.getAs[Boolean]("satisfied"),
+        s"k=$k seed=$seed picks=${picks.map(_.nodeUuid)}: ${row.getAs[String]("reason")}")
+    }
+  }
+
+  // -------------------------------------------------------- favored nodes
+
+  test("favored: eligible favored node is picked first, quota respected") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 3, favored = Seq("dn-odd-2-3")), new Random(7))
+    assert(picks.size == 3)
+    assert(picks.head.nodeUuid == "dn-odd-2-3")
+    assert(picks.map(_.nodeUuid).distinct.size == 3)
+  }
+
+  test("favored: multiple favored fill the quota in preference order") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 2,
+        favored = Seq("dn-even-1-1", "dn-odd-3-2", "dn-even-4-4")),
+      new Random(7))
+    assert(picks.map(_.nodeUuid) == Vector("dn-even-1-1", "dn-odd-3-2"))
+  }
+
+  test("favored: excluded or unhealthy favored nodes are skipped") {
+    val unhealthy = snap.copy(nodes = snap.nodes.map(n =>
+      if (n.uuid == "dn-even-0-0") n.copy(healthy = false) else n))
+    val picks = PolicyEngine.chooseTarget(unhealthy,
+      req(additional = 2, excludes = Seq("/odd"),
+        favored = Seq("dn-odd-1-1", "dn-even-0-0", "dn-even-2-2")),
+      new Random(7))
+    // dn-odd-1-1 excluded, dn-even-0-0 unhealthy -> only dn-even-2-2 seeds
+    assert(picks.head.nodeUuid == "dn-even-2-2")
+    assert(picks.size == 2)
+    assert(picks.forall(p => nodePath(p).startsWith("/even")))
+    assert(!picks.exists(_.nodeUuid == "dn-even-0-0"))
+  }
+
+  test("favored: a favored node already holding a replica is not re-picked") {
+    val picks = PolicyEngine.chooseTarget(snap,
+      req(additional = 2, chosen = Seq("st-dn-even-0-0"),
+        favored = Seq("dn-even-0-0")), new Random(7))
+    assert(!picks.exists(_.nodeUuid == "dn-even-0-0"))
+    assert(picks.size == 2)
+  }
+
+  test("favored: favoredEligible matches the nodes chooseTarget seeds") {
+    val r = req(additional = 4,
+      favored = Seq("dn-even-1-1", "dn-odd-3-2", "dn-odd-3-2", "dn-even-4-4"))
+    val eligible = PolicyEngine.favoredEligible(snap, r).map(_.uuid)
+    assert(eligible == Vector("dn-even-1-1", "dn-odd-3-2", "dn-even-4-4"))
+    val picks = PolicyEngine.chooseTarget(snap, r, new Random(7))
+    assert(picks.take(3).map(_.nodeUuid) == eligible)
+  }
+
+  test("metamorphic: favored allocations still pass balanced verification") {
+    val topo = snap.nodes.map(n => (n.uuid, n.path,
+        n.path.split('/')(1), n.path.split('/')(2)))
+      .toDF("datanode_uuid", "path", "dc", "rack")
+    for (k <- 1 to 5; seed <- Seq(1, 42)) {
+      val favored = Seq(s"dn-even-${seed % 5}-1", s"dn-odd-${(seed + 2) % 5}-3")
+      val picks = PolicyEngine.chooseTarget(snap,
+        req(additional = k, favored = favored), new Random(seed))
+      assert(picks.size == k, s"k=$k seed=$seed")
+      val replicas = picks.zipWithIndex
+        .map { case (p, i) => (1L, i.toLong, p.nodeUuid) }
+        .toDF("block_id", "replica_index", "datanode_uuid")
+      val blocks = Seq((1L, k)).toDF("block_id", "require_replica")
+      val row = Verification.verifyBalancedOptimal(replicas, topo, blocks).head()
       assert(row.getAs[Boolean]("satisfied"),
         s"k=$k seed=$seed picks=${picks.map(_.nodeUuid)}: ${row.getAs[String]("reason")}")
     }
