@@ -2679,6 +2679,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Sketch-merge variant of the IQR-outlier query: quartiles come from
+    * `percentile_approx` partials merged map-side (operators.Quantiles)
+    * instead of a per-group global sort — the scale path for few-group
+    * quantiles (5 event types over 100 TB caps the exact form's sort at 5
+    * tasks; the sketch's parallelism follows the data). The gate pins
+    * `accuracy = 2^22 > n`, where the GK sketch is provably exact at rank
+    * `ceil(p*n)` — so the oracle is the SAME exact-fence SQL as
+    * `q_value_outliers`, and the two queries must agree row-for-row.
+    * Production callers at 100 TB drop accuracy to bound sketch memory. */
+  private def qValueOutliersApprox(s: SparkSession, dir: String): DataFrame =
+    operators.Quantiles.iqrOutliers(
+        eventsBase(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", accuracy = 1 << 22)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+
   private val qValueOutliersSql =
     s"""WITH ranked AS (
        |  SELECT event_id, event_type, value,
@@ -2934,6 +2950,7 @@ object SparkEntry {
     "q_table_diff" -> (qTableDiff _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
+    "q_value_outliers_approx" -> (qValueOutliersApprox _),
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
     "q_partitioned_prune" -> (qPartitionedPrune _),
@@ -3025,6 +3042,7 @@ object SparkEntry {
     "q_table_diff" -> qTableDiffSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
+    "q_value_outliers_approx" -> qValueOutliersSql,
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,
     "q_partitioned_prune" -> qPartitionedPruneSql,

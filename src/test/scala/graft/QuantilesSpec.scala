@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quantiles
+
+/** Sketch-merge quantiles: exactness contract at accuracy > n, agreement
+  * with the exact rank-statistic form, and the scale-shape plan pins that
+  * justify the operator's existence (no per-group global sort). */
+class QuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 2 groups x 30k rows with a skewed long-tail distribution — the
+    * few-groups shape the operator exists for. Deterministic LCG values. */
+  private def fixture = spark.range(0, 60000).selectExpr(
+    "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+    "id AS row_id",
+    // skewed: mostly small, occasional large spikes
+    "CAST((1103515245 * id + 12345) % 997 AS DOUBLE) " +
+      "+ CASE WHEN id % 101 = 0 THEN 5000.0 ELSE 0.0 END AS v")
+
+  test("accuracy > n: sketched quartiles equal exact rank statistics") {
+    val df = fixture.cache()
+    val approx = Quantiles.approxQuantiles(df, Seq("g"), "v",
+        Seq(0.25, 0.5, 0.75), accuracy = 1 << 20)
+      .orderBy("g").collect()
+    val exact = df
+      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy(col("v"), col("row_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g", "n")
+      .agg(
+        max(when(col("rk") === expr("cast(ceil(0.25 * n) as bigint)"), col("v"))).as("q1"),
+        max(when(col("rk") === expr("cast(ceil(0.50 * n) as bigint)"), col("v"))).as("q2"),
+        max(when(col("rk") === expr("cast(ceil(0.75 * n) as bigint)"), col("v"))).as("q3"))
+      .orderBy("g").collect()
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(a.getAs[String]("g") == e.getAs[String]("g"))
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      assert(a.getAs[Double]("q_0") == e.getAs[Double]("q1"), "q1")
+      assert(a.getAs[Double]("q_1") == e.getAs[Double]("q2"), "q2")
+      assert(a.getAs[Double]("q_2") == e.getAs[Double]("q3"), "q3")
+    }
+    df.unpersist()
+  }
+
+  test("iqrOutliers matches the exact-fence computation row-for-row") {
+    val df = fixture.cache()
+    val approx = Quantiles.iqrOutliers(df, Seq("g"), "v", accuracy = 1 << 20)
+      .select("row_id").as[Long].collect().sorted
+    val fences = df
+      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy(col("v"), col("row_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(
+        max(when(col("rk") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    val exact = df.join(broadcast(fences.select("g", "hi")), "g")
+      .where(col("v") > col("hi"))
+      .select("row_id").as[Long].collect().sorted
+    assert(approx.nonEmpty, "fixture should produce outliers")
+    assert(approx.toSeq == exact.toSeq)
+    df.unpersist()
+  }
+
+  test("plan shape: sketch aggregate, no window sort, broadcast fence join") {
+    val plan = Quantiles.iqrOutliers(fixture, Seq("g"), "v", accuracy = 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), "sketch aggregate expected")
+    assert(!plan.contains("Window"), "no per-group rank window at any scale")
+    // partial (map-side) sketch merge: two aggregate stages around one exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "partial + final sketch aggregation expected")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "fence relation should broadcast")
+  }
+}
