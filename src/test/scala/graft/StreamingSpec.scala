@@ -320,6 +320,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("adversarial late step-1 with window: emission is final, batch diverges") {
+    // The documented scope of the window guarantee: a late-arriving EARLIER
+    // step-1 event shrinks the window and can invalidate an already-emitted
+    // completion. Streaming output is append-only (no retraction), so the
+    // emitted row stands while batch on the full history reports depth 1.
+    import graft.streaming.StreamingFunnel.StepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val window = Some(100L)
+    val early = Seq(StepEvent(7L, 1, 100), StepEvent(7L, 2, 150), StepEvent(7L, 3, 200))
+    val late = Seq(StepEvent(7L, 1, 0)) // t1=0 -> limit=100 -> b@150 excluded
+    val mem = MemoryStream[StepEvent]
+    val q = graft.streaming.StreamingFunnel.completions(mem.toDS(), 3, window)
+      .writeStream.format("memory").queryName("funnel_late1")
+      .outputMode("append").start()
+    try {
+      mem.addData(early); q.processAllAvailable()
+      mem.addData(late); q.processAllAvailable()
+      val got = spark.table("funnel_late1").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == Map(7L -> Seq(100L, 150L, 200L)), "emitted before the late event, final")
+      // batch over the full history disagrees — exactly the scoped divergence
+      assert(batchFunnel(early ++ late, window).isEmpty)
+      // windowless, the SAME history agrees between streaming and batch
+      assert(batchFunnel(early ++ late, None) == Map(7L -> Seq(0L, 150L, 200L)))
+    } finally q.stop()
+  }
+
+  test("funnel state is O(active window), not O(history)") {
+    import graft.streaming.StreamingFunnel.{FunnelState, StepEvent}
+    val empty = FunnelState(Long.MaxValue, Map.empty, done = false)
+    val window = Some(100L)
+
+    // With step-1 known: 10k step-2 events past the window leave no state.
+    val (st1, none1) = graft.streaming.StreamingFunnel.applyBatch(
+      empty,
+      (Iterator.single(StepEvent(1L, 1, 0)) ++
+        (1 to 10000).iterator.map(i => StepEvent(1L, 2, 200L + i))),
+      nSteps = 3, window, watermark = Long.MinValue)
+    assert(none1.isEmpty)
+    assert(st1.minStep1 == 0L)
+    assert(st1.later.values.map(_.size).sum == 0, "past-window times must drop")
+
+    // In-window candidates are retained, bounded by the window contents.
+    val (st2, _) = graft.streaming.StreamingFunnel.applyBatch(
+      st1, (1 to 5).iterator.map(i => StepEvent(1L, 2, i * 10L)),
+      nSteps = 3, window, watermark = Long.MinValue)
+    assert(st2.later(2).size == 5)
+
+    // No step-1 yet + watermark: candidates at or below the horizon evict.
+    val (st3, none3) = graft.streaming.StreamingFunnel.applyBatch(
+      empty, (1 to 10000).iterator.map(i => StepEvent(2L, 2, i.toLong)),
+      nSteps = 3, window, watermark = 10000L)
+    assert(none3.isEmpty)
+    assert(st3.later.values.map(_.size).sum == 0, "sub-watermark times must evict")
+
+    // ...but candidates a future step-1 could still pair with survive.
+    val (st4, _) = graft.streaming.StreamingFunnel.applyBatch(
+      empty, (1 to 100).iterator.map(i => StepEvent(3L, 2, 10000L + i)),
+      nSteps = 3, window, watermark = 10000L)
+    assert(st4.later(2).size == 100)
+  }
+
   test("streaming funnel times equal batch exactly on in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     val events = funnelFixture.sortBy(_.ts)
