@@ -99,15 +99,28 @@ object Triangles {
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("src"), col("dst")), lit(bits.toInt), lit(bloomHashes)))
           .head().getAs[Array[Byte]](0)
-        wedges.where(call_function("graft_might_contain",
-          lit(blob), xxhash64(col("d1"), col("d2"))))
+        // ship the (up to 16 MiB) sketch as a broadcast 1-row relation, not
+        // a plan literal — a literal is re-serialized into every task
+        // binary, a broadcast ships once per executor
+        import spark.implicits._
+        val blobDf = Seq(Tuple1(blob)).toDF("__bloom")
+        wedges.join(broadcast(blobDf))
+          .where(call_function("graft_might_contain",
+            col("__bloom"), xxhash64(col("d1"), col("d2"))))
+          .drop("__bloom")
       } else wedges
 
     val closing = oriented.select(col("src").as("d1"), col("dst").as("d2"))
     val triangles = prunedWedges.join(closing, Seq("d1", "d2"))
 
-    triangles
+    val result = triangles
       .select(explode(array(col("src"), col("d1"), col("d2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // the per-node aggregate is tiny next to the wedge relation: materialize
+    // it eagerly (cutting lineage) so the big persisted intermediate can be
+    // released deterministically instead of leaking across invocations
+    val out = result.localCheckpoint(true)
+    oriented.unpersist()
+    out
   }
 }

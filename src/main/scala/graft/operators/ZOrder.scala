@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * `zValue2` interleaves two 32-bit dimensions into one 64-bit key with
   * the five magic-number spread steps — all codegen'd long bit ops, no
-  * UDF. `zValueN` is the general form (any #dims, any bit budget) built
-  * from the same primitives; `zValue2` == `zValueN(_, _, 32)` bit for bit
-  * (ZOrderSpec).
+  * UDF. `zValueN` is the general form (any #dims, `dims * bits <= 63`)
+  * built from the same primitives; on inputs below 2^31, `zValue2` ==
+  * `zValueN(_, _, 31)` bit for bit on the low 62 bits (ZOrderSpec pins
+  * the agreement at 31 bits — `zValueN(2, 32)` itself exceeds the
+  * 63-bit budget and is rejected).
   */
 object ZOrder {
 

@@ -46,8 +46,7 @@ object Search {
     // The postings relation feeds four consumers (query-term contrib, doc
     // lengths, term dfs, corpus stats); without a cache each branch
     // re-tokenizes the corpus — persist the compact (doc, term, tf)
-    // relation once (caller owns the cache lifetime; same convention as
-    // TextAnalysis.lmScore / Dedup).
+    // relation once, released below once the top-k is materialized.
     val postings = docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -90,9 +89,15 @@ object Search {
       .agg(sum("contrib_micros").as("score_micros"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micros").desc, col("doc_id"))
-    scored
+    val topk = scored
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score_micros")
+    // |queries| * k rows: materialize eagerly (cutting lineage) so the
+    // corpus-sized postings cache is released deterministically instead of
+    // leaking across invocations
+    val out = topk.localCheckpoint(true)
+    postings.unpersist()
+    out
   }
 }
