@@ -40,6 +40,68 @@ class FormatsAndSkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE skew-join stance: runtime split handles the hot SMJ partition") {
+    // The engine's position (PLANS.md): prefer broadcast for dim joins;
+    // when both sides must shuffle, AQE's skew-join split is the default
+    // mitigation; SaltedJoin is the explicit form for known-hot keys, AQE
+    // off, or skew in shapes AQE cannot rewrite (groupBy keys). This case
+    // pins the AQE half on the 90%-hot-key fixture.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot partition's join as skew-handled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE skew-join stance: with AQE off, salting is what balances partitions") {
+    val saved = scala.util.Try(spark.conf.get("spark.sql.adaptive.enabled")).toOption
+    val savedBc = scala.util.Try(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator.single(it.size)).collect().max
+      val plainMax = maxPartitionRows(fact.join(dim, "k"))
+      val saltedMax = maxPartitionRows(SaltedJoin.innerSalted(fact, dim, "k"))
+      // plain SMJ: the hot key's ~180k rows land in ONE task; salted: they
+      // fan out over saltFactor=8 sub-keys
+      assert(plainMax >= 180000, s"hot partition expected, got $plainMax")
+      assert(saltedMax <= plainMax / 2,
+        s"salting should halve the max partition at least: $saltedMax vs $plainMax")
+    } finally {
+      saved.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+      savedBc.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("bucketed interval join equals the naive range join on skewed keys") {
     // one hot key with dense timestamps + sparse cold keys; pseudo-random
     // spacing so pairs fall inside bins, across bin boundaries, and out
