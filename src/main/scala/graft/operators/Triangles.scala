@@ -99,15 +99,17 @@ object Triangles {
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("src"), col("dst")), lit(bits.toInt), lit(bloomHashes)))
           .head().getAs[Array[Byte]](0)
-        // ship the (up to 16 MiB) sketch as a broadcast 1-row relation, not
-        // a plan literal — a literal is re-serialized into every task
-        // binary, a broadcast ships once per executor
-        import spark.implicits._
-        val blobDf = Seq(Tuple1(blob)).toDF("__bloom")
-        wedges.join(broadcast(blobDf))
-          .where(call_function("graft_might_contain",
-            col("__bloom"), xxhash64(col("d1"), col("d2"))))
-          .drop("__bloom")
+        // The sketch MUST reach the probe as a plan literal, never as a
+        // joined-in attribute: codegen materializes a BINARY attribute with
+        // UnsafeRow.getBinary, which copies the whole multi-MiB blob ON
+        // EVERY ROW (measured: a broadcast 1-row relation turned this 4 s
+        // query into a >90-CPU-minute memcpy storm at sf0.1). A literal is
+        // a shared constant in the codegen references array — zero per-row
+        // cost — and task binaries are themselves TorrentBroadcast, so the
+        // blob still ships once per executor; the only per-task overhead is
+        // deserialization, bounded by the 16 MiB cap.
+        wedges.where(call_function("graft_might_contain",
+          lit(blob), xxhash64(col("d1"), col("d2"))))
       } else wedges
 
     val closing = oriented.select(col("src").as("d1"), col("dst").as("d2"))
