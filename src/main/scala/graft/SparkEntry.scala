@@ -1911,6 +1911,26 @@ object SparkEntry {
        |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Epoch-2 training order over the documents corpus: 16 shards, md5
+    * permutation (Curation.epochShuffle). The md5 key makes the shuffle
+    * engine-independent, so the oracle re-derives the identical
+    * (shard, pos) assignment. */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.epochShuffle(
+        Tables.documents(s, dir), col("doc_id"), epoch = 2, nShards = 16)
+      .orderBy("id")
+
+  private val qEpochShuffleSql =
+    s"""WITH k AS (SELECT doc_id AS id,
+       |    md5(doc_id || ':2') AS shuffle_key FROM documents),
+       |s AS (SELECT id, shuffle_key,
+       |    ('0x' || substr(shuffle_key, 1, 8))::BIGINT % 16 AS shard FROM k)
+       |SELECT id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY shuffle_key, id) AS BIGINT) AS pos,
+       |  shuffle_key
+       |FROM s ORDER BY id""".stripMargin
+
   /** Ledger = fingerprints of doc_id % 10 < 3 (the "previously ingested"
     * snapshot); batch = the rest, deduped against ledger then within
     * itself. */
@@ -2403,6 +2423,87 @@ object SparkEntry {
        |SELECT query_id, rk, doc_id, score_micros
        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Hybrid retrieval: BM25 more-like-this (each query doc's top-5 tf
+    * terms, self excluded) fused with exact cosine top-10 over the
+    * embeddings by reciprocal-rank fusion (c=60, integer micros). Query
+    * workload = doc_id % 40 == 0; docs in it without an embedding
+    * degrade to lexical-only — the production behavior for a corpus with
+    * partial embedding coverage. Both lists are workload-sized, so the
+    * fusion join touches |queries| * k rows, nothing corpus-sized. */
+  private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val text = pipeline.Search.moreLikeThis(Tables.documents(s, dir),
+      "doc_id", "text", col("doc_id") % 40 === 0, nTerms = 5, k = 10)
+    val vec = pipeline.Similarity.bruteTopK(
+        Tables.embeddings(s, dir), col("vec_id") % 40 === 0, k = 10)
+      .withColumnRenamed("rank", "rk")
+      .withColumnRenamed("neighbor_id", "doc_id")
+    pipeline.Search.rrfFuse(text, vec, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  private val qHybridRetrievalSql =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest($DuckToks) AS term FROM documents),
+       |postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+       |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |    (SELECT SUM(dl) FROM dl) AS sum_dl),
+       |q AS (SELECT query_id, term FROM (
+       |    SELECT doc_id AS query_id, term,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tf DESC, term) AS trk
+       |    FROM postings WHERE doc_id % 40 = 0)
+       |  WHERE trk <= 5),
+       |dft AS (SELECT term, COUNT(*) AS df FROM postings
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |contrib AS (SELECT q.query_id, p.doc_id,
+       |    (((2 * (s.n - f.df) + 1) * 1000000) // (2 * f.df + 1)
+       |      * ((p.tf * 2200000 * 1000000)
+       |         // (p.tf * 1000000 + (1200000 * (1000000 - 750000 +
+       |              (750000 * ((d.dl * s.n * 1000000) // s.sum_dl)) // 1000000))
+       |            // 1000000))) // 1000000 AS c
+       |  FROM q JOIN postings p USING (term)
+       |  JOIN dft f USING (term) JOIN dl d USING (doc_id)
+       |  CROSS JOIN stats s),
+       |scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+       |  FROM contrib WHERE doc_id <> query_id GROUP BY 1, 2),
+       |rtext AS (SELECT query_id, doc_id, rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micros DESC, doc_id) AS rk FROM scored)
+       |  WHERE rk <= 10),
+       |$DuckPrepared,
+       |vq AS (SELECT vec_id AS query_id, xs AS xs_q, norm2 AS n_q
+       |  FROM en2 WHERE vec_id % 40 = 0),
+       |vp AS (SELECT vq.query_id, e2.vec_id AS doc_id,
+       |    CAST(list_sum(list_transform(range(1, len(xs_q) + 1),
+       |      i -> xs_q[i] * e2.xs[i])) AS BIGINT) AS dot,
+       |    vq.n_q, e2.norm2 AS n
+       |  FROM vq JOIN en2 e2 ON e2.vec_id <> vq.query_id),
+       |vc AS (SELECT query_id, doc_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))) AS cos
+       |  FROM vp),
+       |rvec AS (SELECT query_id, doc_id, rk FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id) AS rk FROM vc)
+       |  WHERE rk <= 10),
+       |ta AS (SELECT query_id, doc_id,
+       |    CAST(1000000 // (60 + rk) AS BIGINT) AS a_micros,
+       |    CAST(rk AS BIGINT) AS a_rk FROM rtext),
+       |tb AS (SELECT query_id, doc_id,
+       |    CAST(1000000 // (60 + rk) AS BIGINT) AS b_micros,
+       |    CAST(rk AS BIGINT) AS b_rk FROM rvec),
+       |fused AS (SELECT COALESCE(ta.query_id, tb.query_id) AS query_id,
+       |    COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+       |    COALESCE(a_micros, 0) + COALESCE(b_micros, 0) AS rrf_micros,
+       |    COALESCE(a_rk, 0) AS text_rk, COALESCE(b_rk, 0) AS vec_rk
+       |  FROM ta FULL OUTER JOIN tb
+       |    ON ta.query_id = tb.query_id AND ta.doc_id = tb.doc_id)
+       |SELECT query_id, CAST(rrk AS BIGINT) AS rk, doc_id, rrf_micros,
+       |  text_rk, vec_rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micros DESC, doc_id) AS rrk FROM fused)
+       |WHERE rrk <= 10 ORDER BY query_id, rk""".stripMargin
 
   // ===================================================================
   // SCD2 history + CUBE grouping sets
@@ -2927,6 +3028,7 @@ object SparkEntry {
     "q_quality_rules" -> (qQualityRules _),
     "dedup_blocks" -> (dedupBlocks _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "q_lm_score" -> (qLmScore _),
@@ -2941,6 +3043,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bm25_topk" -> (qBm25Topk _),
+    "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -3019,6 +3122,7 @@ object SparkEntry {
     "q_quality_rules" -> qQualityRulesSql,
     "dedup_blocks" -> dedupBlocksSql,
     "q_pack_sequences" -> qPackSequencesSql,
+    "q_epoch_shuffle" -> qEpochShuffleSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
     "q_lm_score" -> qLmScoreSql,
@@ -3033,6 +3137,7 @@ object SparkEntry {
     "q_funnel" -> qFunnelSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bm25_topk" -> qBm25TopkSql,
+    "q_hybrid_retrieval" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,
     "q_zorder_layout" -> qZorderLayoutSql,

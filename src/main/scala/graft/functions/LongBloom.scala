@@ -200,3 +200,48 @@ case class BloomMightContain(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
 }
+
+/** [[BloomMightContain]] with the blob carried as a SparkContext broadcast
+  * instead of an expression: the task binary serializes only the broadcast
+  * HANDLE (a few bytes), the blob ships once per executor through the
+  * torrent protocol, and codegen caches the resolved `byte[]` in a field —
+  * so neither blob size nor row count multiplies the cost. This is the
+  * transport for sketches past literal-friendly size (a BINARY literal is
+  * re-deserialized per task with the task binary; a BINARY attribute from
+  * a row is copied out of the UnsafeRow PER ROW — measured as a 1000x
+  * regression on the triangle pruner).
+  *
+  * Built directly as a Column (ExpressionUtils.column) rather than through
+  * the function registry: a registry builder can only receive Expression
+  * children, and the whole point is that the blob is NOT an expression.
+  */
+case class BloomMightContainBc(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT value, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain_bc"
+
+  override protected def nullSafeEval(v: Any): Any =
+    LongBloom.contains(bc.value, v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw Broadcast type: Janino's generics support is not to be relied on
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val blob = ctx.addMutableState("byte[]", "bloomBlob",
+      v => s"$v = (byte[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.LongBloom.contains($blob, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBc =
+    copy(child = newChild)
+}

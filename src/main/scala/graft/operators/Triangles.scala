@@ -30,14 +30,18 @@ object Triangles {
     *               orientation normalized away
     * @param bloomBits -1 (default): auto-size a `graft_bloom_agg` sketch of
     *               the oriented edge set at ~10 bits/edge (clamped to
-    *               [2^20, 2^27]; skipped entirely when the edge set
-    *               outgrows the 16 MiB cap) and drop non-closing wedges
-    *               INSIDE the wedge-generation stage, before they reach
-    *               the closing join's exchange — the wedge shuffle is the
-    *               operator's bottleneck and most wedges of a sparse graph
-    *               do not close. A FIXED size would silently saturate on a
+    *               [2^20, 2^30]; skipped only when even the 2^30 cap is
+    *               < 4 bits/edge, where fp ~ 0.2 stops paying for the
+    *               pass) and drop non-closing wedges INSIDE the
+    *               wedge-generation stage, before they reach the closing
+    *               join's exchange — the wedge shuffle is the operator's
+    *               bottleneck and most wedges of a sparse graph do not
+    *               close. A FIXED size would silently saturate on a
     *               larger graph (fp -> 1: all sketch cost, no prune —
     *               measured as a 2x regression at 10x before auto-sizing).
+    *               The blob rides a SparkContext broadcast
+    *               ([[graft.functions.BloomMightContainBc]]), so the cap
+    *               is executor-memory-bound, not plan-literal-bound.
     *               > 0: explicit size; 0: prune off. False positives are
     *               re-checked by the exact join; false negatives are
     *               impossible, so results are bit-identical (TrianglesSpec
@@ -83,46 +87,58 @@ object Triangles {
         (col("dd1") === col("dd2") && col("d1") < col("d2")))
 
     val spark = edges.sparkSession
-    val maxBits = 1 << 27 // 16 MiB blob cap — past this, prune off
-    val bits: Long =
-      if (bloomBits > 0) bloomBits.toLong
-      else if (bloomBits == 0) 0L
+    // 2^30 bits = 128 MiB, the graft_bloom_agg ceiling. The sketch ships as
+    // a SparkContext broadcast (BloomMightContainBc), NOT a plan literal,
+    // so blob size costs one torrent transfer per executor — not one
+    // literal deserialization per task, and never a per-row copy (a BINARY
+    // attribute would be copied out of the UnsafeRow on every row;
+    // measured as a 1000x regression before this transport).
+    val maxBits = 1L << 30
+    val (bits: Long, pruneOn: Boolean) =
+      if (bloomBits > 0) (bloomBits.toLong, true)
+      else if (bloomBits == 0) (0L, false)
       else {
-        // auto: ~10 bits/edge over the persisted relation (count is cheap)
-        val target = oriented.count() * 10
-        if (target > maxBits) 0L
-        else math.max(1L << 20, java.lang.Long.highestOneBit(target - 1) << 1)
+        // auto: ~10 bits/edge over the persisted relation (count is cheap),
+        // clamped to the cap. Below ~4 bits/edge at the cap the fp rate
+        // (~0.2 at k=5) no longer buys the sketch pass — prune off. The
+        // 100x probe is what exposed this policy: the previous 16 MiB
+        // hard-off silently reverted a 1e8-edge graph to the unpruned
+        // wedge shuffle, the operator's worst case, exactly when pruning
+        // matters most.
+        val edgesN = oriented.count()
+        val target = edgesN * 10
+        if (target <= maxBits)
+          (math.max(1L << 20, java.lang.Long.highestOneBit(target - 1) << 1), true)
+        else if (maxBits >= edgesN * 4) (maxBits, true)
+        else (0L, false)
       }
     val prunedWedges =
-      if (bits > 0 && spark.catalog.functionExists("graft_bloom_agg")) {
+      if (pruneOn && spark.catalog.functionExists("graft_bloom_agg")) {
         val blob = oriented
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("src"), col("dst")), lit(bits.toInt), lit(bloomHashes)))
           .head().getAs[Array[Byte]](0)
-        // The sketch MUST reach the probe as a plan literal, never as a
-        // joined-in attribute: codegen materializes a BINARY attribute with
-        // UnsafeRow.getBinary, which copies the whole multi-MiB blob ON
-        // EVERY ROW (measured: a broadcast 1-row relation turned this 4 s
-        // query into a >90-CPU-minute memcpy storm at sf0.1). A literal is
-        // a shared constant in the codegen references array — zero per-row
-        // cost — and task binaries are themselves TorrentBroadcast, so the
-        // blob still ships once per executor; the only per-task overhead is
-        // deserialization, bounded by the 16 MiB cap.
-        wedges.where(call_function("graft_might_contain",
-          lit(blob), xxhash64(col("d1"), col("d2"))))
-      } else wedges
+        val bc = spark.sparkContext.broadcast(blob)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val probe = ColumnBridge.column(
+          graft.functions.BloomMightContainBc(bc,
+            ColumnBridge.expression(xxhash64(col("d1"), col("d2")))))
+        (wedges.where(probe), Some(bc))
+      } else (wedges, None)
 
     val closing = oriented.select(col("src").as("d1"), col("dst").as("d2"))
-    val triangles = prunedWedges.join(closing, Seq("d1", "d2"))
+    val triangles = prunedWedges._1.join(closing, Seq("d1", "d2"))
 
     val result = triangles
       .select(explode(array(col("src"), col("d1"), col("d2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     // the per-node aggregate is tiny next to the wedge relation: materialize
-    // it eagerly (cutting lineage) so the big persisted intermediate can be
-    // released deterministically instead of leaking across invocations
+    // it eagerly (cutting lineage) so the big persisted intermediate and
+    // the sketch broadcast can be released deterministically instead of
+    // leaking across invocations
     val out = result.localCheckpoint(true)
     oriented.unpersist()
+    prunedWedges._2.foreach(_.destroy())
     out
   }
 }

@@ -205,4 +205,38 @@ object Curation {
       .withColumn("seq_offset", expr(s"(cum_tokens - n_tokens) % $budget"))
       .select("doc_id", "bucket", "n_tokens", "seq", "seq_offset")
   }
+
+  // =================================================================
+  // Deterministic epoch shuffle / shard assignment
+  // =================================================================
+
+  /** Deterministic global shuffle for training order: every id is keyed by
+    * `md5(id ':' epoch)`, sharded by the key's high 32 bits, and ranked
+    * within its shard by the full key — the (shard, pos) pair is a
+    * reproducible pseudo-random permutation of the corpus that changes
+    * completely from one epoch to the next (md5 avalanche) and is stable
+    * across runs, partitionings, and engines (md5 is engine-independent;
+    * an `xxhash64`/`rand`-seeded order would not survive an oracle
+    * re-derivation). This is the data-loader primitive: epoch N's reader
+    * for shard S scans its rows in `pos` order, no coordination needed.
+    *
+    * Scale shape: ONE shuffle, on the shard id; each shard sorts locally
+    * (no global sort — a total order across 100 TB is never materialized).
+    * Parallelism is capped at `nShards`, so size shards to the fleet:
+    * 10k shards over 100 TB is 10 GB per sort task, and any reader
+    * count <= nShards load-balances by taking shards round-robin. */
+  def epochShuffle(df: DataFrame, idCol: Column, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = md5(concat(idCol.cast("string"), lit(":"), lit(epoch.toString)))
+    val win = Window.partitionBy("shard").orderBy("shuffle_key", "id")
+    df
+      .select(idCol.cast("long").as("id"), key.as("shuffle_key"))
+      // conv() parses the 8-hex-char prefix as an unsigned 32-bit value
+      // (always < 2^32, so the BIGINT cast and the % are exact)
+      .withColumn("shard",
+        expr(s"cast(conv(substring(shuffle_key, 1, 8), 16, 10) as bigint) % $nShards"))
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select("id", "shard", "pos", "shuffle_key")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,31 @@ object Search {
     require(queries.nonEmpty && k > 0)
     val spark = docs.sparkSession
     import spark.implicits._
+    val q = queries.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    bm25TopKTerms(docs, idCol, textCol, q, k, k1Micros, bMicros)
+  }
+
+  /** [[bm25TopK]] with the query workload as a (query_id, term) RELATION
+    * instead of a driver-side literal — the form composable with
+    * query-term derivation inside the engine ([[moreLikeThis]]). The
+    * query side must be workload-sized (it is broadcast twice); the
+    * corpus side has no size assumption.
+    *
+    * @param excludeSelf drop hits where doc_id == query_id BEFORE ranking
+    *        (more-like-this semantics: a document trivially matches its
+    *        own terms and would occupy a top-k slot in every list)
+    */
+  def bm25TopKTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame,
+      k: Int,
+      k1Micros: Long = 1200000L,
+      bMicros: Long = 750000L,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0)
 
     // The postings relation feeds four consumers (query-term contrib, doc
     // lengths, term dfs, corpus stats); without a cache each branch
@@ -58,8 +83,8 @@ object Search {
     val stats = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl")))
 
-    val q = queries.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
-      .toDF("query_id", "term")
+    val q = queryTerms.select(col("query_id").cast("long").as("query_id"),
+      col("term").cast("string").as("term"))
 
     // Restrict postings to query terms BEFORE any per-term statistics: df
     // of a term only depends on that term's postings, so the broadcast
@@ -85,8 +110,11 @@ object Search {
         expr(s"(idf_micros * ((tf * (1000000 + $k1Micros) * 1000000) " +
           "div denom_micros)) div 1000000"))
 
-    val scored = contrib.groupBy("query_id", "doc_id")
+    val scoredAll = contrib.groupBy("query_id", "doc_id")
       .agg(sum("contrib_micros").as("score_micros"))
+    val scored =
+      if (excludeSelf) scoredAll.where(col("doc_id") =!= col("query_id"))
+      else scoredAll
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micros").desc, col("doc_id"))
     val topk = scored
@@ -99,5 +127,61 @@ object Search {
     val out = topk.localCheckpoint(true)
     postings.unpersist()
     out
+  }
+
+  /** "More like this": for each query document (rows matching `isQuery`),
+    * retrieve the BM25 top-k of the REST of the corpus using the query
+    * doc's own `nTerms` highest-tf tokens (ties to the lexicographically
+    * smaller term) as the search terms. The query-term relation is derived
+    * in-engine from the same tokenizer the index uses, so there is no
+    * separate analyzer to drift; scale shape is [[bm25TopKTerms]]'s — the
+    * derivation adds one window over the query docs' postings only.
+    */
+  def moreLikeThis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isQuery: Column,
+      nTerms: Int,
+      k: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("tf").desc, col("term"))
+    val queryTerms = docs.where(isQuery)
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("trk", row_number().over(qw))
+      .where(col("trk") <= nTerms)
+      .select("query_id", "term")
+    bm25TopKTerms(docs, idCol, textCol, queryTerms, k, excludeSelf = true)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of two
+    * ranked lists sharing (query_id, doc_id): `score = sum over lists of
+    * 1e6 div (c + rank)`, re-ranked. Exact integer scoring; a document
+    * absent from a list contributes 0 for it. The inputs are top-k
+    * relations (|queries| * k rows each), so fusion is workload-sized —
+    * one full-outer join and one rank window, nothing corpus-sized.
+    *
+    * @param a,b (query_id, doc_id, rk) relations, lower rk = better
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, cRrf: Int = 60): DataFrame = {
+    require(k > 0 && cRrf >= 0)
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        expr(s"1000000 div ($cRrf + rk)").as(s"${name}_micros"),
+        col("rk").cast("long").as(s"${name}_rk"))
+    val fused = side(a, "a").join(side(b, "b"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("a_micros"), lit(0L)) +
+          coalesce(col("b_micros"), lit(0L))).as("rrf_micros"),
+        coalesce(col("a_rk"), lit(0L)).as("text_rk"),
+        coalesce(col("b_rk"), lit(0L)).as("vec_rk"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "rrf_micros", "text_rk", "vec_rk")
   }
 }

@@ -232,4 +232,40 @@ class CurationSpec extends AnyFunSuite {
     // saturation; allow a broad margin, the point is orders of magnitude
     assert(survivors < 50L, s"$survivors of 5000 disjoint ledger rows survived")
   }
+
+  // ---------------------------------------------------------------
+  // Deterministic epoch shuffle
+  // ---------------------------------------------------------------
+
+  test("epochShuffle is a deterministic per-epoch permutation over shards") {
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val e1 = Curation.epochShuffle(ids, col("doc_id"), epoch = 1, nShards = 8)
+    val rows = e1.collect()
+
+    // permutation: every id exactly once
+    assert(rows.length == 2000)
+    assert(rows.map(_.getAs[Long]("id")).sorted.sameElements(0L until 2000L))
+
+    // shards cover [0, n) and positions are dense 1..size within each shard
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (s, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to rs.length.toLong), s"shard $s positions not dense")
+    }
+    // md5 spreads ~uniformly: no shard is off by more than 2x from fair share
+    assert(byShard.values.map(_.length).max <= 500,
+      s"worst shard ${byShard.values.map(_.length).max} of fair-share 250")
+
+    // deterministic: identical on re-evaluation
+    val again = Curation.epochShuffle(ids, col("doc_id"), epoch = 1, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == again)
+
+    // epoch avalanche: epoch 2 is a genuinely different permutation
+    val e2 = Curation.epochShuffle(ids, col("doc_id"), epoch = 2, nShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val moved = rows.count(r => e2(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
+    assert(moved > 1800, s"only $moved of 2000 ids moved between epochs")
+  }
 }

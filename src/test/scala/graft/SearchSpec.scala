@@ -58,4 +58,38 @@ class SearchSpec extends AnyFunSuite {
     val got = topk(Seq((1L, "dog"), (2L, "cat")), Seq("dog"))
     assert(got.map(_._1).toSeq == Seq(1L))
   }
+
+  test("moreLikeThis uses the query doc's top-tf terms and excludes itself") {
+    val docs = Seq(
+      (0L, "dog dog dog cat zebra"), // query: top-2 terms = dog, cat
+      (1L, "dog dog cat"),
+      (2L, "dog cat"),
+      (3L, "zebra zebra zebra"), // matches only the EXCLUDED 3rd term
+      (4L, "fox fox fox")).toDF("doc_id", "text")
+    val got = Search.moreLikeThis(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("doc_id") === 0, nTerms = 2, k = 10)
+      .orderBy("rk").collect()
+    // doc 0 itself absent; zebra-only doc 3 absent (zebra not in top-2);
+    // dog+cat docs present, higher-tf first
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("query_id", "rk", "doc_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 13L))
+      .toDF("query_id", "rk", "doc_id")
+    val got = Search.rrfFuse(a, b, k = 10).orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micros"),
+        r.getAs[Long]("text_rk"), r.getAs[Long]("vec_rk")))
+    // doc 11: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 — the only 2-list doc
+    assert(got.head == ((11L, 32522L, 2L, 1L)))
+    // doc 10: text rank 1 only = 1e6/61
+    assert(got(1) == ((10L, 16393L, 1L, 0L)))
+    // doc 13: vector rank 2 only = 1e6/62; ties with nothing
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    // every doc exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+  }
 }
