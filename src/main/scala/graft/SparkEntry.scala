@@ -1070,6 +1070,24 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Sketch-merge variant of the per-language length percentiles: the
+    * grouped `percentile_approx` path (operators.Quantiles) instead of the
+    * per-group global sort — 5 languages over 100 TB cap the exact form's
+    * sort at 5 tasks, while the sketch's map-side partials keep
+    * parallelism on the data. Same exactness gate as
+    * `q_value_outliers_approx`: `accuracy = 2^22 > n` makes the GK sketch
+    * return the value at rank `ceil(p*n)` exactly, so the oracle is the
+    * SAME rank-statistic SQL and both queries must agree row-for-row
+    * (p=1.0 is rank n, i.e. the max). */
+  private def qDocLengthQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    operators.Quantiles.approxQuantiles(
+        Tables.documents(s, dir)
+          .select(col("lang"), length(col("text")).cast("long").as("n_chars")),
+        Seq("lang"), "n_chars", Seq(0.5, 0.9, 1.0), accuracy = 1 << 22)
+      .select(col("lang"), col("n").as("n_docs"), col("q_0").as("p50_chars"),
+        col("q_1").as("p90_chars"), col("q_2").as("max_chars"))
+      .orderBy("lang")
+
   private val qDocLengthQuantilesSql =
     s"""WITH ranked AS (
        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars, doc_id,
@@ -1876,6 +1894,31 @@ object SparkEntry {
   private def dedupBlocks(s: SparkSession, dir: String): DataFrame =
     pipeline.Curation.dropDuplicateBlocks(Tables.documents(s, dir))
       .orderBy("doc_id")
+
+  /** Maximal duplicated 8-token spans at any alignment (sliding-window
+    * complement of dedup_blocks — see Curation.duplicateSpans). */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.duplicateSpans(Tables.documents(s, dir), w = 8)
+      .orderBy("doc_id", "span_start")
+
+  private val qDupSpansSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |el AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+       |ex AS (SELECT doc_id, toks, unnest(range(n - 7)) AS start FROM el),
+       |hs AS (SELECT doc_id, start,
+       |  ${DuckHash60.format("array_to_string(toks[start + 1 : start + 8], ' ')")} AS h
+       |  FROM ex),
+       |dup AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 1),
+       |mk AS (SELECT hs.doc_id, hs.start FROM hs SEMI JOIN dup ON hs.h = dup.h),
+       |br AS (SELECT doc_id, start,
+       |  CASE WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 8
+       |       THEN 1 ELSE 0 END AS brk FROM mk),
+       |isl AS (SELECT doc_id, start,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM br)
+       |SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+       |  CAST(MAX(start) + 8 AS BIGINT) AS span_end, COUNT(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
 
   private val dedupBlocksSql =
     s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
@@ -3002,6 +3045,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
     "q_doc_length_quantiles" -> (qDocLengthQuantiles _),
+    "q_doc_length_quantiles_approx" -> (qDocLengthQuantilesApprox _),
     "q_docs_without_embeddings" -> (qDocsWithoutEmbeddings _),
     "q_clean_corpus" -> (qCleanCorpus _),
     "lang_id" -> (langIdQ _),
@@ -3027,6 +3071,7 @@ object SparkEntry {
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
     "dedup_blocks" -> (dedupBlocks _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -3096,6 +3141,7 @@ object SparkEntry {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,
     "q_doc_length_quantiles" -> qDocLengthQuantilesSql,
+    "q_doc_length_quantiles_approx" -> qDocLengthQuantilesSql,
     "q_docs_without_embeddings" -> qDocsWithoutEmbeddingsSql,
     "q_clean_corpus" -> qCleanCorpusSql,
     "lang_id" -> langIdSql,
@@ -3121,6 +3167,7 @@ object SparkEntry {
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
     "dedup_blocks" -> dedupBlocksSql,
+    "q_dup_spans" -> qDupSpansSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -175,6 +175,78 @@ object Curation {
   }
 
   // =================================================================
+  // Duplicated-span detection (sliding window)
+  // =================================================================
+
+  /** Every maximal duplicated token span in every document — the
+    * sliding-window complement of [[dropDuplicateBlocks]]: where that pass
+    * cuts documents into stride-`w` blocks (so an offset-shifted copy
+    * slips through), this one hashes EVERY `w`-token window, catching a
+    * copied passage at any alignment. Lee et al. 2022 do this with a
+    * suffix array over the concatenated corpus; a single global suffix
+    * array is inherently sequential to build, so the distributed
+    * re-expression is the windowed shingle join — same duplicated-span
+    * output for spans of at least `w` tokens, built entirely from
+    * exchange-and-aggregate.
+    *
+    * A window whose hash occurs more than `maxCount` times in the corpus
+    * (within- or cross-document) marks its `w` tokens as duplicated;
+    * overlapping or adjacent marked windows then merge into maximal spans
+    * (gaps-and-islands). Because every window has the same width, window
+    * ends are monotone in starts, so a single `lag` per document decides
+    * each island break — no running max. Output: one row per span,
+    * `(doc_id, span_start, span_end, n_windows)` with `[span_start,
+    * span_end)` in token offsets.
+    *
+    * Scale shape: shingling is a narrow per-doc array transform;
+    * occurrence counting is one hash shuffle on the 60-bit window hash;
+    * the verdict semi-join is on that same key (co-partitioned, AQE
+    * reuses the exchange); the island merge is one shuffle on doc_id
+    * whose per-doc sort is bounded by the doc's own duplicated-window
+    * count. Both corpus-sized shuffles move BIGINT hashes, not window
+    * strings. The span relation is duplicated-text-sized, not
+    * corpus-sized; it is materialized eagerly so the shingle cache is
+    * released deterministically (the [[Search.bm25TopKTerms]] lifetime
+    * pattern). */
+  def duplicateSpans(docs: DataFrame, w: Int = 8,
+                     maxCount: Int = 1): DataFrame = {
+    require(w > 0 && maxCount > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingles = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => array_join(slice(col("toks"), i + 1, lit(w)), " "))
+        ).as(Seq("start", "sh")))
+    // 60-bit hash in a primitive loop — the shuffles below move BIGINTs
+    val hashed = shingles.as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, st, sh) => (id, st, Dedup.md5Top60(md, sh)) }
+      }.toDF("doc_id", "start", "h")
+      .persist() // feeds the occurrence count AND the verdict semi-join
+    val dup = hashed.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxCount)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val out = hashed
+      .join(dup.select("h"), Seq("h"), "left_semi")
+      .withColumn("brk",
+        when(col("start") > lag("start", 1).over(byDoc) + w, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("start").cast("long").as("span_start"),
+        (max("start") + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .localCheckpoint(true)
+    hashed.unpersist()
+    out
+  }
+
+  // =================================================================
   // Token-budget sequence packing
   // =================================================================
 

@@ -120,6 +120,35 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Duplicated spans (sliding window)
+  // ---------------------------------------------------------------
+
+  test("duplicateSpans finds offset-shifted and within-doc duplicated spans") {
+    val P = (1 to 12).map(i => s"p$i").mkString(" ") // 12-token copied passage
+    val Q = (1 to 8).map(i => s"q$i").mkString(" ")  // 8-token repeated run
+    val docs = Seq(
+      // P at offset 0 in doc 1, offset 5 in doc 2 — an alignment
+      // dropDuplicateBlocks' stride-w grid cannot see
+      (1L, s"$P ${(1 to 10).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"${(1 to 5).map(i => s"b$i").mkString(" ")} $P " +
+        (1 to 3).map(i => s"c$i").mkString(" ")),
+      // within-doc repetition: Q at offsets 0 and 17, far enough apart
+      // that the two spans must NOT merge
+      (3L, s"$Q ${(1 to 9).map(i => s"d$i").mkString(" ")} $Q"),
+      (4L, "too short"),                              // < w tokens: no windows
+      (5L, (1 to 20).map(i => s"e$i").mkString(" "))) // unique: no spans
+      .toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 12L, 5L),  // 5 overlapping dup windows merged into P's extent
+      (2L, 5L, 17L, 5L),
+      (3L, 0L, 8L, 1L),
+      (3L, 17L, 25L, 1L)))
+  }
+
+  // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------
 

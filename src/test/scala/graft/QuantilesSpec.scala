@@ -66,6 +66,14 @@ class QuantilesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("registered approx doc-length quantiles equal the exact query (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q_doc_length_quantiles")(spark, dir).collect()
+    val approx = SparkEntry.queries("q_doc_length_quantiles_approx")(spark, dir).collect()
+    assert(exact.nonEmpty, "fixture should have documents")
+    assert(approx.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
   test("plan shape: sketch aggregate, no window sort, broadcast fence join") {
     val plan = Quantiles.iqrOutliers(fixture, Seq("g"), "v", accuracy = 4096)
       .queryExecution.executedPlan.toString
