@@ -1049,6 +1049,22 @@ object SparkEntry {
        |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * i)) AS BIGINT) AS q_checksum
        |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension embedding statistics (map-side-combined single
+    * exchange — see Similarity.dimStats). */
+  private def qEmbeddingDimStats(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.dimStats(Tables.embeddings(s, dir))
+      .orderBy("dim")
+
+  private val qEmbeddingDimStatsSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |       v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+       |     FROM embeddings),
+       |d AS (SELECT unnest(range(len(xs))) AS dim, unnest(xs) AS v FROM e)
+       |SELECT dim, COUNT(*) AS n, MIN(v) AS min_micros, MAX(v) AS max_micros,
+       |  CAST(SUM(v) AS BIGINT) AS sum_micros,
+       |  CAST(FLOOR(CAST(SUM(v) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_micros
+       |FROM d GROUP BY dim ORDER BY dim""".stripMargin
+
   /** Exact discrete percentiles of document length per language: the value
     * at rank ceil(p * n) in sorted order — rank arithmetic, not engine
     * interpolation (quantile_cont formulas differ subtly across engines).
@@ -3044,6 +3060,7 @@ object SparkEntry {
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_quantize_embeddings" -> (qQuantizeEmbeddings _),
+    "q_embedding_dim_stats" -> (qEmbeddingDimStats _),
     "q_doc_length_quantiles" -> (qDocLengthQuantiles _),
     "q_doc_length_quantiles_approx" -> (qDocLengthQuantilesApprox _),
     "q_docs_without_embeddings" -> (qDocsWithoutEmbeddings _),
@@ -3140,6 +3157,7 @@ object SparkEntry {
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_quantize_embeddings" -> qQuantizeEmbeddingsSql,
+    "q_embedding_dim_stats" -> qEmbeddingDimStatsSql,
     "q_doc_length_quantiles" -> qDocLengthQuantilesSql,
     "q_doc_length_quantiles_approx" -> qDocLengthQuantilesSql,
     "q_docs_without_embeddings" -> qDocsWithoutEmbeddingsSql,

@@ -180,6 +180,30 @@ object Similarity {
         "array_min(q) AS q_min", "array_max(q) AS q_max",
         "aggregate(zip_with(q, sequence(1, size(q)), (qi, i) -> qi * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS q_checksum")
 
+  /** Per-dimension corpus statistics of the scaled (integer-micros)
+    * embeddings — `dim, n, min, max, sum, mean` — the normalization /
+    * range-audit pass a training pipeline runs before quantization or
+    * whitening (and the input a per-dim scaler broadcasts back).
+    *
+    * Scale shape: `posexplode` is narrow (dims rows per vector emitted
+    * inside the scan stage), and the `groupBy(dim)` hash aggregate
+    * combines map-side, so the single exchange carries dims x partitions
+    * partial rows — never n_vecs x dims. Sums are exact BIGINT micros:
+    * components are bounded by ~2^21 micros, leaving ~2^42 vectors per
+    * dimension of headroom — comfortably past 100 TB. (A sum of SQUARES
+    * would not fit; a variance variant belongs in decimal(38)
+    * accumulation, deliberately not this operator.) Mean is the shared
+    * `floor(sum/count)` double-division spelling, exact while |sum| <
+    * 2^53 and floor-consistent with the oracle for negative sums. */
+  def dimStats(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(scaledVec(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), min("v").as("min_micros"),
+        max("v").as("max_micros"), sum("v").as("sum_micros"))
+      .withColumn("mean_micros",
+        floor(col("sum_micros") / col("n")).cast("long"))
+
   /** The p-th deterministic ±1 hyperplane — public so the DuckDB oracle can
     * embed the identical literals and reproduce bucketing exactly.
     *

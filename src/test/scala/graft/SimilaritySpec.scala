@@ -32,6 +32,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // negative dot
   }
 
+  test("dimStats matches the per-dimension model, floors negative means") {
+    val df = Seq(
+      (1L, vec(0.5, -0.25)),
+      (2L, vec(1.0, 0.75)),
+      (3L, vec(-0.5, -1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(df).orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0, 3L, -500000L, 1000000L, 1000000L, 333333L),
+      // sum -500000 over 3: floor(-166666.67) = -166667, not trunc -166666
+      (1, 3L, -1000000L, 750000L, -500000L, -166667L)))
+  }
+
+  test("dimStats plans one map-side-combined exchange, nothing else") {
+    val plan = Similarity.dimStats(embs).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial + final aggregate expected:\n$plan")
+  }
+
   test("brute-force top-k ranks by cosine with id tiebreak") {
     val rows = Similarity.bruteTopK(embs, col("vec_id") === 1L, k = 4).collect()
       .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Merge two QBench sweep logs (sf0.1 and the 10x amplified copy) into a
+BENCH_SCALE_r{N}.json artifact: best-of-3 per query per scale. Dev tool —
+the engine never depends on Python.
+
+Usage: python3 tools/merge_scale_sweep.py <sf01.log> <sf1.log> <out.json> <note>
+"""
+import json
+import re
+import sys
+
+
+def best_of(path):
+    best = {}
+    for m in re.finditer(r"\[qbench\] (\S+) run\d+ ([0-9.]+) s", open(path).read()):
+        name, sec = m.group(1), float(m.group(2))
+        if name not in best or sec < best[name]:
+            best[name] = sec
+    return best
+
+
+def main():
+    sf01, sf1, out, note = sys.argv[1:5]
+    a, b = best_of(sf01), best_of(sf1)
+    doc = {
+        "sf0.1": {k: round(v, 2) for k, v in sorted(a.items())},
+        "sf1_10x": {k: round(v, 2) for k, v in sorted(b.items())},
+        "note": note,
+    }
+    shared = sorted(set(a) & set(b))
+    ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
+    doc["summary"] = {
+        "queries": len(shared),
+        "total_sf0.1_sec": round(ta, 2),
+        "total_10x_sec": round(tb, 2),
+        "total_ratio": round(tb / ta, 2),
+        "over_2x": sorted(k for k in shared if a[k] > 0 and b[k] / a[k] > 2),
+    }
+    json.dump(doc, open(out, "w"), indent=1)
+    print(json.dumps(doc["summary"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
