@@ -2027,6 +2027,65 @@ object SparkEntry {
        |FROM w LEFT JOIN led ON w.fingerprint = led.fingerprint
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup admission: the dedup_incremental batch/ledger
+    * split checked by MinHash-LSH + exact Jaccard instead of exact
+    * fingerprints (Dedup.incrementalNearDup — ledger pruned by the batch's
+    * band keys before any exchange). */
+  private def dedupIncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    pipeline.Dedup.incrementalNearDup(
+        docs.where(col("doc_id") % 10 >= 3).select("doc_id", "text"),
+        docs.where(col("doc_id") % 10 < 3).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalNeardupSql = {
+    val P = pipeline.Dedup.P
+    val A = (0 until 32).map(pipeline.Dedup.permA).mkString("[", ", ", "]")
+    val B = (0 until 32).map(pipeline.Dedup.permB).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len(t) - 2, 0) + 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |hs AS (SELECT doc_id, list_transform(sh,
+       |         s -> ${DuckHash60.format("s")} % $P) AS hs FROM sh2),
+       |sig AS (SELECT doc_id, list_transform(range(32), j ->
+       |         list_min(list_transform(hs, h ->
+       |           (list_extract($A, j + 1) * h + list_extract($B, j + 1)) % $P))) AS sig
+       |       FROM hs),
+       |banded AS (SELECT doc_id, b,
+       |         array_to_string(list_transform(range(4),
+       |           i -> list_extract(sig, b * 4 + i + 1)), '_') AS key
+       |       FROM sig, (SELECT unnest(range(8)) AS b) bs),
+       |bb AS (SELECT * FROM banded WHERE doc_id % 10 >= 3),
+       |lb AS (SELECT * FROM banded WHERE doc_id % 10 < 3),
+       |lcap AS (SELECT b, key FROM lb GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+       |cand AS (SELECT DISTINCT bb.doc_id AS doc_a, lb.doc_id AS doc_b
+       |         FROM bb JOIN lb ON bb.b = lb.b AND bb.key = lb.key
+       |         JOIN lcap lc ON lb.b = lc.b AND lb.key = lc.key),
+       |hsd AS (SELECT doc_id, list_transform(sh, s -> ${DuckHash60.format("s")}) AS hs
+       |        FROM sh2),
+       |ver AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(floor(len(list_intersect(ha.hs, hb.hs)) * 100
+       |            / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))))
+       |            AS BIGINT) AS jaccard_pct
+       |        FROM cand c
+       |        JOIN hsd ha ON ha.doc_id = c.doc_a
+       |        JOIN hsd hb ON hb.doc_id = c.doc_b
+       |        WHERE len(list_intersect(ha.hs, hb.hs)) * 100
+       |          >= (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 30),
+       |best AS (SELECT doc_a, doc_b, jaccard_pct, row_number() OVER (
+       |           PARTITION BY doc_a ORDER BY jaccard_pct DESC, doc_b) AS rn
+       |         FROM ver)
+       |SELECT d.doc_id,
+       |  CASE WHEN b.doc_a IS NULL THEN 'admitted' ELSE 'near_dup' END AS verdict,
+       |  b.doc_b AS near_dup_of, b.jaccard_pct
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 3) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_a = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Corpus-trained bigram LM scoring (see
     * [[graft.pipeline.TextAnalysis.lmScore]]); exact integer micros, so the
     * oracle re-derives the identical model and scores in DuckDB. */
@@ -3093,6 +3152,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
+    "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "q_lm_score" -> (qLmScore _),
     "q_pq_encode" -> (qPqEncode _),
     "ann_pq_topk" -> (annPqTopk _),
@@ -3190,6 +3250,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
+    "dedup_incremental_neardup" -> dedupIncrementalNeardupSql,
     "q_lm_score" -> qLmScoreSql,
     "q_pq_encode" -> qPqEncodeSql,
     "ann_pq_topk" -> annPqTopkSql,

@@ -106,11 +106,18 @@ object Dedup {
     * at fleet scale they degrade gracefully to shuffle joins keyed by the
     * bounded candidate set. Intersection counts DISTINCT common hash values
     * (mirrors DuckDB `list_intersect` in the oracle). */
-  private def pairOverlap(cand: DataFrame, hdf: DataFrame): DataFrame = {
+  private def pairOverlap(cand: DataFrame, hdf: DataFrame): DataFrame =
+    pairOverlap(cand, hdf, hdf)
+
+  /** Two-relation form: `doc_a` ids resolve against `hdfA`, `doc_b` ids
+    * against `hdfB` (the incremental batch-vs-ledger shape; the self-join
+    * pair operators pass the same relation twice). */
+  private def pairOverlap(cand: DataFrame, hdfA: DataFrame,
+                          hdfB: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    cand.join(hdf.toDF("doc_a", "hs_a"), "doc_a")
-      .join(hdf.toDF("doc_b", "hs_b"), "doc_b")
+    cand.join(hdfA.toDF("doc_a", "hs_a"), "doc_a")
+      .join(hdfB.toDF("doc_b", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>
@@ -150,13 +157,14 @@ object Dedup {
     * than the corpus). */
   private def capBuckets(buckets: DataFrame, maxBucket: Int,
                          droppedBuckets: org.apache.spark.util.LongAccumulator,
-                         droppedDocs: org.apache.spark.util.LongAccumulator)
+                         droppedDocs: org.apache.spark.util.LongAccumulator,
+                         minSize: Int = 2)
       : DataFrame =
     buckets.filter { (r: org.apache.spark.sql.Row) =>
       val n = r.getSeq[Any](r.fieldIndex("ids")).size
       if (n > maxBucket) {
         droppedBuckets.add(1L); droppedDocs.add(n.toLong); false
-      } else n >= 2
+      } else n >= minSize
     }
 
   /** Exact dedup: keep-first per normalized-content fingerprint. */
@@ -286,6 +294,45 @@ object Dedup {
         least(m, (c.getField("a") * h + c.getField("b")) % P)))
   }
 
+  /** (doc_id, sig): numPerms-permutation MinHash signature per document
+    * over the hashed-shingle relation — a tight primitive loop per
+    * partition (one traversal updates all permutation minima; identical
+    * values to [[minhashSignature]], ~10x faster than interpreted HOF
+    * evaluation). */
+  private def minhashSigDf(hdf: DataFrame, numPerms: Int): DataFrame = {
+    val spark = hdf.sparkSession
+    import spark.implicits._
+    val as = (0 until numPerms).map(permA).toArray
+    val bs = (0 until numPerms).map(permB).toArray
+    hdf.as[(Long, Array[Long])].mapPartitions { it =>
+      it.map { case (docId, hs) =>
+        val mins = Array.fill(numPerms)(Long.MaxValue)
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i) % P
+          var j = 0
+          while (j < numPerms) {
+            val v = (as(j) * h + bs(j)) % P
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        (docId, mins.toSeq)
+      }
+    }.toDF("doc_id", "sig")
+  }
+
+  /** (doc_id, band, key): the LSH band keys of a signature relation —
+    * `bands` keys per doc, each joining `r` consecutive signature slots. */
+  private def bandedKeysDf(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", slice(col("sig"), b * r + 1, r)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
     * bands x rowsPerBand = signature length; a pair collides when any band
     * matches exactly. `maxBucket` caps degenerate buckets (boilerplate
@@ -303,34 +350,7 @@ object Dedup {
     val r = numPerms / bands
     // caller-owned cache lifetime — see the note in ngramJaccardPairs
     val hdf = hashedShingleDf(docs).persist()
-    // signature via a tight primitive loop per partition over the already-
-    // hashed shingles: identical values to minhashSignature, ~10x faster
-    // than interpreted HOF evaluation
-    val as = (0 until numPerms).map(permA).toArray
-    val bs = (0 until numPerms).map(permB).toArray
-    val sig = hdf.as[(Long, Array[Long])].mapPartitions { it =>
-      it.map { case (docId, hs) =>
-        val mins = Array.fill(numPerms)(Long.MaxValue)
-        var i = 0
-        while (i < hs.length) {
-          val h = hs(i) % P
-          var j = 0
-          while (j < numPerms) {
-            val v = (as(j) * h + bs(j)) % P
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-          i += 1
-        }
-        (docId, mins.toSeq)
-      }
-    }.toDF("doc_id", "sig")
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", slice(col("sig"), b * r + 1, r)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedKeysDf(minhashSigDf(hdf, numPerms), bands, r)
     val buckets = capBuckets(
       banded.groupBy("band", "key").agg(collect_list("doc_id").as("ids")),
       maxBucket, dropAcc, dropDocsAcc)
@@ -343,6 +363,71 @@ object Dedup {
       .where(col("inter") * 100 >= col("union_size") * thresholdPct)
       .withColumn("jaccard_pct", floor(col("inter") * 100 / col("union_size")).cast("long"))
       .select("doc_a", "doc_b", "jaccard_pct")
+  }
+
+  /** Incremental near-dup admission: each BATCH document checked for
+    * MinHash-LSH near-duplicates against a standing LEDGER corpus — the
+    * ingest-time question ("is this new document a near-copy of anything
+    * the corpus already holds?"), the near-dup twin of [[incremental]]'s
+    * exact-fingerprint admission. One row per batch doc:
+    * `(doc_id, verdict admitted|near_dup, near_dup_of, jaccard_pct)` with
+    * the best match = highest exact Jaccard, ties to the smallest ledger
+    * id. Within-batch near-dups are [[minhashLshPairs]]'s job — compose
+    * both for full ingest hygiene.
+    *
+    * Scale shape (the [[incrementalBloom]] asymmetry, banded): the ledger
+    * never moves whole. Its banded key relation is semi-joined against the
+    * BATCH's distinct band keys (workload-sized, broadcast) before any
+    * wide exchange, so ledger work is proportional to the buckets the
+    * batch actually touches — not to the 100 TB corpus. Pruned ledger
+    * buckets over `maxBucket` (boilerplate shingle sets) are dropped whole
+    * into the accumulators, bounding pairing fan-out; the cap is
+    * equivalent pre- and post-prune because the prune selects whole
+    * buckets. Exact-Jaccard verification removes every LSH false positive
+    * (precision exact; recall = banding recall). The batch-sized verdict
+    * relation is materialized eagerly so both shingle caches release
+    * deterministically. */
+  def incrementalNearDup(batch: DataFrame, ledger: DataFrame,
+                         numPerms: Int = 32, bands: Int = 8,
+                         maxBucket: Int = 64, thresholdPct: Int = 30,
+                         droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.incr_neardup.dropped_buckets"))
+    val dropDocsAcc =
+      spark.sparkContext.longAccumulator("graft.incr_neardup.dropped_docs")
+    val r = numPerms / bands
+    val bh = hashedShingleDf(batch).persist()
+    val lh = hashedShingleDf(ledger).persist()
+    val bBanded = bandedKeysDf(minhashSigDf(bh, numPerms), bands, r)
+    val lBanded = bandedKeysDf(minhashSigDf(lh, numPerms), bands, r)
+    val lBuckets = capBuckets(
+      lBanded
+        .join(broadcast(bBanded.select("band", "key").distinct()), Seq("band", "key"))
+        .groupBy("band", "key").agg(collect_list("doc_id").as("ids")),
+      maxBucket, dropAcc, dropDocsAcc, minSize = 1)
+    val cand = bBanded.join(lBuckets, Seq("band", "key"))
+      .select(col("doc_id").as("doc_a"), explode(col("ids")).as("doc_b"))
+      .distinct()
+    val best = pairOverlap(cand, bh, lh)
+      .where(col("inter") * 100 >= col("union_size") * thresholdPct)
+      .withColumn("jaccard_pct",
+        floor(col("inter") * 100 / col("union_size")).cast("long"))
+      .groupBy(col("doc_a").as("doc_id"))
+      // lexicographic struct max: highest jaccard, then min ledger id
+      .agg(max(struct(col("jaccard_pct"), (-col("doc_b")).as("neg_id"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_id")).as("near_dup_of"),
+        col("m.jaccard_pct").as("jaccard_pct"))
+    val out = batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")).as("verdict"),
+        col("near_dup_of"), col("jaccard_pct"))
+      .localCheckpoint(true)
+    bh.unpersist(); lh.unpersist()
+    out
   }
 
   /** 60-bit SimHash per document (docs with at least one token): per bit,

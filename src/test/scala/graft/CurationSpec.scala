@@ -209,6 +209,39 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(_.getString(2) == "admitted"))
   }
 
+  test("incremental near-dup: best ledger match, exact/near/unique/short verdicts") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val ledger = Seq(
+      (1L, words(20)),                    // L1
+      (2L, words(20)),                    // L2: exact copy of L1 (tie case)
+      (3L, "totally unrelated ledger doc content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, words(20)),                  // exact copy -> jaccard 100, tie -> min id 1
+      (102L, words(19) + " x"),           // 17/19 shared shingles -> jaccard 89
+      (103L, (1 to 10).map(i => s"u$i").mkString(" ")), // unique -> admitted
+      (104L, "hi there")).toDF("doc_id", "text")        // < 3 tokens: no shingles
+    val out = Dedup.incrementalNearDup(batch, ledger).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(out(101L) == (("near_dup", Some(1L), Some(100L))))
+    assert(out(102L) == (("near_dup", Some(1L), Some(89L))))
+    assert(out(103L) == (("admitted", None, None)))
+    assert(out(104L) == (("admitted", None, None)))
+  }
+
+  test("incremental near-dup drops over-cap ledger buckets whole, counts them") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val ledger = Seq((1L, words(20)), (2L, words(20))).toDF("doc_id", "text")
+    val batch = Seq((101L, words(20))).toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("test.neardup.dropped")
+    // every shared bucket holds both ledger copies -> size 2 > maxBucket 1:
+    // recall for that boilerplate family is deliberately sacrificed
+    val out = Dedup.incrementalNearDup(batch, ledger, maxBucket = 1,
+        droppedBuckets = Some(acc)).collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap == Map(101L -> "admitted"))
+    assert(acc.value > 0, "dropped buckets must be observable")
+  }
+
   test("bloom-pruned incremental dedup is bit-identical to the join form") {
     // 400 batch docs, every third fingerprint also in a 300-row ledger,
     // plus intra-batch dups — exercises all three verdicts through the
