@@ -430,6 +430,39 @@ object Dedup {
     out
   }
 
+  /** Prebuilt MinHash-LSH ledger index for repeated near-dup admission:
+    * `buckets` = capped `(band, key) -> ids` postings, `shingles` =
+    * `(doc_id, hs)` for exact-Jaccard verification. Both relations are
+    * persisted at build time (they are reused per admission batch /
+    * micro-batch); call [[release]] when done. At fleet scale this is the
+    * materialize-once artifact a 100 TB corpus maintains next to itself —
+    * admission cost then tracks the batch, never the corpus. */
+  final case class NearDupIndex(buckets: DataFrame, shingles: DataFrame,
+                                numPerms: Int, bands: Int, thresholdPct: Int) {
+    def release(): Unit = { buckets.unpersist(); shingles.unpersist() }
+  }
+
+  /** Build a [[NearDupIndex]] from a ledger corpus. The bucket cap is
+    * applied at build time (equivalent to per-batch capping: pruning by a
+    * batch's keys selects whole buckets, so bucket sizes are
+    * prune-invariant). */
+  def buildNearDupIndex(ledger: DataFrame, numPerms: Int = 32, bands: Int = 8,
+                        maxBucket: Int = 64, thresholdPct: Int = 30,
+                        droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : NearDupIndex = {
+    val spark = ledger.sparkSession
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.neardup_index.dropped_buckets"))
+    val dropDocsAcc =
+      spark.sparkContext.longAccumulator("graft.neardup_index.dropped_docs")
+    val lh = hashedShingleDf(ledger).persist()
+    val buckets = capBuckets(
+      bandedKeysDf(minhashSigDf(lh, numPerms), bands, numPerms / bands)
+        .groupBy("band", "key").agg(collect_list("doc_id").as("ids")),
+      maxBucket, dropAcc, dropDocsAcc, minSize = 1).persist()
+    NearDupIndex(buckets, lh, numPerms, bands, thresholdPct)
+  }
+
   /** 60-bit SimHash per document (docs with at least one token): per bit,
     * majority vote of token-hash bits, computed entirely with array
     * higher-order functions — one narrow projection, no explode. Bit

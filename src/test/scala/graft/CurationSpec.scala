@@ -148,6 +148,48 @@ class CurationSpec extends AnyFunSuite {
       (3L, 17L, 25L, 1L)))
   }
 
+  test("duplicateSpans matches an independent model on a seeded random corpus") {
+    // independent driver-side model: string windows (no hashing), brute
+    // counts, fold-based island merge — shares no code with the operator
+    def modelSpans(docs: Seq[(Long, String)], w: Int): Set[(Long, Long, Long, Long)] = {
+      val tok = docs.map { case (id, t) =>
+        id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }
+      val windows = for {
+        (id, ts) <- tok; if ts.length >= w
+        s <- 0 to ts.length - w
+      } yield (id, s, ts.slice(s, s + w).mkString(" "))
+      val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+      windows.filter(x => counts(x._3) > 1).groupBy(_._1).flatMap { case (id, ws) =>
+        val islands = ws.map(_._2).sorted
+          .foldLeft(Vector.empty[Vector[Int]]) { (acc, s) =>
+            if (acc.nonEmpty && s <= acc.last.last + w) acc.init :+ (acc.last :+ s)
+            else acc :+ Vector(s)
+          }
+        islands.map(is => (id, is.head.toLong, is.last.toLong + w, is.size.toLong))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 25).map(i => s"t$i") // small vocab: natural collisions
+    val base = (1L to 30L).map { id =>
+      id -> Vector.fill(rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted copies: a slice of an earlier doc behind fresh-prefix noise
+    val planted = (31L to 36L).map { id =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val ts = src.split(' ').filter(_.nonEmpty)
+      val take = ts.drop(rnd.nextInt(math.max(ts.length, 1))).take(10)
+      id -> (Seq.fill(3)(s"p${id}x${rnd.nextInt(9)}") ++ take).mkString(" ")
+    }
+    val all = base ++ planted
+    val w = 4
+    val got = Curation.duplicateSpans(all.toDF("doc_id", "text"), w = w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = modelSpans(all, w)
+    assert(expected.nonEmpty, "seeded corpus must contain duplicated spans")
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------

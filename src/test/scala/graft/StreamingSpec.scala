@@ -118,6 +118,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup verdicts equal the batch operator on split replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val ledger = Seq((1L, words(20)), (2L, words(20)),
+      (3L, "totally unrelated ledger doc content here")).toDF("doc_id", "text")
+    val batchRows = Seq(
+      (101L, words(20)),                                // exact copy, tie -> id 1
+      (102L, words(19) + " x"),                         // near copy
+      (103L, (1 to 10).map(i => s"u$i").mkString(" ")), // unique
+      (104L, "hi there"))                               // < 3 tokens
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val expected = Dedup.incrementalNearDup(
+        batchRows.toDF("doc_id", "text"), ledger).collect().map(key).toSet
+    val index = Dedup.buildNearDupIndex(ledger)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDup.verdicts(spark,
+        mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches: verdicts are per-doc stateless, so any
+      // replay split must produce exactly the batch operator's output
+      mem.addData(batchRows.take(2)); q.processAllAvailable()
+      mem.addData(batchRows.drop(2)); q.processAllAvailable()
+      val got = spark.table("neardup_stream").collect().map(key).toSet
+      assert(got == expected)
+      assert(got.map(_._1) == Set(101L, 102L, 103L, 104L))
+    } finally { q.stop(); index.release() }
+  }
+
   test("streaming dedup TTL expires state and re-admits late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
