@@ -25,7 +25,10 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val K = 10000000L // key stride per copy (above every source key domain)
+    // key stride per copy (must exceed the SOURCE key domain: pass a larger
+    // stride when re-amplifying an already-amplified directory, whose keys
+    // already reach copies x the original stride)
+    val K = if (args.length > 3) args(3).toLong else 10000000L
 
     val spark = SparkSession.builder()
       .master("local[8]")
