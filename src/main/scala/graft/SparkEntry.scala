@@ -783,6 +783,40 @@ object SparkEntry {
        | ${mavgSql("value")} AS avg_value_micros
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Daily-total anomaly flags per event type (operators.Anomaly): the
+    * monitoring query over the event stream, z = 2.0, decided by exact
+    * cross-multiplied DECIMAL(38,0) algebra — the oracle re-derives the
+    * identical test in HUGEINT, no float sqrt on either side. One fact
+    * aggregate to (type, day) totals; the stats window runs over the
+    * compact daily relation. */
+  private def qDailyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsBase(s, dir)
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), sum("vm").as("total_micros"))
+    operators.Anomaly.flagOutliers(daily, Seq("event_type"),
+        "total_micros", sigmaX10 = 20)
+      .orderBy("event_type", "day")
+  }
+
+  private val qDailyAnomaliesSql =
+    s"""WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+       |d AS (SELECT event_type, day, COUNT(*) AS n_events,
+       |    CAST(SUM(vm) AS BIGINT) AS total_micros FROM ev GROUP BY 1, 2),
+       |st AS (SELECT *,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS m,
+       |    CAST(SUM(total_micros) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+       |    SUM(CAST(total_micros AS HUGEINT) * total_micros)
+       |      OVER (PARTITION BY event_type) AS q
+       |  FROM d)
+       |SELECT event_type, CAST(day AS BIGINT) AS day, n_events, total_micros,
+       |  CAST(CASE WHEN 100 * (m * total_micros - s) * (m * total_micros - s)
+       |            > 400 * (m * q - s * s) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_anomaly
+       |FROM st ORDER BY event_type, day""".stripMargin
+
   /** Skew-guarded dimension join through [[operators.SaltedJoin]]: events
     * is the canonical hot-key fact (5 event_type values, each carrying
     * ~20% of all rows — a plain hash join funnels each fifth of the table
@@ -1444,6 +1478,60 @@ object SparkEntry {
        |  WHERE ${DuckHash60.format("concat('graft:', CAST(o.doc_id AS VARCHAR))")} % 100 < 50)
        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Curation-funnel retention report (Curation.retentionReport): doc and
+    * token survival through raw -> exact-dedup -> quality -> 50% sample,
+    * as counts and basis points of raw. The per-doc flags relation is
+    * computed once (textStats projection + Dedup.exact's fingerprint
+    * window); the report itself is ONE keyless conditional aggregate +
+    * a 1-row unpivot — never one corpus scan per stage. */
+  private def qCurationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val flags = pipeline.TextAnalysis.textStats(docs)
+      .select("doc_id", "n_tokens", "quality_ok")
+      .join(pipeline.Dedup.exact(docs).select("doc_id", "keep"), "doc_id")
+    pipeline.Curation.retentionReport(flags, col("n_tokens"), Seq(
+        "raw" -> lit(true),
+        "deduped" -> col("keep"),
+        "quality" -> (col("keep") && col("quality_ok")),
+        "sampled" -> (col("keep") && col("quality_ok") &&
+          (pipeline.Sampling.bucket(col("doc_id"), "graft") < 50))))
+      .orderBy("stage_idx")
+  }
+
+  private val qCurationReportSql = {
+    val stop = pipeline.TextAnalysis.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH st AS (
+       |  SELECT doc_id, len($DuckToks) AS n_tokens,
+       |    len(list_filter($DuckToks, t -> list_contains($stop, t))) AS stopword_count,
+       |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_count,
+       |    length(text) AS n_chars,
+       |    $DuckFp AS fingerprint
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_tokens,
+       |    (n_tokens >= 5 AND n_tokens <= 100000
+       |      AND stopword_count * 100 >= n_tokens * 2
+       |      AND punct_count * 10 <= n_chars) AS quality_ok,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep,
+       |    ${DuckHash60.format("concat('graft:', CAST(doc_id AS VARCHAR))")} % 100 < 50 AS sampled
+       |  FROM st),
+       |u AS (
+       |  SELECT 0 AS i, 'raw' AS stage, COUNT(*) AS n_docs,
+       |    COALESCE(SUM(n_tokens), 0) AS tt FROM f
+       |  UNION ALL SELECT 1, 'deduped', COUNT(*), COALESCE(SUM(n_tokens), 0)
+       |    FROM f WHERE keep
+       |  UNION ALL SELECT 2, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0)
+       |    FROM f WHERE keep AND quality_ok
+       |  UNION ALL SELECT 3, 'sampled', COUNT(*), COALESCE(SUM(n_tokens), 0)
+       |    FROM f WHERE keep AND quality_ok AND sampled),
+       |r AS (SELECT n_docs AS rd, tt AS rt FROM u WHERE i = 0)
+       |SELECT CAST(i AS BIGINT) AS stage_idx, stage, n_docs,
+       |  CAST(tt AS BIGINT) AS total_tokens,
+       |  CAST(n_docs * 10000 // rd AS BIGINT) AS docs_bp,
+       |  CAST(tt * 10000 // rt AS BIGINT) AS tokens_bp
+       |FROM u, r ORDER BY stage_idx""".stripMargin
   }
 
   /** Exact cross-engine cosine: dot/(sqrt*sqrt) over exact integer inputs
@@ -2542,6 +2630,20 @@ object SparkEntry {
        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Same workload, scoring, and oracle as [[qBm25Topk]], answered from a
+    * PREBUILT inverted index (Search.buildIndex): the registered query
+    * pays build + query — honest for the gate — while the scale claim is
+    * that every SUBSEQUENT query reuses the index and touches only the
+    * term-pruned postings files (SearchSpec pins the `In(term, ...)`
+    * pushdown into the postings scan). */
+  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getPath
+    pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
+    pipeline.Search.bm25TopKIndexed(s, idx, Bm25Queries, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** Hybrid retrieval: BM25 more-like-this (each query doc's top-5 tf
     * terms, self excluded) fused with exact cosine top-10 over the
     * embeddings by reciprocal-rank fusion (c=60, integer micros). Query
@@ -3108,6 +3210,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> (qAsofLastPurchase _),
     "q_sessions" -> (qSessions _),
     "q_event_type_stats" -> (qEventTypeStats _),
+    "q_daily_anomalies" -> (qDailyAnomalies _),
     "q_salted_events_join" -> (qSaltedEventsJoin _),
     "q_user_event_pivot" -> (qUserEventPivot _),
     "q_topk_event_values" -> (qTopkEventValues _),
@@ -3124,6 +3227,7 @@ object SparkEntry {
     "q_doc_length_quantiles_approx" -> (qDocLengthQuantilesApprox _),
     "q_docs_without_embeddings" -> (qDocsWithoutEmbeddings _),
     "q_clean_corpus" -> (qCleanCorpus _),
+    "q_curation_report" -> (qCurationReport _),
     "lang_id" -> (langIdQ _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -3165,6 +3269,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bm25_topk" -> (qBm25Topk _),
+    "q_bm25_indexed" -> (qBm25Indexed _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
@@ -3206,6 +3311,7 @@ object SparkEntry {
     "q_asof_last_purchase" -> qAsofLastPurchaseSql,
     "q_sessions" -> qSessionsSql,
     "q_event_type_stats" -> qEventTypeStatsSql,
+    "q_daily_anomalies" -> qDailyAnomaliesSql,
     "q_salted_events_join" -> qSaltedEventsJoinSql,
     "q_user_event_pivot" -> qUserEventPivotSql,
     "q_topk_event_values" -> qTopkEventValuesSql,
@@ -3222,6 +3328,7 @@ object SparkEntry {
     "q_doc_length_quantiles_approx" -> qDocLengthQuantilesSql,
     "q_docs_without_embeddings" -> qDocsWithoutEmbeddingsSql,
     "q_clean_corpus" -> qCleanCorpusSql,
+    "q_curation_report" -> qCurationReportSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,
@@ -3263,6 +3370,7 @@ object SparkEntry {
     "q_funnel" -> qFunnelSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bm25_topk" -> qBm25TopkSql,
+    "q_bm25_indexed" -> qBm25TopkSql,
     "q_hybrid_retrieval" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,

@@ -95,9 +95,29 @@ object Search {
       .join(broadcast(q.select("term").distinct()), "term")
     val dft = qPostings.groupBy("term").agg(count(lit(1)).as("df"))
 
+    val topk = rankTopK(q, qPostings.join(dl, "doc_id"), dft, stats,
+      k, k1Micros, bMicros, excludeSelf)
+    // |queries| * k rows: materialize eagerly (cutting lineage) so the
+    // corpus-sized postings cache is released deterministically instead of
+    // leaking across invocations
+    val out = topk.localCheckpoint(true)
+    postings.unpersist()
+    out
+  }
+
+  /** Shared scoring tail of the per-query and indexed paths: BM25-score
+    * and rank a query workload against an already-pruned postings
+    * relation that carries each posting's document length.
+    *
+    * @param qp    (term, doc_id, tf, dl) — postings restricted to query terms
+    * @param dft   (term, df) for at least the query terms
+    * @param stats 1 row: (n, sum_dl)
+    */
+  private def rankTopK(q: DataFrame, qp: DataFrame, dft: DataFrame,
+      stats: DataFrame, k: Int, k1Micros: Long, bMicros: Long,
+      excludeSelf: Boolean): DataFrame = {
     val contrib = broadcast(q)
-      .join(qPostings, "term")
-      .join(dl, "doc_id")
+      .join(qp, "term")
       .join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf_micros",
@@ -117,16 +137,73 @@ object Search {
       else scoredAll
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micros").desc, col("doc_id"))
-    val topk = scored
+    scored
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score_micros")
-    // |queries| * k rows: materialize eagerly (cutting lineage) so the
-    // corpus-sized postings cache is released deterministically instead of
-    // leaking across invocations
-    val out = topk.localCheckpoint(true)
+  }
+
+  // ================================================================
+  // Persistent inverted index (build once, query many)
+  // ================================================================
+
+  /** Materialize the inverted index under `dir` for repeated retrieval:
+    * `postings/` (term, doc_id, tf, dl — the document length is
+    * DENORMALIZED into every posting, Lucene-norms style, so a query
+    * never joins the corpus-sized doc-length relation), `termdf/`
+    * (term, df over the FULL vocabulary), `stats/` (1 row: n, sum_dl).
+    * Both term-keyed relations are range-clustered and sorted on term,
+    * so a term-list lookup prunes to a few files / row groups via
+    * parquet min/max statistics instead of scanning the index.
+    *
+    * Build cost is [[bm25TopKTerms]]'s one explode + one (doc, term)
+    * aggregate — paid ONCE and amortized over every query that follows,
+    * where the per-query form re-tokenizes the corpus each invocation.
+    * `nFiles` sizes the postings layout: at fleet scale pick
+    * index-bytes / target-file-size.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nFiles: Int = 32): Unit = {
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    postings.join(dl, "doc_id")
+      .repartitionByRange(nFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, nFiles / 4), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/termdf")
+    docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+      .write.mode("overwrite").parquet(s"$dir/stats")
     postings.unpersist()
-    out
+  }
+
+  /** BM25 top-k answered from a [[buildIndex]] directory: scores are
+    * identical to [[bm25TopK]] over the indexed corpus, but the only
+    * corpus-sized work is the term-pruned postings read — `term IN (...)`
+    * pushes into the parquet scan, and the term-sorted layout turns the
+    * lookup into a row-group seek. Everything downstream is
+    * workload-sized (|query terms| postings rows per matching doc). */
+  def bm25TopKIndexed(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1Micros: Long = 1200000L, bMicros: Long = 750000L): DataFrame = {
+    require(queries.nonEmpty && k > 0)
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    val qp = spark.read.parquet(s"$dir/postings")
+      .where(col("term").isin(terms: _*))
+    val dft = spark.read.parquet(s"$dir/termdf")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    rankTopK(q, qp, dft, stats, k, k1Micros, bMicros, excludeSelf = false)
   }
 
   /** "More like this": for each query document (rows matching `isQuery`),

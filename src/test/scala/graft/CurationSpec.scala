@@ -372,4 +372,38 @@ class CurationSpec extends AnyFunSuite {
     val moved = rows.count(r => e2(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
     assert(moved > 1800, s"only $moved of 2000 ids moved between epochs")
   }
+
+  // ---------------------------------------------------------------
+  // Retention report
+  // ---------------------------------------------------------------
+
+  test("retentionReport: funnel counts + basis points, empty stage -> zeros") {
+    val df = Seq(
+      (1L, 10L, true, true),
+      (2L, 20L, true, false),
+      (3L, 30L, false, true),
+      (4L, 40L, true, true)).toDF("doc_id", "n_tokens", "keep", "ok")
+    val got = Curation.retentionReport(df, col("n_tokens"), Seq(
+        "raw" -> lit(true),
+        "keep" -> col("keep"),
+        "both" -> (col("keep") && col("ok")),
+        "none" -> lit(false)))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getAs[Long]("stage_idx"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("docs_bp"), r.getAs[Long]("tokens_bp"))).toSeq
+    assert(got == Seq(
+      (0L, "raw", 4L, 100L, 10000L, 10000L),
+      (1L, "keep", 3L, 70L, 7500L, 7000L),
+      (2L, "both", 2L, 50L, 5000L, 5000L),
+      (3L, "none", 0L, 0L, 0L, 0L)))
+  }
+
+  test("retentionReport is one pass: a single aggregate, no join or union") {
+    val df = Seq((1L, 10L, true)).toDF("doc_id", "n_tokens", "keep")
+    val plan = Curation.retentionReport(df, col("n_tokens"), Seq(
+        "raw" -> lit(true), "keep" -> col("keep")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
 }

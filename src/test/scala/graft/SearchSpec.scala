@@ -75,6 +75,29 @@ class SearchSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("query_id") == 0L))
   }
 
+  test("bm25TopKIndexed matches bm25TopK and term-prunes the postings scan") {
+    val docs = Seq(
+      (1L, "spark joins merge shuffles"),
+      (2L, "window filter spark"),
+      (3L, "merge join join"),
+      (4L, "filter cat dog"),
+      (5L, "stream batch spark spark")).toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("join", "merge"), 1L -> Seq("spark", "filter"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Search.buildIndex(docs, "doc_id", "text", dir, nFiles = 2)
+    val direct = Search.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    val viaIndex = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(viaIndex == direct)
+    // the build-once/query-many scale property: the query-term list reaches
+    // the postings parquet scan as a pushed In filter (with the term-sorted
+    // layout that is a row-group seek, not an index scan)
+    val plan = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"), s"no In(term, ...) pushdown:\n$plan")
+  }
+
   test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
     val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
       .toDF("query_id", "rk", "doc_id")
