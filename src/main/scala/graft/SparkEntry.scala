@@ -615,15 +615,31 @@ object SparkEntry {
   // Events analytics: window functions + sessionization
   // ===================================================================
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read as a timestamp; read nanos as raw longs and floor to epoch millis
-    * — exactly DuckDB's `epoch_ms` semantics. */
-  private def eventsBase(s: SparkSession, dir: String): DataFrame = {
+  /** The events table's timestamp resolution differs by data generation:
+    * legacy driver files carry TIMESTAMP(NANOS), which Spark 4 only reads
+    * as raw BIGINT nanos (`nanosAsLong`); current files carry
+    * TIMESTAMP(MICROS), read as TIMESTAMP_NTZ. Normalize both to exact
+    * BIGINT epoch MICROS — the finest resolution actually present in
+    * either generation — so every downstream comparison stays exact
+    * integer arithmetic (the NTZ→LTZ cast is an identity under the
+    * session's pinned UTC zone). DuckDB's `epoch_us`/`epoch_ms` re-derive
+    * the same values from either file generation. */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir).select(
-      col("user_id"), col("event_id"), col("event_type"), col("value"),
-      expr("ts div 1000000").as("ts_ms"))
+    val df = Tables.events(s, dir)
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    df.withColumn("ts_us", tsUs.cast("long")).drop("ts")
   }
+
+  /** Events with epoch-millis floor — the resolution the analytic queries
+    * report (exactly DuckDB's `epoch_ms` semantics). */
+  private def eventsBase(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      expr("ts_us div 1000").as("ts_ms"))
 
   /** Per-user activity profile via window functions (lag gaps). */
   private def qUserWindows(s: SparkSession, dir: String): DataFrame = {
@@ -1605,6 +1621,17 @@ object SparkEntry {
     * floor-div mean in micros; empty clusters keep the previous centroid;
     * zero-norm means are replaced at the END (matching the Scala fallback
     * to the stride init, applied once after all iterations). */
+  // DuckDB's `//` TRUNCATES toward zero when the numerator is the HUGEINT
+  // a SUM(BIGINT) produces (verified empirically; BIGINT `//` floors), so
+  // the centroid mean must subtract 1 for negative non-exact quotients to
+  // reproduce the engine's Math.floorDiv. Latent until round 7: assignment
+  // and probe order are insensitive to a ±1-micro centroid shift, so every
+  // kmeans oracle passed — prototypicality is the first query that
+  // hash-compares a value *derived from the centroid components*.
+  // Same mod-subtract spelling the PQ residual-kmeans oracle uses.
+  private def duckFloorDiv(num: String, den: String): String =
+    s"(($num - (($num % $den + $den) % $den)) // $den)"
+
   private def duckLloyd(inCents: String, out: String): String =
     s"""ac_$out AS (SELECT v.vec_id, v.xs, c.centroid_id,
        |         ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
@@ -1615,7 +1642,7 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
        |         FROM ac_$out) WHERE rn = 1),
        |comp_$out AS (SELECT centroid_id, i,
-       |           CAST(SUM(xs[i]) // COUNT(*) AS BIGINT) AS m
+       |           CAST(${duckFloorDiv("SUM(xs[i])", "COUNT(*)")} AS BIGINT) AS m
        |         FROM asg_$out, range(1, 65) t(i)
        |         GROUP BY centroid_id, i),
        |newc_$out AS (SELECT centroid_id, list(m ORDER BY i) AS xs
@@ -1626,9 +1653,13 @@ object SparkEntry {
        |             i -> COALESCE(n.xs, c.xs)[i] * COALESCE(n.xs, c.xs)[i])) AS BIGINT) AS norm2
        |         FROM $inCents c LEFT JOIN newc_$out n USING (centroid_id))""".stripMargin
 
-  private val annIvfKmeansTopkSql =
-    s"""WITH $DuckPrepared,
-       |en3 AS (SELECT vec_id, xs, norm2,
+  /** Shared oracle CTE chain for every kmeans-backed query: deterministic
+    * 2-iteration Lloyd over 16 stride-seeded centroids, the per-vector
+    * max-cosine assignment, and the inverted file `inv(centroid_id, vec_id,
+    * xs, norm2)`. Appended after `$DuckPrepared` by the IVF-kmeans search,
+    * SemDeDup, and prototypicality oracles. */
+  private val duckKmeansAssigned =
+    s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
        |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
        |cents0 AS (SELECT (idx // stride) AS centroid_id, xs, norm2
@@ -1646,7 +1677,11 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
        |         FROM ac) WHERE rn = 1),
        |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
-       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id)""".stripMargin
+
+  private val annIvfKmeansTopkSql =
+    s"""WITH $DuckPrepared,
+       |$duckKmeansAssigned,
        |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
        |qc AS (SELECT q.query_id, c.centroid_id, ${duckCos("q.xs", "q.norm2", "c.xs", "c.norm2")} AS cos
        |       FROM q, cents c),
@@ -1665,6 +1700,47 @@ object SparkEntry {
        |SELECT query_id, rk, neighbor_id,
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** SemDeDup over the embeddings table: kmeans-cluster, then drop every
+    * vector with an earlier within-cluster near-dup at cosine >= 0.40 (the
+    * corpus's neardup-LSH threshold). The kmeans/assignment prefix is the
+    * proven IVF-kmeans chain; the pruning verdict is re-derived by the
+    * oracle as EXISTS over the within-cluster pair relation in exact
+    * HUGEINT arithmetic. */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.semDedup(Tables.embeddings(s, dir)).orderBy("vec_id")
+
+  private val qSemdedupSql =
+    s"""WITH $DuckPrepared,
+       |$duckKmeansAssigned,
+       |sd_pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |          CAST(list_sum(list_transform(range(1, 65), i -> a.xs[i] * b.xs[i])) AS BIGINT) AS dot,
+       |          a.norm2 AS n_a, b.norm2 AS n_b
+       |        FROM inv a JOIN inv b
+       |          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |sd_dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sd_pairs
+       |        WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 10000
+       |          >= CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) * 1600)
+       |SELECT i.vec_id, i.centroid_id, (d.vec_id IS NULL) AS keep
+       |FROM inv i LEFT JOIN sd_dropped d ON i.vec_id = d.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+
+  /** Prototype-based pruning score: cosine-to-own-centroid in floored
+    * micros, ranked per cluster. Ranks compare the floored integer (not the
+    * raw double) so the oracle re-derives the exact order. */
+  private def qProtoRank(s: SparkSession, dir: String): DataFrame =
+    pipeline.Similarity.prototypicality(Tables.embeddings(s, dir)).orderBy("vec_id")
+
+  private val qProtoRankSql =
+    s"""WITH $DuckPrepared,
+       |$duckKmeansAssigned,
+       |pr AS (SELECT i.vec_id, i.centroid_id,
+       |         CAST(floor(${duckCos("i.xs", "i.norm2", "c.xs", "c.norm2", "i2")} * 1000000) AS BIGINT) AS proto_micros
+       |       FROM inv i JOIN cents c USING (centroid_id))
+       |SELECT vec_id, centroid_id, proto_micros,
+       |       row_number() OVER (PARTITION BY centroid_id
+       |         ORDER BY proto_micros DESC, vec_id) AS rk
+       |FROM pr ORDER BY vec_id""".stripMargin
 
   /** Banded-SRP near-dup. Hyperplanes are md5-derived literals and the
     * accept rule is exact integer arithmetic, so the oracle reproduces
@@ -2518,35 +2594,34 @@ object SparkEntry {
 
   /** Three-step earliest-completion funnel (view -> click -> purchase,
     * 7-day conversion window from the first view). Comparisons run on raw
-    * nanos for exact strict-ordering; output floors to epoch millis like
+    * micros for exact strict-ordering; output floors to epoch millis like
     * every other event query. One exchange total (stacked same-key window
     * layers — see `operators.Funnel`). */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.events(s, dir).select(
-      col("user_id"), col("event_type"), col("ts"))
-    operators.Funnel.earliestCompletion(ev, "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), Some(7L * 24 * 3600 * 1000000000L))
+    val ev = eventsRaw(s, dir).select(
+      col("user_id"), col("event_type"), col("ts_us"))
+    operators.Funnel.earliestCompletion(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), Some(7L * 24 * 3600 * 1000000L))
       .select(col("user_id"),
-        expr("t1 div 1000000").as("t1_ms"),
-        expr("t2 div 1000000").as("t2_ms"),
-        expr("t3 div 1000000").as("t3_ms"),
+        expr("t1 div 1000").as("t1_ms"),
+        expr("t2 div 1000").as("t2_ms"),
+        expr("t3 div 1000").as("t3_ms"),
         col("depth").cast("long").as("depth"))
       .orderBy("user_id")
   }
 
   private val qFunnelSql =
-    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsn END)
        |         OVER (PARTITION BY user_id) AS t1 FROM ev),
        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsn > t1
-       |           AND tsn <= t1 + 604800000000000 THEN tsn END)
+       |           AND tsn <= t1 + 604800000000 THEN tsn END)
        |         OVER (PARTITION BY user_id) AS t2 FROM s1),
        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsn > t2
-       |           AND tsn <= t1 + 604800000000000 THEN tsn END)
+       |           AND tsn <= t1 + 604800000000 THEN tsn END)
        |         OVER (PARTITION BY user_id) AS t3 FROM s2)
-       |SELECT DISTINCT user_id, t1 // 1000000 AS t1_ms, t2 // 1000000 AS t2_ms,
-       |  t3 // 1000000 AS t3_ms,
+       |SELECT DISTINCT user_id, t1 // 1000 AS t1_ms, t2 // 1000 AS t2_ms,
+       |  t3 // 1000 AS t3_ms,
        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
        |       ELSE 1 END AS BIGINT) AS depth
        |FROM s3 WHERE t1 IS NOT NULL ORDER BY user_id""".stripMargin
@@ -2731,31 +2806,30 @@ object SparkEntry {
 
   /** SCD2 effective-dated state history over the events change log:
     * per-user event_type intervals with consecutive no-ops collapsed.
-    * Interval boundaries computed on raw nanos, floored to ms on output
+    * Interval boundaries computed on raw micros, floored to ms on output
     * (see operators.Scd2 — one exchange for the whole operator). */
   private def qScd2Users(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.events(s, dir).select(
-      col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    operators.Scd2.history(ev, Seq("user_id"), "ts", Seq("event_id"),
+    val ev = eventsRaw(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    operators.Scd2.history(ev, Seq("user_id"), "ts_us", Seq("event_id"),
         Seq("event_type"))
       .select(col("user_id"), col("event_type"),
-        expr("valid_from div 1000000").as("valid_from_ms"),
-        expr("valid_to div 1000000").as("valid_to_ms"),
+        expr("valid_from div 1000").as("valid_from_ms"),
+        expr("valid_to div 1000").as("valid_to_ms"),
         col("is_current"))
       .orderBy("user_id", "valid_from_ms", "event_type")
   }
 
   private val qScd2UsersSql =
-    s"""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type
        |  FROM events),
        |lagged AS (SELECT *, lag(event_type) OVER (
        |    PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
        |dd AS (SELECT * FROM lagged WHERE prev IS NULL OR prev <> event_type),
        |iv AS (SELECT user_id, event_type, tsn AS vf, lead(tsn) OVER (
        |    PARTITION BY user_id ORDER BY tsn, event_id) AS vt FROM dd)
-       |SELECT user_id, event_type, vf // 1000000 AS valid_from_ms,
-       |  vt // 1000000 AS valid_to_ms, vt IS NULL AS is_current
+       |SELECT user_id, event_type, vf // 1000 AS valid_from_ms,
+       |  vt // 1000 AS valid_to_ms, vt IS NULL AS is_current
        |FROM iv ORDER BY user_id, valid_from_ms, event_type""".stripMargin
 
   /** CUBE over (event_type, day-of-week): all four grouping sets in one
@@ -3246,6 +3320,8 @@ object SparkEntry {
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
+    "q_semdedup" -> (qSemdedup _),
+    "q_proto_rank" -> (qProtoRank _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "pii_redact" -> (piiRedact _),
@@ -3347,6 +3423,8 @@ object SparkEntry {
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
+    "q_semdedup" -> qSemdedupSql,
+    "q_proto_rank" -> qProtoRankSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "pii_redact" -> piiRedactSql,

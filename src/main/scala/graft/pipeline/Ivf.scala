@@ -60,7 +60,8 @@ object Ivf {
     * assignment by the same double-cosine rule as [[assigned]] (IEEE-
     * identical across engines, ties to the lower index), update by
     * per-component `Math.floorDiv` of the integer-micros sums (floor, not
-    * truncation, so DuckDB's `//` reproduces it for negative components).
+    * truncation — the oracle spells this out explicitly, since DuckDB's
+    * `//` truncates a HUGEINT quotient toward zero on negative sums).
     * Stride init quality depends on data order; a couple of Lloyd rounds
     * adapts the buckets to the actual distribution, which is what makes
     * nprobe recall hold on clustered corpora.

@@ -321,4 +321,103 @@ object Similarity {
       .toDF("vec_a", "vec_b", "dot")
       .distinct()
   }
+
+  /** SemDeDup — semantic deduplication via within-cluster cosine pruning
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web scale through
+    * semantic deduplication", 2023). K-means-cluster the embedding space
+    * with the same deterministic Lloyd machinery the IVF index uses
+    * ([[Ivf.refinedCentroids]] / [[Ivf.assigned]]), then within each
+    * cluster drop every vector that has an *earlier* (lower vec_id)
+    * cluster-mate at cosine >= tauPct/100. One verdict row per vector:
+    * `(vec_id, centroid_id, keep)`.
+    *
+    * Keep rule: the paper keeps one member per within-cluster duplicate
+    * group (random, or farthest from the centroid); this implementation
+    * keeps the lowest vec_id of any near-dup pair — a vector is dropped iff
+    * ANY earlier cluster-mate is within tau, whether or not that mate
+    * itself survives. That dominance form is deterministic, order-free, and
+    * exactly re-derivable by the SQL oracle (an `EXISTS` against the pair
+    * relation), unlike the paper's random representative.
+    *
+    * Scale shape: the quadratic comparison never crosses a cluster
+    * boundary — (n/k)² work per cluster, and k grows with the corpus so
+    * cluster size (the real knob) stays bounded; clustering first is the
+    * whole point of SemDeDup. ONE shuffle (groupByKey on centroid id), and
+    * each cluster's verdicts are emitted straight from its group iterator:
+    * no pair relation is ever materialized, no `distinct`, no join back.
+    * Per-pair work is the same primitive-loop exact-integer kernel as
+    * [[nearDupExact]] (double fast path, BigInt only at the boundary), with
+    * an early exit at the first earlier near-dup. `maxClusterSize` fails
+    * fast on a degenerate clustering — a silent mega-cluster would be
+    * O(n²); at scale raise `nCentroids`, not the cap. */
+  def semDedup(embs: DataFrame, tauPct: Int = 40, nCentroids: Int = 16,
+               refineIters: Int = 2, maxClusterSize: Int = 100000): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = Ivf.refinedCentroids(embs, nCentroids, refineIters)
+    Ivf.assigned(embs, cents)
+      .as[(Int, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val rows = it.take(maxClusterSize + 1).toArray
+        require(rows.length <= maxClusterSize,
+          s"semDedup: cluster $cid exceeds maxClusterSize=$maxClusterSize; " +
+            "raise nCentroids — cluster size, not corpus size, bounds the " +
+            "quadratic pruning work")
+        val sorted = rows.sortBy(_._2)
+        sorted.indices.iterator.map { j =>
+          val b = sorted(j)
+          var dup = false
+          var i = 0
+          while (!dup && i < j) {
+            val a = sorted(i)
+            dup = cosAtLeast(dot(a._3, b._3), a._4, b._4, tauPct)
+            i += 1
+          }
+          (b._2, cid.toLong, !dup)
+        }
+      }
+      .toDF("vec_id", "centroid_id", "keep")
+  }
+
+  /** Per-cluster prototypicality rank — the scoring pass of
+    * prototype-based data pruning (Sorscher et al., "Beyond neural scaling
+    * laws: beating power law scaling via data pruning", NeurIPS 2022):
+    * every vector's cosine to its own k-means centroid, floored to integer
+    * micros, ranked within the cluster (rank 1 = most prototypical). A
+    * pruning pipeline drops the top-ranked (most redundant) fraction of
+    * each cluster when data is abundant, the bottom-ranked (hardest /
+    * noisiest) fraction when it is scarce; this operator emits the full
+    * ranking and leaves the cut to the caller.
+    *
+    * Ordering is on the FLOORED integer (`proto_micros`), not the raw
+    * double, with vec_id as the tiebreak — so the rank is exactly
+    * re-derivable by the oracle and stable across engines.
+    *
+    * Scale shape: centroids are k driver-side vectors broadcast into a
+    * narrow join (no shuffle for the scoring), then one rank window
+    * partitioned by centroid id. Window parallelism is k — size k to the
+    * fleet exactly as IVF does; per-cluster sort input is (n/k) rows of
+    * three numeric columns, and WindowGroupLimit does not apply because the
+    * full ranking (not a top-k) is the product. */
+  def prototypicality(embs: DataFrame, nCentroids: Int = 16,
+                      refineIters: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = Ivf.refinedCentroids(embs, nCentroids, refineIters)
+    val centDf = cents.toSeq.toDF()
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("xs").as("cxs"), col("norm2").as("cnorm2"))
+    Ivf.assigned(embs, cents)
+      .join(broadcast(centDf), "centroid_id")
+      .withColumn("proto_micros",
+        floor(nativeDot(spark, col("xs"), col("cxs")).cast("double")
+          / (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double")))
+          * 1000000).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("centroid_id")
+          .orderBy(col("proto_micros").desc, col("vec_id"))))
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("proto_micros"), col("rk"))
+  }
 }
