@@ -83,6 +83,20 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup plans exactly one exchange — the cluster-id shuffle") {
+    val plan = Similarity.semDedup(embs).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"one exchange expected (groupByKey on centroid_id):\n$plan")
+  }
+
+  test("prototypicality broadcasts centroids; only the rank window shuffles") {
+    val plan = Similarity.prototypicality(embs).queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1,
+      s"centroid side must broadcast:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"one broadcast + one window exchange expected:\n$plan")
+  }
+
   test("prototypicality score matches the independent exact model") {
     val out = Similarity.prototypicality(embs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
