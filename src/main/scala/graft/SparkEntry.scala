@@ -3257,6 +3257,171 @@ object SparkEntry {
        |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin
 
   // ===================================================================
+  // Data selection: DSIR, drift, curriculum, index evaluation
+  // ===================================================================
+
+  /** DSIR-style importance resampling (Selection.dsirSample): weight every
+    * document by its smoothed target-share unigram average (target slice =
+    * English docs), then priority-sample 10 docs per language proportional
+    * to the weight. Exact-integer, RNG-free — the oracle re-derives the
+    * vocabulary statistics, the weights, and the salted-hash sample. */
+  private def qDsirSample(s: SparkSession, dir: String): DataFrame =
+    pipeline.Selection.dsirSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"),
+        col("lang") === "en", group = "lang", k = 10)
+      .orderBy("lang", "doc_id")
+
+  private val qDsirSampleSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, lang = 'en' AS is_target,
+       |    unnest($DuckToks) AS term FROM documents),
+       |vocab AS (
+       |  SELECT term,
+       |    CAST((SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 1) * 1000000
+       |         // (COUNT(*) + 2) AS BIGINT) AS share_micros
+       |  FROM toks GROUP BY term),
+       |w AS (
+       |  SELECT doc_id, any_value(lang) AS lang, COUNT(*) AS n_tokens,
+       |    CAST(SUM(share_micros) // COUNT(*) AS BIGINT) AS weight_micros
+       |  FROM toks JOIN vocab USING (term) GROUP BY doc_id),
+       |pri AS (
+       |  SELECT *, ${DuckHash60.format("concat('graft-pri:', CAST(doc_id AS VARCHAR))")} AS u
+       |  FROM w WHERE weight_micros > 0),
+       |ranked AS (
+       |  SELECT doc_id, lang, n_tokens, weight_micros, row_number() OVER (
+       |    PARTITION BY lang ORDER BY u // weight_micros, u, doc_id) AS rk
+       |  FROM pri)
+       |SELECT doc_id, lang, n_tokens, weight_micros FROM ranked
+       |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin
+
+  /** Cross-slice unigram drift (Selection.corpusDrift): top-25 terms by
+    * absolute share difference between sources src0-src9 and src10-src19 —
+    * the per-term contribution to total-variation distance. */
+  private def qCorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    pipeline.Selection.corpusDrift(
+        Tables.documents(s, dir).select("source", "text"),
+        srcNum < 10, srcNum >= 10, topK = 25)
+      .orderBy(col("drift_micros").desc, col("term"))
+  }
+
+  private val qCorpusDriftSql =
+    s"""WITH tagged AS (
+       |  SELECT CAST(substr(source, 4) AS INT) < 10 AS in_a,
+       |         CAST(substr(source, 4) AS INT) >= 10 AS in_b, text
+       |  FROM documents),
+       |toks AS (SELECT in_a, in_b, unnest($DuckToks) AS term
+       |         FROM tagged WHERE in_a OR in_b),
+       |stats AS (SELECT term,
+       |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+       |    SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS cnt_b
+       |  FROM toks GROUP BY term),
+       |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM stats),
+       |sh AS (SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a,
+       |    CAST(cnt_b AS BIGINT) AS cnt_b,
+       |    CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS share_a_micros,
+       |    CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS share_b_micros
+       |  FROM stats, tot)
+       |SELECT term, cnt_a, cnt_b, share_a_micros, share_b_micros,
+       |  abs(share_a_micros - share_b_micros) AS drift_micros
+       |FROM sh ORDER BY drift_micros DESC, term LIMIT 25""".stripMargin
+
+  /** Curriculum interleave (Selection.curriculumInterleave): quality =
+    * distinct-token ratio, strata = the 20 sources; sparse interleave key
+    * = (pos-1)*20 + src so high-quality docs lead and sources round-robin,
+    * with ONE per-stratum rank window and no global sort. */
+  private def qCurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      .withColumn("toks", pipeline.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("quality", expr(
+        "CASE WHEN n_toks > 0 THEN n_distinct * 1000000 div n_toks ELSE 0L END"))
+    pipeline.Selection.curriculumInterleave(docs,
+        expr("CAST(substring(source, 4, 10) AS BIGINT)"), nStrata = 20,
+        col("quality"))
+      .select("doc_id", "source", "stratum_idx", "quality_micros",
+        "pos_in_stratum", "interleave_key")
+      .orderBy("interleave_key")
+  }
+
+  private val qCurriculumOrderSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(substr(source, 4) AS BIGINT) AS stratum_idx,
+       |    $DuckToks AS toks FROM documents),
+       |qv AS (SELECT doc_id, source, stratum_idx,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+       |      ELSE 0 END AS quality_micros FROM t),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY stratum_idx
+       |    ORDER BY quality_micros DESC, doc_id) AS BIGINT) AS pos_in_stratum
+       |  FROM qv)
+       |SELECT doc_id, source, stratum_idx, quality_micros, pos_in_stratum,
+       |  (pos_in_stratum - 1) * 20 + stratum_idx AS interleave_key
+       |FROM r ORDER BY interleave_key""".stripMargin
+
+  /** Recall@5 of the IVF index against brute-force ground truth
+    * (Eval.recallAt) on the sampled query set — the index-quality
+    * evaluation harness. The oracle re-derives BOTH retrievers and the
+    * overlap, so assignment, probing, ranking and the recall arithmetic
+    * are all under the hash. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isQuery = col("vec_id") % 50 === 0
+    pipeline.Eval.recallAt(
+        pipeline.Similarity.bruteTopK(emb, isQuery),
+        pipeline.Ivf.searchTopK(emb, isQuery))
+      .orderBy("query_id")
+  }
+
+  private val qAnnRecallSql =
+    s"""WITH $DuckPrepared,
+       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |bp AS (SELECT qr.query_id, e2.vec_id AS neighbor_id,
+       |        ${duckCos("qr.xs", "qr.norm2", "e2.xs", "e2.norm2")} AS cos
+       |      FROM qr JOIN en2 e2 ON e2.vec_id <> qr.query_id),
+       |br AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |      FROM bp),
+       |truth AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5),
+       |en3 AS (SELECT vec_id, xs, norm2,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM en3 v, cents c),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |         SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM ac) WHERE rn = 1),
+       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
+       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |qc AS (SELECT qr.query_id, c.centroid_id, ${duckCos("qr.xs", "qr.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM qr, cents c),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT query_id, centroid_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM qc) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
+       |       FROM probes p
+       |       JOIN qr qv ON qv.query_id = p.query_id
+       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
+       |iranked AS (SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |       FROM scored),
+       |approx AS (SELECT query_id, neighbor_id FROM iranked WHERE rk <= 5)
+       |SELECT t.query_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // COUNT(*) AS BIGINT) AS recall_micros
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -3360,7 +3525,11 @@ object SparkEntry {
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
     "q_partitioned_prune" -> (qPartitionedPrune _),
-    "q_weighted_sample" -> (qWeightedSample _)
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_dsir_sample" -> (qDsirSample _),
+    "q_corpus_drift" -> (qCorpusDrift _),
+    "q_curriculum_order" -> (qCurriculumOrder _),
+    "q_ann_recall" -> (qAnnRecall _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3463,6 +3632,10 @@ object SparkEntry {
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,
     "q_partitioned_prune" -> qPartitionedPruneSql,
-    "q_weighted_sample" -> qWeightedSampleSql
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_dsir_sample" -> qDsirSampleSql,
+    "q_corpus_drift" -> qCorpusDriftSql,
+    "q_curriculum_order" -> qCurriculumOrderSql,
+    "q_ann_recall" -> qAnnRecallSql
   )
 }

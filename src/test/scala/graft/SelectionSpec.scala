@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Eval, Selection}
+import org.apache.spark.sql.functions._
+
+/** Gates for the data-selection operators: DSIR weights/sample, corpus
+  * drift, curriculum interleave, recall evaluation. Values are checked
+  * against independent in-memory models built straight from the raw text
+  * (own tokenizer, BigInt arithmetic — no shared engine code), so a wrong
+  * weight cannot hide behind a shared kernel bug.
+  */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  private def toksOf(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+
+  private lazy val corpus: Seq[(Long, String, String, String)] =
+    docs.select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+
+  test("dsirWeights matches the independent exact-integer model") {
+    // model: smoothed target share per term, occurrence-mean per doc
+    val occ = corpus.flatMap { case (id, lang, _, text) =>
+      toksOf(text).map(t => (id, lang == "en", t)) }
+    val byTerm = occ.groupBy(_._3)
+    val share: Map[String, BigInt] = byTerm.map { case (t, os) =>
+      t -> (BigInt(os.count(_._2) + 1) * 1000000 / (os.size + 2)) }
+    val expect: Map[Long, (Long, Long)] = occ.groupBy(_._1).map {
+      case (id, os) =>
+        val s = os.map(o => share(o._3)).sum
+        id -> (os.size.toLong, (s / os.size).toLong) }
+
+    val got = Selection.dsirWeights(docs.select("doc_id", "lang", "text"),
+        col("lang") === "en").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_micros"))).toMap
+    assert(got == expect)
+  }
+
+  test("dsirWeights ranks target-slice docs above the rest on average") {
+    val w = Selection.dsirWeights(docs.select("doc_id", "lang", "text"),
+        col("lang") === "en", carry = Seq("lang")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("weight_micros"))
+    val (en, rest) = w.partition(_._1 == "en")
+    def mean(xs: Array[(String, Long)]) = xs.map(_._2).sum / xs.length
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} should exceed non-en mean ${mean(rest)}")
+  }
+
+  test("dsirSample returns k per group, weight-biased, deterministically") {
+    val s1 = Selection.dsirSample(docs.select("doc_id", "lang", "text"),
+      col("lang") === "en", group = "lang", k = 5)
+    val s2 = Selection.dsirSample(docs.select("doc_id", "lang", "text"),
+      col("lang") === "en", group = "lang", k = 5)
+    val rows = s1.collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    assert(s2.collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet == rows.toSet,
+      "re-runs must pick the same rows")
+  }
+
+  test("corpusDrift matches the independent model, ordered by drift") {
+    val tagged = corpus.map { case (_, _, src, text) =>
+      (src.stripPrefix("src").toInt < 10, text) }
+    val occA = tagged.filter(_._1).flatMap(t => toksOf(t._2))
+    val occB = tagged.filterNot(_._1).flatMap(t => toksOf(t._2))
+    val (totA, totB) = (occA.size, occB.size)
+    val cA = occA.groupBy(identity).map { case (t, o) => t -> o.size }
+    val cB = occB.groupBy(identity).map { case (t, o) => t -> o.size }
+    val model = (cA.keySet ++ cB.keySet).toSeq.map { t =>
+      val (a, b) = (cA.getOrElse(t, 0), cB.getOrElse(t, 0))
+      val sa = BigInt(a) * 1000000 / totA
+      val sb = BigInt(b) * 1000000 / totB
+      (t, a.toLong, b.toLong, sa.toLong, sb.toLong, (sa - sb).abs.toLong)
+    }.sortBy { case (t, _, _, _, _, d) => (-d, t) }.take(25)
+
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    val got = Selection.corpusDrift(docs.select("source", "text"),
+        srcNum < 10, srcNum >= 10, topK = 25).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model)
+  }
+
+  test("curriculumInterleave: quality-descending within stratum, " +
+      "round-robin across strata, collision-free sparse key") {
+    val out = Selection.curriculumInterleave(
+        docs.select("doc_id", "source", "text")
+          .withColumn("q", length(col("text")).cast("long")),
+        expr("CAST(substring(source, 4, 10) AS BIGINT)"), nStrata = 20,
+        col("q")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("stratum_idx"),
+        r.getAs[Long]("quality_micros"), r.getAs[Long]("pos_in_stratum"),
+        r.getAs[Long]("interleave_key")))
+    assert(out.map(_._5).distinct.length == out.length, "keys must be unique")
+    for ((_, sIdx, _, pos, key) <- out) {
+      assert(key == (pos - 1) * 20 + sIdx)
+      assert(key % 20 == sIdx, "key mod nStrata recovers the stratum")
+    }
+    for ((_, grp) <- out.groupBy(_._2)) {
+      val byPos = grp.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1L to grp.length).toSeq,
+        "positions are dense per stratum")
+      byPos.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+            "quality descends (doc_id tiebreak) within a stratum")
+        case _ =>
+      }
+    }
+  }
+
+  test("curriculumInterleave plans exactly one hash exchange") {
+    val plan = Selection.curriculumInterleave(
+        docs.select("doc_id", "source", "text")
+          .withColumn("q", length(col("text")).cast("long")),
+        expr("CAST(substring(source, 4, 10) AS BIGINT)"), nStrata = 20,
+        col("q")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one per-stratum window exchange expected:\n$plan")
+  }
+
+  test("recallAt arithmetic on a synthetic retriever pair") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (1L, 13L), (1L, 98L),
+      (2L, 50L), (2L, 51L), (2L, 52L), (2L, 53L), (2L, 54L))
+      .toDF("query_id", "neighbor_id")
+    val got = Eval.recallAt(truth, approx).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+         r.getAs[Long]("recall_micros"))).toMap
+    assert(got == Map(1L -> (5L, 3L, 600000L), 2L -> (5L, 0L, 0L)))
+  }
+
+  test("ivf recall on the fixture query set is high but not assumed exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val isQuery = col("vec_id") % 50 === 0
+    val rec = Eval.recallAt(
+        pipeline.Similarity.bruteTopK(emb, isQuery),
+        pipeline.Ivf.searchTopK(emb, isQuery)).collect()
+    assert(rec.nonEmpty)
+    val mean = rec.map(_.getAs[Long]("recall_micros")).sum / rec.length
+    // sf0.001 has only ~50 vectors across 16 buckets with nprobe=4, so
+    // ~25% of the corpus is scanned per query — recall ~0.4-0.5 is the
+    // honest geometry of this fixture, not an index bug (sf0.01 sits much
+    // higher; SimilaritySpec gates that separately)
+    assert(mean >= 300000L && mean <= 1000000L,
+      s"mean recall ${mean} outside the plausible fixture band")
+  }
+}
