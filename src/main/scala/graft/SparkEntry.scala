@@ -3422,6 +3422,94 @@ object SparkEntry {
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ===================================================================
+  // Corpus checksum, length buckets, PageRank
+  // ===================================================================
+
+  /** Order-independent per-source corpus checksum (Curation.corpusChecksum)
+    * — XOR-folded salted hashes + exact counts; the ingest/backfill
+    * byte-equivalence gate. */
+  private def qCorpusChecksum(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.corpusChecksum(Tables.documents(s, dir),
+        col("source"), col("doc_id"), col("text"))
+      .orderBy("slice")
+
+  private val qCorpusChecksumSql =
+    s"""WITH h AS (SELECT source AS slice,
+       |    ${DuckHash60.format("CAST(doc_id AS VARCHAR)")} AS kh,
+       |    ${DuckHash60.format("text")} AS ph,
+       |    length(text) AS n_chars
+       |  FROM documents)
+       |SELECT slice, COUNT(*) AS n_rows, bit_xor(kh) AS key_checksum,
+       |  bit_xor(ph) AS payload_checksum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM h GROUP BY slice ORDER BY slice""".stripMargin
+
+  /** Power-of-2 length-bucket batching report (Curation.lengthBuckets)
+    * over document token counts: per bucket, docs/tokens and the exact
+    * padding-waste fraction a length-bucketed batcher pays. */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.lengthBuckets(
+        Tables.documents(s, dir).select(
+          size(pipeline.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_toks")),
+        col("n_toks"), minBucket = 16L, maxBucket = 256L)
+      .orderBy("bucket_hi")
+
+  private val qLengthBucketsSql =
+    s"""WITH t AS (SELECT len($DuckToks) AS n FROM documents),
+       |b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+       |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 256 END
+       |    AS bucket_hi FROM t)
+       |SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  CAST(COUNT(*) * bucket_hi AS BIGINT) AS padded_tokens,
+       |  CAST((COUNT(*) * bucket_hi - SUM(LEAST(n, bucket_hi))) * 1000000
+       |       // (COUNT(*) * bucket_hi) AS BIGINT) AS waste_micros
+       |FROM b GROUP BY bucket_hi ORDER BY bucket_hi""".stripMargin
+
+  /** Exact-integer PageRank (operators.PageRank, 3 iterations, damping
+    * 0.85) over the symmetrized co-order part graph — co-purchase
+    * centrality. The oracle unrolls all three iterations as CTEs with the
+    * identical Euclidean-split damping arithmetic, so contribution sums,
+    * floor divisions and the dangling/base handling are all under the
+    * hash. */
+  private def qPartPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"), "l_orderkey")
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    operators.PageRank.ranksUndirected(e, "u", "v", iters = 3)
+      .withColumnRenamed("node", "l_partkey")
+      .orderBy("l_partkey")
+  }
+
+  private val qPartPagerankSql = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, SUM($prev.r // d.outdeg) AS s
+         |  FROM e JOIN deg d ON d.src = e.src
+         |  JOIN $prev ON $prev.node = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node, CAST(150000
+         |    + (COALESCE(c$i.s, 0) // 1000000) * 850000
+         |    + ((COALESCE(c$i.s, 0) % 1000000) * 850000) // 1000000
+         |  AS BIGINT) AS r FROM n LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+       |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |  WHERE l1.l_partkey < l2.l_partkey),
+       |e AS (SELECT u AS src, v AS dst FROM e0
+       |      UNION ALL SELECT v, u FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT node FROM (
+       |      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+       |$iters
+       |SELECT node AS l_partkey, r AS rank_micros FROM r3
+       |ORDER BY l_partkey""".stripMargin
+  }
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -3529,7 +3617,10 @@ object SparkEntry {
     "q_dsir_sample" -> (qDsirSample _),
     "q_corpus_drift" -> (qCorpusDrift _),
     "q_curriculum_order" -> (qCurriculumOrder _),
-    "q_ann_recall" -> (qAnnRecall _)
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_corpus_checksum" -> (qCorpusChecksum _),
+    "q_length_buckets" -> (qLengthBuckets _),
+    "q_part_pagerank" -> (qPartPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3636,6 +3727,9 @@ object SparkEntry {
     "q_dsir_sample" -> qDsirSampleSql,
     "q_corpus_drift" -> qCorpusDriftSql,
     "q_curriculum_order" -> qCurriculumOrderSql,
-    "q_ann_recall" -> qAnnRecallSql
+    "q_ann_recall" -> qAnnRecallSql,
+    "q_corpus_checksum" -> qCorpusChecksumSql,
+    "q_length_buckets" -> qLengthBucketsSql,
+    "q_part_pagerank" -> qPartPagerankSql
   )
 }

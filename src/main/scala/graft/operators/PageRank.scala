@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in exact integer micros — graph centrality for
+  * "which nodes are representative/authoritative" selection (e.g. central
+  * documents in a similarity graph, hub parts in a co-purchase graph).
+  *
+  * Determinism is the point: ranks are BIGINT micros, every step is
+  * integer division with an explicit floor spelling, so re-runs — and the
+  * DuckDB oracle — reproduce ranks bit-for-bit. The damping update
+  * `floor(s * damp / 1e6)` is computed as
+  * `(s div 1e6) * damp + ((s mod 1e6) * damp) div 1e6` — the exact same
+  * value by the Euclidean split identity, but the intermediate products
+  * stay below 2^63 for any per-node contribution sum `s` up to ~9.2e18
+  * micros (a node would need ~10^13 full-rank in-neighbors to overflow).
+  *
+  * Shape per iteration: edges-with-outdeg join ranks on src (one hash
+  * join), groupBy dst (one exchange with map-side partial sums), left
+  * join back to the node set. The edge relation and node set are persisted
+  * once across all iterations and released when the final ranks
+  * materialize; the whole run is `iters` chained exchange rounds — the
+  * standard scalable PageRank plan, no driver-side state.
+  *
+  * Dangling mass: nodes with no out-edges keep receiving the base term but
+  * redistribute nothing (the common simplification; symmetrize the edge
+  * relation upstream if the graph is undirected, which also removes
+  * dangling nodes entirely).
+  */
+object PageRank {
+
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+            iters: Int = 3, dampMicros: Long = 850000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampMicros >= 0 && dampMicros <= 1000000L,
+      "dampMicros must be in [0, 1e6]")
+    val base = 1000000L - dampMicros
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg): the relation every iteration joins against
+    val withDeg = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+
+    var ranks = nodes.withColumn("rank_micros", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micros div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(coalesce(s, 0L) div 1000000) * $dampMicros" +
+              s" + ((coalesce(s, 0L) % 1000000) * $dampMicros) div 1000000")
+          ).as("rank_micros"))
+    }
+    // node-sized materialization cuts the iters-deep lineage and lets the
+    // persisted edge/node caches release deterministically
+    val out = ranks.localCheckpoint(true)
+    withDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** Undirected convenience: symmetrize `u—v` pairs then rank. */
+  def ranksUndirected(pairs: DataFrame, aCol: String, bCol: String,
+                      iters: Int = 3, dampMicros: Long = 850000L): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
+    ranks(fwd.union(rev), "src", "dst", iters, dampMicros)
+  }
+}

@@ -334,6 +334,65 @@ object Curation {
     *
     * @return (stage_idx, stage, n_docs, total_tokens, docs_bp, tokens_bp)
     */
+  /** Order-independent per-slice corpus checksum — the ingest/backfill
+    * validation primitive: two corpus copies (a re-run, a migrated
+    * cluster, a restored backup) are byte-equivalent on (key, payload)
+    * iff their checksum relations are equal, regardless of row order or
+    * partitioning.
+    *
+    * The combining operation is XOR of salted 60-bit key/payload hashes —
+    * commutative/associative like a sum but overflow-free at ANY row
+    * count (a sum of 2^60-sized hashes overflows BIGINT past ~10^4 rows
+    * per slice and Spark's wrap vs DuckDB's HUGEINT promotion would then
+    * disagree; XOR never leaves 60 bits). XOR's known blind spot — a row
+    * duplicated an even number of times cancels out — is covered by the
+    * exact row count and char sum traveling alongside.
+    *
+    * Shape: ONE narrow hash projection + one aggregate with map-side
+    * partial XOR; the exchange moves slices x partitions partial rows. */
+  def corpusChecksum(df: DataFrame, slice: Column, key: Column,
+                     payload: Column): DataFrame =
+    df.select(slice.as("slice"),
+        Dedup.hash60(key.cast("string")).as("kh"),
+        Dedup.hash60(payload.cast("string")).as("ph"),
+        length(payload.cast("string")).cast("long").as("n_chars"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(kh)").as("key_checksum"),
+        expr("bit_xor(ph)").as("payload_checksum"),
+        sum("n_chars").as("n_chars"))
+
+  /** Power-of-2 token-length buckets with padding-waste accounting — the
+    * batch-shaping report for training/inference: a batch pads every
+    * sequence to its bucket's upper bound, so `waste_micros` is the exact
+    * fraction of padded positions a length-bucketed batcher pays per
+    * bucket. The bucket bound is found by integer doubling (no float
+    * log2, whose rounding at exact powers is not portable).
+    *
+    * One narrow projection + one tiny aggregate; `maxBucket` caps the
+    * CASE chain, everything longer lands in the top bucket. */
+  def lengthBuckets(docs: DataFrame, lengthCol: Column,
+                    minBucket: Long = 16L,
+                    maxBucket: Long = 4096L): DataFrame = {
+    require(minBucket > 0 && maxBucket >= minBucket)
+    val bounds = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val n = lengthCol.cast("long")
+    val hi = bounds.init.foldRight(lit(bounds.last): Column) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(n.as("n_tokens"), hi.as("bucket_hi"))
+      .groupBy("bucket_hi")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(least(col("n_tokens"), col("bucket_hi"))).as("sum_padded_base"))
+      .select(col("bucket_hi"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket_hi")).as("padded_tokens"),
+        expr("(n_docs * bucket_hi - sum_padded_base) * 1000000" +
+          " div (n_docs * bucket_hi)").as("waste_micros"))
+      .drop("sum_padded_base")
+  }
+
   def retentionReport(docs: DataFrame, tokensCol: Column,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "at least one stage")

@@ -406,4 +406,54 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Union"), plan)
   }
+
+  test("corpusChecksum is row-order and partitioning independent, " +
+      "and detects single-byte payload drift") {
+    val rows = Seq((1L, "a", "alpha text"), (2L, "a", "beta text"),
+      (3L, "b", "gamma text"), (4L, "b", "delta text"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      Curation.corpusChecksum(df, col("slice"), col("id"), col("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val base = sum(rows.toDF("id", "slice", "text"))
+    val shuffled = sum(rows.reverse.toDF("id", "slice", "text").repartition(7))
+    assert(base == shuffled, "checksum must not depend on order/partitioning")
+    val drifted = sum(rows.updated(1, (2L, "a", "beta texT"))
+      .toDF("id", "slice", "text"))
+    assert(drifted.head != base.head, "payload drift must change slice a")
+    assert(drifted(1) == base(1), "slice b untouched")
+  }
+
+  test("corpusChecksum: even-duplicated row cancels in xor but not count") {
+    val once = Curation.corpusChecksum(
+        Seq((1L, "a", "x")).toDF("id", "slice", "text"),
+        col("slice"), col("id"), col("text")).head()
+    val thrice = Curation.corpusChecksum(
+        Seq((1L, "a", "x"), (1L, "a", "x"), (1L, "a", "x"))
+          .toDF("id", "slice", "text"),
+        col("slice"), col("id"), col("text")).head()
+    // xor of an odd replication equals the single-row checksum — the
+    // documented blind spot; n_rows is the alibi column
+    assert(once.getAs[Long]("payload_checksum") ==
+      thrice.getAs[Long]("payload_checksum"))
+    assert(once.getAs[Long]("n_rows") == 1L &&
+      thrice.getAs[Long]("n_rows") == 3L)
+  }
+
+  test("lengthBuckets: bounds, waste arithmetic, over-cap top bucket") {
+    val df = Seq(10L, 16L, 17L, 100L, 9999L).toDF("n")
+    val got = Curation.lengthBuckets(df, col("n"), 16L, 128L)
+      .orderBy("bucket_hi").collect()
+      .map(r => (r.getAs[Long]("bucket_hi"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("waste_micros"))).toSeq
+    assert(got == Seq(
+      // 10,16 -> bucket 16: padded 32, real 26, waste 6/32
+      (16L, 2L, 26L, 32L, 6L * 1000000 / 32L),
+      // 17 -> bucket 32: waste 15/32
+      (32L, 1L, 17L, 32L, 15L * 1000000 / 32L),
+      // 100 and over-cap 9999 both land in bucket 128: padded 256,
+      // capped base 100 + 128 = 228, waste 28/256
+      (128L, 2L, 10099L, 256L, 28L * 1000000 / 256L)))
+  }
 }
