@@ -3509,6 +3509,80 @@ object SparkEntry {
        |ORDER BY l_partkey""".stripMargin
   }
 
+  /** Weekly value-distribution drift per event type vs the baseline week
+    * (Anomaly.distributionDrift): total-variation distance over width-50
+    * value buckets, exact integer micros — the population-stability
+    * monitor over the fact table. */
+  private def qEventDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Anomaly.distributionDrift(
+        eventsRaw(s, dir).select(col("event_type"), col("ts_us"), col("value")),
+        col("event_type"), expr("ts_us div 604800000000"),
+        expr("least(cast(floor(value / 50) as bigint), 9L)"))
+      .select(col("grp").as("event_type"), col("period").as("week"),
+        col("n_events"), col("tv_micros"))
+      .orderBy("event_type", "week")
+
+  private val qEventDriftSql =
+    s"""WITH ev AS (SELECT event_type AS grp,
+       |    epoch_us(ts) // 604800000000 AS period,
+       |    LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+       |  FROM events),
+       |counts AS (SELECT grp, period, bucket, COUNT(*) AS n
+       |  FROM ev GROUP BY 1, 2, 3),
+       |tot AS (SELECT grp, period, CAST(SUM(n) AS BIGINT) AS tot
+       |  FROM counts GROUP BY 1, 2),
+       |sh AS (SELECT c.grp, c.period, c.bucket,
+       |    CAST(c.n * 1000000 // t.tot AS BIGINT) AS share, t.tot
+       |  FROM counts c JOIN tot t ON c.grp = t.grp AND c.period = t.period),
+       |bp AS (SELECT grp, MIN(period) AS bp FROM counts GROUP BY grp),
+       |base AS (SELECT s.grp, s.bucket, s.share AS base_share
+       |  FROM sh s JOIN bp ON s.grp = bp.grp AND s.period = bp.bp),
+       |per AS (SELECT DISTINCT grp, period FROM counts),
+       |ex AS (SELECT p.grp, p.period, b.bucket, b.base_share
+       |  FROM per p JOIN base b ON p.grp = b.grp),
+       |f AS (SELECT COALESCE(e.grp, s.grp) AS grp,
+       |    COALESCE(e.period, s.period) AS period,
+       |    COALESCE(e.base_share, 0) AS base_share,
+       |    COALESCE(s.share, 0) AS share, s.tot
+       |  FROM ex e FULL OUTER JOIN sh s
+       |    ON s.grp = e.grp AND s.period = e.period AND s.bucket = e.bucket)
+       |SELECT grp AS event_type, period AS week,
+       |  CAST(MAX(tot) AS BIGINT) AS n_events,
+       |  CAST(SUM(ABS(share - base_share)) // 2 AS BIGINT) AS tv_micros
+       |FROM f GROUP BY grp, period ORDER BY event_type, week""".stripMargin
+
+  /** Unicode/whitespace normalization (Curation.normalizeText) — the
+    * pre-dedup cleanup projection; the oracle replays the identical
+    * RE2-safe replace chain. The driver corpus is already clean, so every
+    * fifth doc is deterministically dirtied (curly quotes, em-dash, NBSP,
+    * control char, edge/multi whitespace — re-derived identically in the
+    * oracle) to keep each rule's firing path under the hash. */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.documents(s, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("  \u201cQ\u201d \u2014\t"), col("text"),
+          lit(" \u2018x\u2019\u00a0 ")))
+        .otherwise(col("text")))
+    pipeline.Curation.normalizeText(dirty).orderBy("doc_id")
+  }
+
+  private val qNormalizeTextSql =
+    s"""WITH n AS (SELECT doc_id, length(text) AS n_chars_raw,
+       |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(text,
+       |      '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+       |      '[‘’]', '''', 'g'),
+       |      '[“”]', '"', 'g'),
+       |      '[–—]', '-', 'g'),
+       |      '\\s+', ' ', 'g')) AS norm_text
+       |  FROM (SELECT doc_id, replace(CASE WHEN doc_id % 5 = 0
+       |      THEN '  “Q” —	' || text || ' ‘x’  '
+       |      ELSE text END, ' ', ' ') AS text
+       |        FROM documents))
+       |SELECT doc_id, CAST(n_chars_raw AS BIGINT) AS n_chars_raw, norm_text,
+       |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+       |FROM n ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3620,7 +3694,9 @@ object SparkEntry {
     "q_ann_recall" -> (qAnnRecall _),
     "q_corpus_checksum" -> (qCorpusChecksum _),
     "q_length_buckets" -> (qLengthBuckets _),
-    "q_part_pagerank" -> (qPartPagerank _)
+    "q_part_pagerank" -> (qPartPagerank _),
+    "q_event_drift" -> (qEventDrift _),
+    "q_normalize_text" -> (qNormalizeText _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3730,6 +3806,8 @@ object SparkEntry {
     "q_ann_recall" -> qAnnRecallSql,
     "q_corpus_checksum" -> qCorpusChecksumSql,
     "q_length_buckets" -> qLengthBucketsSql,
-    "q_part_pagerank" -> qPartPagerankSql
+    "q_part_pagerank" -> qPartPagerankSql,
+    "q_event_drift" -> qEventDriftSql,
+    "q_normalize_text" -> qNormalizeTextSql
   )
 }

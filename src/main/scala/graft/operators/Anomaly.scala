@@ -50,4 +50,57 @@ object Anomaly {
           .otherwise(0L))
       .drop("__m", "__s", "__q")
   }
+
+  /** Per-period distribution drift against each group's EARLIEST period —
+    * the population-stability monitor ("did the value distribution of
+    * purchases shift this week?"). Rows are bucketed by the caller's
+    * expression; drift of a (group, period) is the total-variation
+    * distance between its bucket-share vector and the group's baseline
+    * period, in exact integer micros:
+    * `tv = Σ_buckets |share_p - share_base| div 2`.
+    *
+    * Scale shape: ONE fact-table aggregate to (group, period, bucket)
+    * counts — map-side combine does the heavy lifting — and every later
+    * step (shares, baseline selection, period x baseline-bucket
+    * expansion, TV sum) runs on that compact relation, which is persisted
+    * across its consumers and released once the groups x periods result
+    * materializes. Buckets missing on either side contribute their full
+    * share, so TV is exact, not join-intersection-only.
+    */
+  def distributionDrift(df: DataFrame, group: org.apache.spark.sql.Column,
+      period: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .select(group.as("grp"), period.as("period"), bucket.as("bucket"))
+      .groupBy("grp", "period", "bucket").agg(count(lit(1)).as("n"))
+      .persist()
+    val wp = Window.partitionBy("grp", "period")
+    val shares = counts
+      .withColumn("tot", sum("n").over(wp))
+      .withColumn("share", expr("n * 1000000 div tot"))
+    val basePeriod = counts.groupBy("grp").agg(min("period").as("bp"))
+    val base = shares.join(basePeriod,
+        shares("grp") === basePeriod("grp") &&
+          shares("period") === basePeriod("bp"))
+      .select(shares("grp"), col("bucket"), col("share").as("base_share"))
+    val periods = counts.select("grp", "period").distinct()
+    // every (period, baseline bucket) exists even when unobserved...
+    val expected = periods.join(base, "grp")
+    // ...and every observed bucket exists even when absent at baseline
+    val full = expected
+      .join(shares.select(col("grp"), col("period"), col("bucket"),
+          col("share"), col("tot")),
+        Seq("grp", "period", "bucket"), "full_outer")
+    val out = full
+      .select(col("grp"), col("period"),
+        abs(coalesce(col("share"), lit(0L)) -
+          coalesce(col("base_share"), lit(0L))).as("d"),
+        col("tot"))
+      .groupBy("grp", "period")
+      .agg(max("tot").as("n_events"),
+        expr("sum(d) div 2").as("tv_micros"))
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
+  }
 }

@@ -37,7 +37,12 @@ object PageRank {
       "dampMicros must be in [0, 1e6]")
     val base = 1000000L - dampMicros
 
+    // The incoming edge relation may be arbitrarily expensive (a distinct
+    // over a self-join, an LSH candidate build); it feeds THREE consumers
+    // here (degrees, the join relation, the node set), so persist it or
+    // pay its lineage once per consumer.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg): the relation every iteration joins against
     val withDeg = e.join(deg, "src").persist()
@@ -62,6 +67,7 @@ object PageRank {
     // node-sized materialization cuts the iters-deep lineage and lets the
     // persisted edge/node caches release deterministically
     val out = ranks.localCheckpoint(true)
+    e.unpersist()
     withDeg.unpersist()
     nodes.unpersist()
     out

@@ -334,6 +334,28 @@ object Curation {
     *
     * @return (stage_idx, stage, n_docs, total_tokens, docs_bp, tokens_bp)
     */
+  /** Unicode/whitespace text normalization — the standard pre-dedup
+    * cleanup stage (C4/Dolma lineage): control characters stripped, curly
+    * quotes and long dashes mapped to ASCII, NBSP to space, whitespace
+    * runs collapsed, ends trimmed. Applied BEFORE fingerprinting so
+    * cosmetic variants of the same content dedup together.
+    *
+    * A pure narrow projection of codegen'd regexp_replace chains — no
+    * shuffle, linear scan at any corpus size; every pattern is RE2-safe
+    * so the DuckDB oracle replays the identical chain. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", " ")
+    val t2 = regexp_replace(t1, "[‘’]", "'")
+    val t3 = regexp_replace(t2, "[“”]", "\"")
+    val t4 = regexp_replace(t3, "[–—]", "-")
+    val t5 = regexp_replace(t4, " ", " ")
+    val t6 = trim(regexp_replace(t5, "\\s+", " "))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        t6.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
   /** Order-independent per-slice corpus checksum — the ingest/backfill
     * validation primitive: two corpus copies (a re-run, a migrated
     * cluster, a restored backup) are byte-equivalent on (key, payload)

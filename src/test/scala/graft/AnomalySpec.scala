@@ -83,4 +83,47 @@ class AnomalySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("distributionDrift: baseline is zero, shifts measured, " +
+      "missing buckets on either side counted in full") {
+    import org.apache.spark.sql.functions.col
+    // period 0 (baseline): buckets a:2, b:2 -> shares 0.5/0.5
+    // period 1: a:4        -> b missing in period, a share 1.0
+    //   tv = (|1e6-5e5| + |0-5e5|) div 2 = 500000
+    // period 2: c:1, a:1   -> c missing at baseline
+    //   tv = (|5e5-5e5| + |0-5e5| + |5e5-0|) div 2 = 500000
+    // period 3: a:1, b:3   -> shares 0.25/0.75, tv = 250000
+    val rows = Seq(
+      (0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "c"), (2L, "a"),
+      (3L, "a"), (3L, "b"), (3L, "b"), (3L, "b"))
+    val got = Anomaly.distributionDrift(
+        rows.toDF("period", "bucket").withColumn("grp",
+          org.apache.spark.sql.functions.lit("g")),
+        col("grp"), col("period"), col("bucket"))
+      .collect()
+      .map(r => r.getAs[Long]("period") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("tv_micros"))).toMap
+    assert(got == Map(
+      0L -> (4L, 0L), 1L -> (4L, 500000L),
+      2L -> (2L, 500000L), 3L -> (4L, 250000L)))
+  }
+
+  test("distributionDrift baseline is per group, groups independent") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("g1", 5L, "x"), ("g1", 5L, "y"), ("g1", 6L, "x"),
+      ("g2", 7L, "x"), ("g2", 8L, "y"))
+    val got = Anomaly.distributionDrift(
+        rows.toDF("grp", "period", "bucket"),
+        col("grp"), col("period"), col("bucket"))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("period")) ->
+        r.getAs[Long]("tv_micros")).toMap
+    // g1 baseline = period 5 (x/y half each); period 6 all-x -> tv 0.5
+    // g2 baseline = period 7 (all x); period 8 all-y -> tv 1.0
+    assert(got == Map(("g1", 5L) -> 0L, ("g1", 6L) -> 500000L,
+      ("g2", 7L) -> 0L, ("g2", 8L) -> 1000000L))
+  }
 }

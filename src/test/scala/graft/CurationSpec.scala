@@ -440,6 +440,29 @@ class CurationSpec extends AnyFunSuite {
       thrice.getAs[Long]("n_rows") == 3L)
   }
 
+  test("normalizeText: control strip, quote/dash/NBSP mapping, " +
+      "whitespace collapse, clean text untouched") {
+    val raw1 = "  \u201cHello\u201d \u2014 world\tok "
+    val df = Seq(
+      (1L, raw1),
+      (2L, "a b\u00a0 \u2018c\u2019"),
+      (3L, "already clean")).toDF("doc_id", "text")
+    val got = Curation.normalizeText(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("norm_text"), r.getAs[Long]("n_chars_raw"),
+         r.getAs[Long]("n_chars_norm"))).toMap
+    assert(got(1L)._1 == "\"Hello\" - world ok")
+    assert(got(2L)._1 == "a b 'c'")
+    assert(got(3L) == ("already clean", 13L, 13L))
+    assert(got(1L)._2 == raw1.length.toLong)
+  }
+
+  test("normalizeText plans no exchange: pure narrow projection") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = Curation.normalizeText(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lengthBuckets: bounds, waste arithmetic, over-cap top bucket") {
     val df = Seq(10L, 16L, 17L, 100L, 9999L).toDF("n")
     val got = Curation.lengthBuckets(df, col("n"), 16L, 128L)
