@@ -430,4 +430,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming drift equals batch distributionDrift on split replay, " +
+      "emission is final, state removed on close") {
+    import graft.operators.Anomaly
+    import graft.streaming.StreamingDrift
+    implicit val sqlCtx = spark.sqlContext
+    val winMs = 1000L
+    // base offset keeps every event strictly above the initial watermark
+    // (0): a row AT the watermark is dropped by the late filter
+    val base = 10L
+    def ts(win: Long, off: Long) = new Timestamp((base + win) * winMs + off)
+    // same distribution as the AnomalySpec case: window 0 = baseline
+    // (a:2 b:2), window 1 all-a, window 2 introduces c, window 3 skewed
+    val bucketOf = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    val rows = Seq(
+      (0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "c"), (2L, "a"),
+      (3L, "a"), (3L, "b"), (3L, "b"), (3L, "b")).zipWithIndex
+      .map { case ((win, b), i) => ("g", ts(win, i % 7 * 10), bucketOf(b)) }
+    // batch reference over identical rows, period = window index
+    val batch = Anomaly.distributionDrift(
+        rows.toDF("grp", "ts", "bucket")
+          .withColumn("period",
+            org.apache.spark.sql.functions.expr(
+              s"unix_millis(ts) div $winMs - $base")),
+        col("grp"), col("period"), col("bucket"))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("period")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("tv_micros"))).toMap
+    // streaming baseline = window 0's shares (what batch uses implicitly)
+    val w0 = rows.filter(_._2.getTime < (base + 1) * winMs)
+    val tot0 = w0.size
+    val baseline = w0.groupBy(_._3).map { case (b, g) =>
+      ("g", b) -> g.size * 1000000L / tot0 }
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    // the late-first replay below is bounded by the delay: with a 10 s
+    // watermark delay nothing in the 4 s fixture is ever past-watermark
+    val q = StreamingDrift.drift(spark, mem.toDF().toDF("grp", "ts", "bucket"),
+        baseline, winMs, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      val (early, late) = rows.splitAt(rows.size / 2)
+      mem.addData(late); q.processAllAvailable()   // out-of-order split
+      mem.addData(early); q.processAllAvailable()
+      // sentinels advance the watermark past window 3's end
+      mem.addData(("zz", new Timestamp(50 * winMs), 0L)); q.processAllAvailable()
+      mem.addData(("zz", new Timestamp(60 * winMs), 0L)); q.processAllAvailable()
+      val got = spark.table("drift_stream")
+        .where(col("grp") === "g").collect()
+        .map(r => (r.getAs[String]("grp"),
+          r.getAs[Long]("window_start_ms") / winMs - base) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("tv_micros"))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // exactly one emission per closed window — append-only, final
+      assert(spark.table("drift_stream").where(col("grp") === "g").count() == 4)
+    } finally q.stop()
+  }
 }
