@@ -3583,6 +3583,95 @@ object SparkEntry {
        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Deterministic 80/10/10 train/val/test split (Sampling.split3) rolled
+    * up per (lang, split) — the salted-hash assignment is re-derived in
+    * the oracle, so the exact membership (not just the proportions) is
+    * under the hash via the per-group token sums. */
+  private def qTrainValTest(s: SparkSession, dir: String): DataFrame =
+    pipeline.Sampling.split3(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(pipeline.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        col("doc_id"), trainPct = 80, valPct = 10)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang", "split")
+
+  private val qTrainValTestSql =
+    s"""WITH t AS (SELECT doc_id, lang, len($DuckToks) AS n_tokens,
+       |    ${DuckHash60.format("concat('graft-split:', CAST(doc_id AS VARCHAR))")} % 100 AS b
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** Hard-negative mining (Eval.hardNegatives): IVF candidates per query
+    * minus LSH near-dup positives, top 3 survivors by candidate rank —
+    * the training-pair miner for embedding/retrieval models. Positives
+    * come from the banded-SRP scale path (the production choice: the
+    * brute pair relation doesn't exist at corpus scale; LSH recall < 1
+    * means the occasional true near-dup survives as a "negative", the
+    * standard mining trade-off). The oracle re-derives the candidate
+    * retriever, the banded positive set, the anti-join and the re-rank. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cands = pipeline.Ivf.searchTopK(emb, col("vec_id") % 50 === 0)
+    val pos = pipeline.Similarity.lshNearDup(emb, dim = 64, tauPct = 40)
+    val sym = pos.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+      .union(pos.select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
+    pipeline.Eval.hardNegatives(cands, sym, k = 3)
+      .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+        col("rank").as("cand_rank"), col("cos_micros"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  private val qHardNegativesSql =
+    s"""WITH $DuckPrepared,
+       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |en3 AS (SELECT vec_id, xs, norm2,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM en3 v, cents c),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |         SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM ac) WHERE rn = 1),
+       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
+       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |qc AS (SELECT qr.query_id, c.centroid_id, ${duckCos("qr.xs", "qr.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM qr, cents c),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |         SELECT query_id, centroid_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+       |         FROM qc) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
+       |       FROM probes p
+       |       JOIN qr qv ON qv.query_id = p.query_id
+       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
+       |iranked AS (SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |       FROM scored),
+       |cand AS (SELECT query_id, neighbor_id, rk,
+       |         CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |       FROM iranked WHERE rk <= 5),
+       |pos0 AS ($embeddingNeardupLshSql),
+       |pos AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM pos0
+       |        UNION ALL SELECT vec_b, vec_a FROM pos0),
+       |neg AS (SELECT c.* FROM cand c ANTI JOIN pos p
+       |        ON c.query_id = p.query_id AND c.neighbor_id = p.neighbor_id),
+       |r2 AS (SELECT query_id, neighbor_id, rk AS cand_rank, cos_micros,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY rk, neighbor_id) AS neg_rank
+       |      FROM neg)
+       |SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, neighbor_id,
+       |  cand_rank, cos_micros
+       |FROM r2 WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3696,7 +3785,9 @@ object SparkEntry {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_part_pagerank" -> (qPartPagerank _),
     "q_event_drift" -> (qEventDrift _),
-    "q_normalize_text" -> (qNormalizeText _)
+    "q_normalize_text" -> (qNormalizeText _),
+    "q_train_val_test" -> (qTrainValTest _),
+    "q_hard_negatives" -> (qHardNegatives _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3808,6 +3899,8 @@ object SparkEntry {
     "q_length_buckets" -> qLengthBucketsSql,
     "q_part_pagerank" -> qPartPagerankSql,
     "q_event_drift" -> qEventDriftSql,
-    "q_normalize_text" -> qNormalizeTextSql
+    "q_normalize_text" -> qNormalizeTextSql,
+    "q_train_val_test" -> qTrainValTestSql,
+    "q_hard_negatives" -> qHardNegativesSql
   )
 }

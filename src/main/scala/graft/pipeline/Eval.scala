@@ -30,4 +30,27 @@ object Eval {
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_micros", expr("n_hits * 1000000 div k"))
   }
+
+  /** Hard-negative mining for retrieval/embedding training: from a
+    * candidate list (an ANN result — similar, so "hard") remove the known
+    * positives (duplicates, labeled matches), keep each query's top
+    * `k` survivors by the candidate ranking.
+    *
+    * `candidates` carries (query_id, neighbor_id, rank); `positives` is
+    * any (query_id, neighbor_id) relation — e.g. a near-dup pair list,
+    * symmetrized by the caller if it is undirected. One anti-join + one
+    * rank window, both on query_id-aligned partitioning; cost tracks the
+    * candidate workload, not the corpus. */
+  def hardNegatives(candidates: DataFrame, positives: DataFrame,
+                    k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    candidates
+      .join(positives.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rank"), col("neighbor_id")))
+        .cast("long"))
+      .where(col("neg_rank") <= k)
+  }
 }

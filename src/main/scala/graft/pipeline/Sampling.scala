@@ -22,6 +22,24 @@ object Sampling {
                  salt: String = "graft"): DataFrame =
     df.where(bucket(key, salt) < pct)
 
+  /** Deterministic train/val/test assignment: the salted key-hash bucket
+    * lands in [0, trainPct) -> train, [trainPct, trainPct + valPct) ->
+    * val, else test. Pure narrow projection — the split survives re-runs,
+    * backfills and engine changes because it is a function of the key
+    * alone, and changing the salt re-rolls the whole assignment (the
+    * standard guard against accidental test-set reuse across
+    * experiments). */
+  def split3(df: DataFrame, key: Column, trainPct: Int, valPct: Int,
+             salt: String = "graft-split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val b = bucket(key, salt)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Per-stratum rates: keep a row when its bucket is below the rate of its
     * stratum (default rate for unlisted strata). */
   def stratifiedSample(df: DataFrame, strata: Column, key: Column,

@@ -133,4 +133,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == model("alpha beta gamma delta epsilon zeta eta theta iota kappa"))
     assert(!got.contains(3L)) // fewer than w tokens -> excluded
   }
+
+  test("split3 partitions every row, deterministically, ~80/10/10; " +
+      "salt re-rolls the assignment") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.split3(df, col("id"), 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.length == 2000, "every row gets a split")
+    val bySplit = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 1400 && bySplit("train") < 1800)
+    assert(bySplit("val") > 100 && bySplit("val") < 320)
+    val b = Sampling.split3(df, col("id"), 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toMap == b.toMap, "re-runs reproduce the split")
+    val c = Sampling.split3(df, col("id"), 80, 10, salt = "exp2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.count { case (k, v) => c(k) != v } > 100,
+      "a new salt must re-roll a substantial fraction")
+    intercept[IllegalArgumentException] {
+      Sampling.split3(df, col("id"), 90, 10)
+    }
+  }
+
+  test("hardNegatives drops positives, re-ranks densely, bounds k") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Eval
+    val cands = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val pos = Seq((1L, 10L), (1L, 12L)).toDF("query_id", "neighbor_id")
+    val got = Eval.hardNegatives(cands, pos, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neg_rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // query 1: 10 and 12 are positives; survivors 11 (rank 2), 13 (rank 4)
+    // re-rank densely to neg_rank 1, 2
+    assert(got == Map((1L, 1L) -> 11L, (1L, 2L) -> 13L,
+      (2L, 1L) -> 20L, (2L, 2L) -> 21L))
+  }
 }
