@@ -18,7 +18,11 @@ object PlanAuditR7 {
       else Seq("q_dup_spans", "dedup_incremental_neardup",
         "q_embedding_dim_stats", "q_doc_length_quantiles_approx",
         "q_value_outliers_approx", "q_epoch_shuffle", "q_hybrid_retrieval",
-        "placement_choose_favored", "q_weighted_sample")
+        "placement_choose_favored", "q_weighted_sample",
+        "q_dsir_sample", "q_corpus_drift", "q_curriculum_order",
+        "q_ann_recall", "q_corpus_checksum", "q_length_buckets",
+        "q_part_pagerank", "q_event_drift", "q_normalize_text",
+        "q_train_val_test", "q_hard_negatives")
     for (name <- names) {
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

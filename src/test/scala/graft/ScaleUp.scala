@@ -104,7 +104,9 @@ object ScaleUp {
     // the round-5 sweep's stride of 1000 silently merged a third of each
     // copy's users into the next copy — event-query ratios in that sweep
     // ran on inflated per-user fan-out. 10000 clears the domain.)
-    val userStride = 10000L
+    // optional 5th arg: user stride (pass a larger one when re-amplifying
+    // an already-amplified directory, same rule as K above)
+    val userStride = if (args.length > 4) args(4).toLong else 10000L
     val maxUser = Tables.events(spark, src)
       .agg(max(col("user_id").cast("long"))).head().getLong(0)
     require(maxUser < userStride,
