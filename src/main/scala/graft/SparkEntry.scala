@@ -3672,6 +3672,53 @@ object SparkEntry {
        |  cand_rank, cos_micros
        |FROM r2 WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin
 
+  /** Heavy-hitter counts through the count-min sketch (graft_cms_agg /
+    * graft_cms_estimate): the exact top-10 users' counts next to their
+    * sketch estimates — the frequency-sketch tier whose per-partition
+    * state is depth x width longs regardless of key cardinality. The
+    * sketch's 31-bit affine row hashes run in plain BIGINT SQL, so the
+    * oracle re-derives every counter and the exact estimates (not just a
+    * bound) are under the hash. */
+  private def qHeavyHittersCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsRaw(s, dir).select("user_id")
+    val sketch = ev.agg(expr("graft_cms_agg(user_id, 4, 256)").as("cms"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))).cast("long"))
+      .where(col("rk") <= 10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("rk"), col("user_id"), col("n"),
+        expr("graft_cms_estimate(cms, user_id)").as("est_n"))
+      .orderBy("rk")
+  }
+
+  private val qHeavyHittersCmsSql =
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |consts AS (
+       |  SELECT 0 AS r, 1103515245 AS a, 12345 AS b
+       |  UNION ALL SELECT 1, 1299709, 7919
+       |  UNION ALL SELECT 2, 15485863, 104729
+       |  UNION ALL SELECT 3, 32452843, 1299721),
+       |cells AS (
+       |  SELECT c.r,
+       |    ((((user_id % 2147483648) + 2147483648) % 2147483648) * c.a + c.b)
+       |      % 2147483648 % 256 AS cell,
+       |    COUNT(*) AS cnt
+       |  FROM ev CROSS JOIN consts c GROUP BY 1, 2),
+       |top AS (SELECT user_id, COUNT(*) AS n FROM ev GROUP BY 1),
+       |ranked AS (SELECT user_id, n,
+       |    row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM top),
+       |t10 AS (SELECT * FROM ranked WHERE rk <= 10),
+       |est AS (
+       |  SELECT t.rk, t.user_id, t.n, MIN(cl.cnt) AS est_n
+       |  FROM t10 t CROSS JOIN consts c
+       |  JOIN cells cl ON cl.r = c.r AND cl.cell =
+       |    ((((t.user_id % 2147483648) + 2147483648) % 2147483648) * c.a + c.b)
+       |      % 2147483648 % 256
+       |  GROUP BY 1, 2, 3)
+       |SELECT rk, user_id, n, CAST(est_n AS BIGINT) AS est_n
+       |FROM est ORDER BY rk""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3787,7 +3834,8 @@ object SparkEntry {
     "q_event_drift" -> (qEventDrift _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_train_val_test" -> (qTrainValTest _),
-    "q_hard_negatives" -> (qHardNegatives _)
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_heavy_hitters_cms" -> (qHeavyHittersCms _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3901,6 +3949,7 @@ object SparkEntry {
     "q_event_drift" -> qEventDriftSql,
     "q_normalize_text" -> qNormalizeTextSql,
     "q_train_val_test" -> qTrainValTestSql,
-    "q_hard_negatives" -> qHardNegativesSql
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_heavy_hitters_cms" -> qHeavyHittersCmsSql
   )
 }

@@ -31,5 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_agg"),
+      new ExpressionInfo(classOf[LongCmsAgg].getName, "graft_cms_agg"),
+      (children: Seq[Expression]) =>
+        LongCmsAgg(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children.head, children(1))))
   }
 }

@@ -158,4 +158,70 @@ class GraftFunctionsSpec extends AnyFunSuite {
         .agg(call_function("graft_bloom_agg", col("v"), lit(1 << 10), lit(0))).head()
     }
   }
+
+  test("cms: estimates never undercount, and equal exact counts when the " +
+      "width dominates the key cardinality") {
+    val vals = (1L to 500L).flatMap(v => Seq.fill((v % 7 + 1).toInt)(v))
+    val df = vals.toDF("v").repartition(11)
+    val wide = df.agg(call_function("graft_cms_agg", col("v"), lit(4),
+      lit(1 << 16))).head().getAs[Array[Byte]](0)
+    val narrow = df.agg(call_function("graft_cms_agg", col("v"), lit(4),
+      lit(32))).head().getAs[Array[Byte]](0)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((v, n) <- exact) {
+      assert(graft.functions.LongCms.estimate(wide, v) == n,
+        s"wide sketch must be exact for $v")
+      assert(graft.functions.LongCms.estimate(narrow, v) >= n,
+        s"narrow sketch must never undercount $v")
+    }
+  }
+
+  test("cms: blob is a pure function of the value multiset " +
+      "(partitioning/merge-order invariant)") {
+    val vals = (1L to 300L) ++ (1L to 300L by 3)
+    val a = vals.toDF("v").repartition(1)
+      .agg(call_function("graft_cms_agg", col("v"), lit(3), lit(64)))
+      .head().getAs[Array[Byte]](0)
+    val b = vals.reverse.toDF("v").repartition(17)
+      .agg(call_function("graft_cms_agg", col("v"), lit(3), lit(64)))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("graft_cms_estimate participates in whole-stage codegen") {
+    val blob = spark.range(100).selectExpr("id AS v")
+      .agg(call_function("graft_cms_agg", col("v"), lit(2), lit(64)))
+      .head().getAs[Array[Byte]](0)
+    val probed = spark.range(10)
+      .select(call_function("graft_cms_estimate", lit(blob), col("id")).as("e"))
+    val hasWsc = probed.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, probed.queryExecution.executedPlan.toString)
+    assert(probed.collect().forall(_.getLong(0) >= 1L))
+  }
+
+  test("cms: null values are skipped on insert, null probe yields null") {
+    val blob = Seq(Some(1L), None, Some(1L)).toDF("v")
+      .agg(call_function("graft_cms_agg", col("v"), lit(2), lit(64)))
+      .head().getAs[Array[Byte]](0)
+    assert(graft.functions.LongCms.estimate(blob, 1L) == 2L)
+    val nullProbe = Seq(Some(1L), None).toDF("v")
+      .crossJoin(Seq(1).toDF("one"))
+      .withColumn("blob", lit(blob))
+      .selectExpr("graft_cms_estimate(blob, v) AS e")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(nullProbe.toSet == Set(Some(2L), None))
+  }
+
+  test("cms: invalid depth/width rejected at analysis time") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("id AS v")
+        .agg(call_function("graft_cms_agg", col("v"), lit(0), lit(64))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("id AS v")
+        .agg(call_function("graft_cms_agg", col("v"), lit(4), lit(1))).head()
+    }
+  }
 }
