@@ -1568,9 +1568,14 @@ object SparkEntry {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
-  private val annIvfTopkSql =
-    s"""WITH $DuckPrepared,
-       |en3 AS (SELECT vec_id, xs, norm2,
+  /** The shared plain-IVF search CTE chain (stride centroids, assignment,
+    * nprobe probing, ranking) over an already-defined `$q` query CTE
+    * (columns query_id, xs, norm2); emits `$ranked`
+    * (query_id, neighbor_id, cos, rk). Interpolated by the plain-IVF,
+    * recall-evaluation and hard-negatives oracles so the three cannot
+    * silently diverge. */
+  private def duckIvfSearch(q: String, ranked: String): String =
+    s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
        |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
        |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
@@ -1583,9 +1588,8 @@ object SparkEntry {
        |         FROM ac) WHERE rn = 1),
        |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
        |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
-       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
-       |qc AS (SELECT q.query_id, c.centroid_id, ${duckCos("q.xs", "q.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM q, cents c),
+       |qc AS (SELECT $q.query_id, c.centroid_id, ${duckCos(s"$q.xs", s"$q.norm2", "c.xs", "c.norm2")} AS cos
+       |       FROM $q, cents c),
        |probes AS (SELECT query_id, centroid_id FROM (
        |         SELECT query_id, centroid_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
@@ -1593,11 +1597,16 @@ object SparkEntry {
        |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
        |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
        |       FROM probes p
-       |       JOIN q qv ON qv.query_id = p.query_id
+       |       JOIN $q qv ON qv.query_id = p.query_id
        |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
-       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |$ranked AS (SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-       |       FROM scored)
+       |       FROM scored)""".stripMargin
+
+  private val annIvfTopkSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |${duckIvfSearch("q", "ranked")}
        |SELECT query_id, rk, neighbor_id,
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
@@ -3385,33 +3394,7 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
        |      FROM bp),
        |truth AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5),
-       |en3 AS (SELECT vec_id, xs, norm2,
-       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
-       |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
-       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
-       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM en3 v, cents c),
-       |assigned AS (SELECT vec_id, centroid_id FROM (
-       |         SELECT vec_id, centroid_id,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
-       |         FROM ac) WHERE rn = 1),
-       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
-       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
-       |qc AS (SELECT qr.query_id, c.centroid_id, ${duckCos("qr.xs", "qr.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM qr, cents c),
-       |probes AS (SELECT query_id, centroid_id FROM (
-       |         SELECT query_id, centroid_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
-       |         FROM qc) WHERE rn <= 4),
-       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
-       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
-       |       FROM probes p
-       |       JOIN qr qv ON qv.query_id = p.query_id
-       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
-       |iranked AS (SELECT query_id, neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-       |       FROM scored),
+       |${duckIvfSearch("qr", "iranked")},
        |approx AS (SELECT query_id, neighbor_id FROM iranked WHERE rk <= 5)
        |SELECT t.query_id, COUNT(*) AS k,
        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
@@ -3630,33 +3613,7 @@ object SparkEntry {
   private val qHardNegativesSql =
     s"""WITH $DuckPrepared,
        |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
-       |en3 AS (SELECT vec_id, xs, norm2,
-       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
-       |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
-       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
-       |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM en3 v, cents c),
-       |assigned AS (SELECT vec_id, centroid_id FROM (
-       |         SELECT vec_id, centroid_id,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
-       |         FROM ac) WHERE rn = 1),
-       |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
-       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
-       |qc AS (SELECT qr.query_id, c.centroid_id, ${duckCos("qr.xs", "qr.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM qr, cents c),
-       |probes AS (SELECT query_id, centroid_id FROM (
-       |         SELECT query_id, centroid_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
-       |         FROM qc) WHERE rn <= 4),
-       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
-       |         ${duckCos("qv.xs", "qv.norm2", "i.xs", "i.norm2", "i2")} AS cos
-       |       FROM probes p
-       |       JOIN qr qv ON qv.query_id = p.query_id
-       |       JOIN inv i ON i.centroid_id = p.centroid_id AND i.vec_id <> p.query_id),
-       |iranked AS (SELECT query_id, neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-       |       FROM scored),
+       |${duckIvfSearch("qr", "iranked")},
        |cand AS (SELECT query_id, neighbor_id, rk,
        |         CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |       FROM iranked WHERE rk <= 5),

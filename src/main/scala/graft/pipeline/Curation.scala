@@ -412,7 +412,6 @@ object Curation {
         (col("n_docs") * col("bucket_hi")).as("padded_tokens"),
         expr("(n_docs * bucket_hi - sum_padded_base) * 1000000" +
           " div (n_docs * bucket_hi)").as("waste_micros"))
-      .drop("sum_padded_base")
   }
 
   def retentionReport(docs: DataFrame, tokensCol: Column,

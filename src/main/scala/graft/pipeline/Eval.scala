@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
 object Eval {
 
   /** Per-query overlap of `approx` against `truth`: k (truth size),
-    * n_hits, and recall in integer micros. One shuffle join on
-    * (query_id, neighbor_id) + one groupBy(query_id) — both land on the
-    * same hash partitioning of query_id, so AQE coalesces them; cost is
+    * n_hits, and recall in integer micros. Both inputs are deduplicated
+    * on (query_id, neighbor_id) first — a multi-band candidate list or a
+    * symmetrized pair relation legitimately carries duplicate pairs, and
+    * without the distinct the left join would multiply matched truth rows
+    * (inflating k AND n_hits). One shuffle join + one groupBy(query_id),
+    * both on query_id-aligned partitioning; cost is
     * O(|truth| + |approx|), independent of corpus size. */
   def recallAt(truth: DataFrame, approx: DataFrame): DataFrame = {
     val hits = approx
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    truth.select("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("hit", lit(1L))
+    truth.select("query_id", "neighbor_id").distinct()
       .join(hits, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),

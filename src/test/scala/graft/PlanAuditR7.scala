@@ -22,7 +22,7 @@ object PlanAuditR7 {
         "q_dsir_sample", "q_corpus_drift", "q_curriculum_order",
         "q_ann_recall", "q_corpus_checksum", "q_length_buckets",
         "q_part_pagerank", "q_event_drift", "q_normalize_text",
-        "q_train_val_test", "q_hard_negatives")
+        "q_train_val_test", "q_hard_negatives", "q_heavy_hitters_cms")
     for (name <- names) {
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

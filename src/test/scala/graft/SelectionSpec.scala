@@ -141,6 +141,13 @@ class SelectionSpec extends AnyFunSuite {
         (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
          r.getAs[Long]("recall_micros"))).toMap
     assert(got == Map(1L -> (5L, 3L, 600000L), 2L -> (5L, 0L, 0L)))
+    // duplicate pairs (multi-band candidates, symmetrized relations) must
+    // not inflate k or n_hits — both sides dedup before the join
+    val dupApprox = approx.union(approx.limit(2))
+    val got2 = Eval.recallAt(truth, dupApprox).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("n_hits"))).toMap
+    assert(got2 == Map(1L -> (5L, 3L), 2L -> (5L, 0L)))
   }
 
   test("ivf recall on the fixture query set is high but not assumed exact") {
