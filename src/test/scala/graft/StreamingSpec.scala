@@ -489,4 +489,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("drift_stream").where(col("grp") === "g").count() == 4)
     } finally q.stop()
   }
+
+  test("count-min sketch aggregates in streaming windows, " +
+      "byte-identical to the batch sketch per window") {
+    import org.apache.spark.sql.functions.{call_function, lit, window}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(10000L + s * 1000L)
+    val rows = (0L until 40L).map(i => (ts(i % 4), i % 7))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "2 seconds"))
+      .agg(call_function("graft_cms_agg", col("v"), lit(2), lit(64)).as("cms"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(25)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData((ts(100), 0L)); q.processAllAvailable()
+      mem.addData((ts(120), 0L)); q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .selectExpr("window.start AS ws", "cms").collect()
+        .map(r => r.getAs[Timestamp]("ws").getTime ->
+          r.getAs[Array[Byte]]("cms")).toMap
+      val batch = rows.toDF("ts", "v")
+        .groupBy(window(col("ts"), "2 seconds"))
+        .agg(call_function("graft_cms_agg", col("v"), lit(2), lit(64)).as("cms"))
+        .selectExpr("window.start AS ws", "cms").collect()
+        .map(r => r.getAs[Timestamp]("ws").getTime ->
+          r.getAs[Array[Byte]]("cms")).toMap
+      assert(batch.keySet.subsetOf(got.keySet))
+      for ((ws, blob) <- batch)
+        assert(java.util.Arrays.equals(got(ws), blob),
+          s"window $ws sketch differs from batch")
+    } finally q.stop()
+  }
 }
