@@ -3676,6 +3676,34 @@ object SparkEntry {
        |SELECT rk, user_id, n, CAST(est_n AS BIGINT) AS est_n
        |FROM est ORDER BY rk""".stripMargin
 
+  /** Cross-source duplication matrix: near-dup pairs (the MinHash-LSH
+    * scale path) rolled up by unordered source pair — the provenance
+    * monitor for "which crawl dumps copy from each other". Pure
+    * composition: the pair relation is workload-sized, so the two source
+    * lookups and the rollup cost nothing next to the pair build. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    pipeline.Dedup.minhashLshPairs(docs)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
+  private val qSourceOverlapSql =
+    s"""WITH mh AS ($dedupMinhashLshSql),
+       |ss AS (SELECT doc_id, source FROM documents),
+       |j AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+       |             GREATEST(sa.source, sb.source) AS source_b
+       |      FROM mh JOIN ss sa ON sa.doc_id = mh.doc_a
+       |              JOIN ss sb ON sb.doc_id = mh.doc_b)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |FROM j GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3792,7 +3820,8 @@ object SparkEntry {
     "q_normalize_text" -> (qNormalizeText _),
     "q_train_val_test" -> (qTrainValTest _),
     "q_hard_negatives" -> (qHardNegatives _),
-    "q_heavy_hitters_cms" -> (qHeavyHittersCms _)
+    "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
+    "q_source_overlap" -> (qSourceOverlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3907,6 +3936,7 @@ object SparkEntry {
     "q_normalize_text" -> qNormalizeTextSql,
     "q_train_val_test" -> qTrainValTestSql,
     "q_hard_negatives" -> qHardNegativesSql,
-    "q_heavy_hitters_cms" -> qHeavyHittersCmsSql
+    "q_heavy_hitters_cms" -> qHeavyHittersCmsSql,
+    "q_source_overlap" -> qSourceOverlapSql
   )
 }
