@@ -2746,6 +2746,31 @@ object SparkEntry {
       .orderBy("query_id", "rk")
   }
 
+  /** [[qHybridRetrieval]]'s lexical arm answered from the PREBUILT
+    * inverted index (Search.moreLikeThisIndexed): identical values and
+    * ranks — the oracle is the same SQL as q_hybrid_retrieval — but
+    * query-term derivation and ranking read the persisted postings
+    * instead of re-tokenizing the corpus per invocation. The index is
+    * built once per sf dir (build-if-absent on the stats _SUCCESS
+    * marker; q_bm25_indexed rebuilds the same deterministic content),
+    * so this gate measures the steady-state serving cost, which is the
+    * scale claim: at 100 TB you amortize ONE tokenize+index pass over
+    * every retrieval that follows. */
+  private def qHybridRetrievalIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getPath
+    if (!new java.io.File(s"$idx/stats/_SUCCESS").exists())
+      pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
+    val text = pipeline.Search.moreLikeThisIndexed(s, idx,
+      col("doc_id") % 40 === 0, nTerms = 5, k = 10)
+    val vec = pipeline.Similarity.bruteTopK(
+        Tables.embeddings(s, dir), col("vec_id") % 40 === 0, k = 10)
+      .withColumnRenamed("rank", "rk")
+      .withColumnRenamed("neighbor_id", "doc_id")
+    pipeline.Search.rrfFuse(text, vec, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   private val qHybridRetrievalSql =
     s"""WITH tok AS (SELECT doc_id,
        |    unnest($DuckToks) AS term FROM documents),
@@ -3184,18 +3209,24 @@ object SparkEntry {
 
   /** Key-skew report for a fact table's join/grouping key: per-key top-10
     * heavy hitters with exact integer-micros share, plus the max/avg skew
-    * factor every key row carries. One hash aggregate + a rank window that
-    * WindowGroupLimit prunes to 10 rows pre-shuffle — the diagnostic you
+    * factor every key row carries. One hash aggregate + a TakeOrdered
+    * top-10 (orderBy+limit: each map partition contributes at most 10
+    * pre-sorted rows, no single-task global window); rank is re-derived
+    * over the 10 survivors by a broadcast self-join — the diagnostic you
     * run BEFORE deciding to salt a join (operators/SaltedJoin). */
   private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
     val counts = eventsBase(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     val stats = counts.agg(sum("n").as("total"),
       count(lit(1)).as("n_keys"), max("n").as("max_n"))
-    counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("user_id"))))
-      .where(col("rk") <= 10)
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      .localCheckpoint(true)
+    // rk(a) = |{b in top : b sorts at-or-before a}| over the 10-row result
+    top.join(
+        broadcast(top.select(col("n").as("o_n"), col("user_id").as("o_user"))),
+        col("o_n") > col("n") ||
+          (col("o_n") === col("n") && col("o_user") <= col("user_id")))
+      .groupBy("user_id", "n").agg(count(lit(1)).cast("int").as("rk"))
       .crossJoin(broadcast(stats))
       .select(col("rk"), col("user_id"), col("n"),
         expr("n * 1000000 div total").as("share_micros"),
@@ -3371,13 +3402,17 @@ object SparkEntry {
        |FROM r ORDER BY interleave_key""".stripMargin
 
   /** Recall@5 of the IVF index against brute-force ground truth
-    * (Eval.recallAt) on the sampled query set — the index-quality
-    * evaluation harness. The oracle re-derives BOTH retrievers and the
-    * overlap, so assignment, probing, ranking and the recall arithmetic
-    * are all under the hash. */
+    * (Eval.recallAt) on a PINNED fixed-size query sample (`vec_id % 50 = 0`
+    * restricted to the first-2000-id prefix; amplified corpora append ids
+    * above it) — the index-quality evaluation harness. The pin matters at
+    * scale: recall is a per-query statistic, so the gate's query count must
+    * NOT grow with the corpus or the probe measures the gate (brute-force
+    * ground truth over O(corpus) queries), not the operator. The oracle
+    * re-derives BOTH retrievers and the overlap, so assignment, probing,
+    * ranking and the recall arithmetic are all under the hash. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val isQuery = col("vec_id") % 50 === 0
+    val isQuery = col("vec_id") % 50 === 0 && col("vec_id") < 2000
     pipeline.Eval.recallAt(
         pipeline.Similarity.bruteTopK(emb, isQuery),
         pipeline.Ivf.searchTopK(emb, isQuery))
@@ -3386,7 +3421,8 @@ object SparkEntry {
 
   private val qAnnRecallSql =
     s"""WITH $DuckPrepared,
-       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2
+       |       WHERE vec_id % 50 = 0 AND vec_id < 2000),
        |bp AS (SELECT qr.query_id, e2.vec_id AS neighbor_id,
        |        ${duckCos("qr.xs", "qr.norm2", "e2.xs", "e2.norm2")} AS cos
        |      FROM qr JOIN en2 e2 ON e2.vec_id <> qr.query_id),
@@ -3596,11 +3632,15 @@ object SparkEntry {
     * come from the banded-SRP scale path (the production choice: the
     * brute pair relation doesn't exist at corpus scale; LSH recall < 1
     * means the occasional true near-dup survives as a "negative", the
-    * standard mining trade-off). The oracle re-derives the candidate
+    * standard mining trade-off). The query sample is PINNED fixed-size
+    * (`vec_id % 50 = 0 AND vec_id < 2000` — amplified corpora append ids
+    * above the prefix) so scale probes measure the miner, not a gate whose
+    * query count grows with the corpus. The oracle re-derives the candidate
     * retriever, the banded positive set, the anti-join and the re-rank. */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cands = pipeline.Ivf.searchTopK(emb, col("vec_id") % 50 === 0)
+    val cands = pipeline.Ivf.searchTopK(emb,
+      col("vec_id") % 50 === 0 && col("vec_id") < 2000)
     val pos = pipeline.Similarity.lshNearDup(emb, dim = 64, tauPct = 40)
     val sym = pos.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
       .union(pos.select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
@@ -3612,7 +3652,8 @@ object SparkEntry {
 
   private val qHardNegativesSql =
     s"""WITH $DuckPrepared,
-       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |qr AS (SELECT vec_id AS query_id, xs, norm2 FROM en2
+       |       WHERE vec_id % 50 = 0 AND vec_id < 2000),
        |${duckIvfSearch("qr", "iranked")},
        |cand AS (SELECT query_id, neighbor_id, rk,
        |         CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
@@ -3639,10 +3680,16 @@ object SparkEntry {
   private def qHeavyHittersCms(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsRaw(s, dir).select("user_id")
     val sketch = ev.agg(expr("graft_cms_agg(user_id, 4, 256)").as("cms"))
-    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("user_id"))).cast("long"))
-      .where(col("rk") <= 10)
+    // top-10 via TakeOrdered (orderBy+limit, no single-task global window);
+    // rank re-derived over the 10 survivors by a broadcast self-join
+    val top10 = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+      .localCheckpoint(true)
+    val top = top10.join(
+        broadcast(top10.select(col("n").as("o_n"), col("user_id").as("o_user"))),
+        col("o_n") > col("n") ||
+          (col("o_n") === col("n") && col("o_user") <= col("user_id")))
+      .groupBy("user_id", "n").agg(count(lit(1)).as("rk"))
     top.crossJoin(broadcast(sketch))
       .select(col("rk"), col("user_id"), col("n"),
         expr("graft_cms_estimate(cms, user_id)").as("est_n"))
@@ -3795,6 +3842,7 @@ object SparkEntry {
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_indexed" -> (qBm25Indexed _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
+    "q_hybrid_retrieval_indexed" -> (qHybridRetrievalIndexed _),
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -3911,6 +3959,7 @@ object SparkEntry {
     "q_bm25_topk" -> qBm25TopkSql,
     "q_bm25_indexed" -> qBm25TopkSql,
     "q_hybrid_retrieval" -> qHybridRetrievalSql,
+    "q_hybrid_retrieval_indexed" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,
     "q_zorder_layout" -> qZorderLayoutSql,

@@ -13,32 +13,48 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * fallback computes identical values, just without codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Wrong-arity calls must fail ANALYSIS (clean `AnalysisException` with
+    * the expected signature), not runtime `IndexOutOfBoundsException` from
+    * an unchecked `children(i)` inside the builder. */
+  private def arity(name: String, n: Int,
+      build: Seq[Expression] => Expression)(
+      children: Seq[Expression]): Expression = {
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    build(children)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+      arity("graft_dot", 2, c => LongArrayDot(c.head, c(1))) _))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[LongTopK].getName, "graft_topk"),
-      (children: Seq[Expression]) => LongTopK(children.head, children(1))))
+      arity("graft_topk", 2, c => LongTopK(c.head, c(1))) _))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[LongBloomAgg].getName, "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
-        LongBloomAgg(children.head, children(1), children(2))))
+      arity("graft_bloom_agg", 3, c => LongBloomAgg(c.head, c(1), c(2))) _))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
+      arity("graft_might_contain", 2, c => BloomMightContain(c.head, c(1))) _))
     ext.injectFunction((
       FunctionIdentifier("graft_cms_agg"),
       new ExpressionInfo(classOf[LongCmsAgg].getName, "graft_cms_agg"),
-      (children: Seq[Expression]) =>
-        LongCmsAgg(children.head, children(1), children(2))))
+      arity("graft_cms_agg", 3, c => LongCmsAgg(c.head, c(1), c(2))) _))
     ext.injectFunction((
       FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
-      (children: Seq[Expression]) => CmsEstimate(children.head, children(1))))
+      arity("graft_cms_estimate", 2, c => CmsEstimate(c.head, c(1))) _))
   }
 }

@@ -73,10 +73,23 @@ object LongCms {
   }
 
   /** Point estimate straight off the serialized blob (called per row from
-    * codegen; no buffer materialization). */
+    * codegen; no buffer materialization). The blob's self-described layout
+    * is validated against its actual length first: a truncated or foreign
+    * BINARY input must fail with a clean error, not an
+    * ArrayIndexOutOfBoundsException from inside codegen. */
   def estimate(blob: Array[Byte], value: Long): Long = {
+    if (blob.length < HeaderBytes)
+      throw new IllegalArgumentException(
+        s"graft_cms_estimate: blob of ${blob.length} bytes is shorter than " +
+          s"the $HeaderBytes-byte (depth, width) header — not a graft_cms_agg sketch")
     val depth = readIntBE(blob, 0)
     val width = readIntBE(blob, 4)
+    if (depth < 1 || depth > MaxDepth || width < 2 || width > (1 << 22) ||
+        blob.length < HeaderBytes + 8L * depth * width)
+      throw new IllegalArgumentException(
+        s"graft_cms_estimate: blob declares depth=$depth width=$width " +
+          s"(needs ${HeaderBytes + 8L * depth * width} bytes) but holds " +
+          s"${blob.length} bytes — truncated or not a graft_cms_agg sketch")
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {

@@ -73,7 +73,16 @@ object PageRank {
     out
   }
 
-  /** Undirected convenience: symmetrize `u—v` pairs then rank. */
+  /** Undirected convenience: symmetrize `u—v` pairs then rank.
+    *
+    * PRECONDITION: `pairs` must hold DISTINCT UNORDERED pairs — one row per
+    * undirected edge (e.g. normalized `least/greatest` + distinct, as the
+    * co-order caller does). A pair appearing twice, or in both
+    * orientations, is treated as a MULTIGRAPH edge: its endpoint
+    * out-degrees and rank contributions double. That is the standard
+    * weighted-multigraph semantics, not an error the operator can detect
+    * without paying an extra corpus-sized `distinct()` exchange every
+    * caller with clean input would waste — so the contract lives here. */
   def ranksUndirected(pairs: DataFrame, aCol: String, bCol: String,
                       iters: Int = 3, dampMicros: Long = 850000L): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -46,15 +46,31 @@ object Triangles {
     *               re-checked by the exact join; false negatives are
     *               impossible, so results are bit-identical (TrianglesSpec
     *               asserts both paths agree).
+    * @param edgeCountHint known (or well-estimated) DISTINCT undirected
+    *               edge count, used only to auto-size the bloom sketch.
+    *               Pass it when the caller already knows the graph size
+    *               (an ingest count, table statistics) to skip the sizing
+    *               count job entirely; <= 0 means unknown, and the count
+    *               is taken from the persisted normalized edge relation —
+    *               a cached-scan count, NOT a second run of the
+    *               degree-join pipeline (the r7 auto-sizing first landed
+    *               as `oriented.count()`, which re-ran both degree joins
+    *               and cost 1.36x at sf0.1; folding the count onto the
+    *               cached edge relation reclaimed it).
     * @return (node, n_triangles), one row per node in >= 1 triangle
     */
   def perNode(edges: DataFrame, uCol: String, vCol: String,
-      bloomBits: Int = -1, bloomHashes: Int = 5): DataFrame = {
+      bloomBits: Int = -1, bloomHashes: Int = 5,
+      edgeCountHint: Long = -1L): DataFrame = {
+    // persisted: it feeds the degree aggregate (two scans via the union),
+    // the orientation join, and — in auto-sizing mode — the edge count,
+    // so the distinct exchange runs once instead of three times
     val e = edges
       .select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .persist()
 
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -98,14 +114,15 @@ object Triangles {
       if (bloomBits > 0) (bloomBits.toLong, true)
       else if (bloomBits == 0) (0L, false)
       else {
-        // auto: ~10 bits/edge over the persisted relation (count is cheap),
-        // clamped to the cap. Below ~4 bits/edge at the cap the fp rate
-        // (~0.2 at k=5) no longer buys the sketch pass — prune off. The
-        // 100x probe is what exposed this policy: the previous 16 MiB
-        // hard-off silently reverted a 1e8-edge graph to the unpruned
-        // wedge shuffle, the operator's worst case, exactly when pruning
-        // matters most.
-        val edgesN = oriented.count()
+        // auto: ~10 bits/edge, clamped to the cap. Below ~4 bits/edge at
+        // the cap the fp rate (~0.2 at k=5) no longer buys the sketch
+        // pass — prune off. The 100x probe is what exposed this policy:
+        // the previous 16 MiB hard-off silently reverted a 1e8-edge graph
+        // to the unpruned wedge shuffle, the operator's worst case,
+        // exactly when pruning matters most. |oriented| == |e| by
+        // construction, so the count comes from the cached edge relation
+        // (or the caller's hint) — never from re-running the degree joins.
+        val edgesN = if (edgeCountHint > 0) edgeCountHint else e.count()
         val target = edgesN * 10
         if (target <= maxBits)
           (math.max(1L << 20, java.lang.Long.highestOneBit(target - 1) << 1), true)
@@ -138,6 +155,7 @@ object Triangles {
     // leaking across invocations
     val out = result.localCheckpoint(true)
     oriented.unpersist()
+    e.unpersist()
     prunedWedges._2.foreach(_.destroy())
     out
   }

@@ -206,6 +206,56 @@ object Search {
     rankTopK(q, qp, dft, stats, k, k1Micros, bMicros, excludeSelf = false)
   }
 
+  /** [[moreLikeThis]] answered from a [[buildIndex]] directory — the
+    * steady-state form for a served corpus: query-term derivation AND
+    * ranking both read the persisted postings, so NOTHING re-tokenizes the
+    * corpus per invocation (the per-query form's one scale weakness; it
+    * re-builds (doc, term, tf) from raw text every call).
+    *
+    * Two corpus-sized touches remain, both scans: (1) selecting the query
+    * docs' postings rows (the index is term-clustered, not doc-clustered,
+    * so `isQueryDoc` filters a full scan — still far cheaper than
+    * tokenizing, and a doc-keyed secondary projection would remove it);
+    * (2) the ranking read, which prunes to the query terms via `term IN
+    * (...)` literals pushed into the parquet scan — the distinct term list
+    * is workload-sized by contract (<= |queries| * nTerms) and collected
+    * under a fail-fast guard, following the repo's guarded-collect rule.
+    * Scores are identical to [[moreLikeThis]] over the indexed corpus:
+    * the index's tf values come from the same tokenizer.
+    *
+    * @param isQueryDoc predicate over the postings' `doc_id` column
+    *        selecting the query documents
+    */
+  def moreLikeThisIndexed(spark: SparkSession, dir: String,
+      isQueryDoc: Column, nTerms: Int, k: Int,
+      k1Micros: Long = 1200000L, bMicros: Long = 750000L,
+      maxQueryTerms: Int = 1 << 16): DataFrame = {
+    require(nTerms > 0 && k > 0)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("tf").desc, col("term"))
+    val queryTerms = postings.where(isQueryDoc)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+      .withColumn("trk", row_number().over(qw))
+      .where(col("trk") <= nTerms)
+      .select("query_id", "term")
+      .persist()
+    val terms = queryTerms.select("term").distinct()
+      .limit(maxQueryTerms + 1).collect().map(_.getString(0)).toSeq
+    require(terms.length <= maxQueryTerms,
+      s"moreLikeThisIndexed: > $maxQueryTerms distinct query terms — the " +
+        "query workload is not workload-sized; raise maxQueryTerms " +
+        "deliberately or shrink the query set")
+    val qp = postings.where(col("term").isin(terms: _*))
+    val dft = spark.read.parquet(s"$dir/termdf")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    val out = rankTopK(queryTerms, qp, dft, stats, k, k1Micros, bMicros,
+      excludeSelf = true).localCheckpoint(true)
+    queryTerms.unpersist()
+    out
+  }
+
   /** "More like this": for each query document (rows matching `isQuery`),
     * retrieve the BM25 top-k of the REST of the corpus using the query
     * doc's own `nTerms` highest-tf tokens (ties to the lexicographically
