@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-JVM validation runner: executes the heaviest registered queries —
+  * chosen to cover every construct that otherwise never crosses a JVM
+  * boundary under `local[N]` — on a REAL `local-cluster[2,16,4096]`
+  * (separate worker JVMs, torrent broadcast over RPC, serialized task
+  * closures and aggregate buffers), then re-runs them on `local[32]` in the
+  * same process and asserts row-for-row equality.
+  *
+  * Why this exists: every bench and correctness number before round 8 came
+  * from one-JVM local mode, where "broadcast" is a reference hand-off and
+  * custom aggregate buffers are never actually serialized between
+  * processes. The three repo constructs with zero prior cross-JVM
+  * evidence, and the queries that drive them here:
+  *
+  *   - `BloomMightContainBc` (SparkContext-broadcast bloom blob probed
+  *     from codegen)                   -> q_part_triangles
+  *   - `ClusterSnapshot` broadcast (batch placement evaluates requests in
+  *     executors against a broadcast topology snapshot)
+  *                                     -> placement_choose, placement_delete
+  *   - `RackStat` codegen deserializer (placement verification rollup)
+  *                                     -> placement_verify,
+  *                                        placement_hierarchy_stats
+  *
+  * plus the TypedImperativeAggregate tier whose partial buffers must
+  * serialize across executors (q_heavy_hitters_cms: count-min blobs;
+  * q_topk_event_values: top-k heaps), the iterative/graph pair with
+  * localCheckpoint blocks living on executors (q_part_pagerank,
+  * embedding_clusters), the spill-heaviest shuffle (q_dup_spans), and the
+  * index-backed retrieval path whose postings are written by executors and
+  * re-read term-pruned (q_hybrid_retrieval_indexed, q_ann_recall).
+  *
+  * Run (SPARK_HOME is required so the master can fork worker JVMs — and
+  * SPARK_SCALA_VERSION too, because the in-process ExecutorRunner builds
+  * the executor command without the bin scripts that normally set it, and
+  * the launcher's getScalaVersion otherwise dies with "Cannot find any
+  * build directories"; the executor classpath gets this repo's compiled
+  * classes via spark.executor.extraClassPath):
+  *
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *     sbt -batch "Test/runMain graft.ClusterSmoke"
+  *
+  * Prints one line per query (`[cluster-smoke] <name> OK rows=<n>` or
+  * `MISMATCH`/`ERROR ...`) and a final `[cluster-smoke] PASS|FAIL` line;
+  * exits nonzero on any mismatch so it can gate CI.
+  */
+object ClusterSmoke {
+
+  /** Queries under test — see class doc for what each one exercises. */
+  val QueryNames: Seq[String] = Seq(
+    "q_part_triangles",
+    "placement_choose",
+    "placement_delete",
+    "placement_verify",
+    "placement_hierarchy_stats",
+    "q_heavy_hitters_cms",
+    "q_topk_event_values",
+    "q_part_pagerank",
+    "embedding_clusters",
+    "q_dup_spans",
+    "q_hybrid_retrieval_indexed",
+    "q_ann_recall")
+
+  /** Canonical row-set form: every cell rendered to a stable string
+    * (binary cells by content), rows sorted — order-insensitive equality,
+    * the same discipline as the DuckDB oracle compare. */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map { r =>
+      r.toSeq.map {
+        case b: Array[Byte] => java.util.Arrays.toString(b)
+        case s: Seq[_]      => s.mkString("[", ",", "]")
+        case x              => String.valueOf(x)
+      }.mkString("")
+    }.sorted
+
+  private def session(master: String, repoClasses: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    // worker JVMs are launched from SPARK_HOME and know nothing about this
+    // repo — hand executors the compiled graft classes explicitly
+    val withCp =
+      if (master.startsWith("local-cluster"))
+        b.config("spark.executor.extraClassPath", repoClasses)
+      else b
+    withCp.getOrCreate()
+  }
+
+  private def runAll(spark: SparkSession, sfDir: String)
+      : Map[String, Either[String, Seq[String]]] = {
+    spark.sparkContext.setLogLevel("WARN")
+    QueryNames.map { name =>
+      val res =
+        try Right(canon(SparkEntry.queries(name)(spark, sfDir)))
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      name -> res
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster mode forks worker JVMs from SPARK_HOME — run with " +
+        "SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "the forked executor command builder needs SPARK_SCALA_VERSION=2.13 " +
+        "(normally exported by the bin scripts, absent here)")
+    val repoClasses = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+
+    val t0 = System.nanoTime()
+    val cluster = session("local-cluster[2,16,4096]", repoClasses)
+    val clusterResults = runAll(cluster, sfDir)
+    cluster.stop()
+    val tCluster = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val local = session("local[32]", repoClasses)
+    val localResults = runAll(local, sfDir)
+    local.stop()
+    val tLocal = (System.nanoTime() - t1) / 1e9
+
+    var failed = 0
+    QueryNames.foreach { name =>
+      (clusterResults(name), localResults(name)) match {
+        case (Right(c), Right(l)) if c == l =>
+          println(s"[cluster-smoke] $name OK rows=${c.size}")
+        case (Right(c), Right(l)) =>
+          failed += 1
+          val onlyC = c.diff(l).take(3)
+          val onlyL = l.diff(c).take(3)
+          println(s"[cluster-smoke] $name MISMATCH cluster=${c.size} " +
+            s"local=${l.size} onlyCluster=$onlyC onlyLocal=$onlyL")
+        case (Left(e), _) =>
+          failed += 1
+          println(s"[cluster-smoke] $name ERROR(cluster) $e")
+        case (_, Left(e)) =>
+          failed += 1
+          println(s"[cluster-smoke] $name ERROR(local) $e")
+      }
+    }
+    println(f"[cluster-smoke] ${if (failed == 0) "PASS" else "FAIL"} " +
+      f"queries=${QueryNames.size} failed=$failed " +
+      f"clusterSec=$tCluster%.1f localSec=$tLocal%.1f sf=$sfDir")
+    if (failed > 0) sys.exit(1)
+  }
+}
