@@ -1,5 +1,15 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-query micro-bench used by the scale sweeps (merge_scale_sweep.py
+  * parses the `[qbench]` lines into BENCH_SCALE). Besides wall time it
+  * reports per-run SHUFFLE SPILL bytes (memory + disk, summed over task
+  * metrics): a query can hold its wall-time ratio while quietly tipping
+  * into disk spill at the larger scale — invisible in seconds until it
+  * dominates, so the sweep artifact must carry it (q_dup_spans is the
+  * known spill-bound row). */
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,12 +19,29 @@ object QBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val spillMem = new AtomicLong; val spillDisk = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.foreach { name =>
       (1 to 3).foreach { i =>
+        // listener events are delivered async: give the bus a beat to
+        // drain before snapshotting, so spill attributes to the right run
+        Thread.sleep(300)
+        spillMem.set(0); spillDisk.set(0)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[qbench] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"[qbench] $name run$i $sec%.2f s " +
+          s"spill_mem=${spillMem.get} spill_disk=${spillDisk.get}")
       }
     }
     spark.stop()

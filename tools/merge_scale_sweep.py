@@ -11,22 +11,36 @@ import sys
 
 
 def best_of(path):
-    best = {}
-    for m in re.finditer(r"\[qbench\] (\S+) run\d+ ([0-9.]+) s", open(path).read()):
+    """Best wall time per query, plus the spill bytes of that best run
+    (older logs without spill fields parse with spill None)."""
+    best, spill = {}, {}
+    pat = (r"\[qbench\] (\S+) run\d+ ([0-9.]+) s"
+           r"(?: spill_mem=(\d+) spill_disk=(\d+))?")
+    for m in re.finditer(pat, open(path).read()):
         name, sec = m.group(1), float(m.group(2))
         if name not in best or sec < best[name]:
             best[name] = sec
-    return best
+            if m.group(3) is not None:
+                spill[name] = {"mem": int(m.group(3)), "disk": int(m.group(4))}
+    return best, spill
 
 
 def main():
     sf01, sf1, out, note = sys.argv[1:5]
-    a, b = best_of(sf01), best_of(sf1)
+    (a, sa), (b, sb) = best_of(sf01), best_of(sf1)
     doc = {
         "sf0.1": {k: round(v, 2) for k, v in sorted(a.items())},
         "sf1_10x": {k: round(v, 2) for k, v in sorted(b.items())},
         "note": note,
     }
+    # spill bytes of each query's best run; only queries that spilled at
+    # either scale, to keep the artifact readable
+    spilled = sorted(k for k in set(sa) | set(sb)
+                     if sa.get(k, {}).get("disk") or sb.get(k, {}).get("disk")
+                     or sa.get(k, {}).get("mem") or sb.get(k, {}).get("mem"))
+    if sa or sb:
+        doc["spill_bytes"] = {
+            k: {"sf0.1": sa.get(k), "sf1_10x": sb.get(k)} for k in spilled}
     shared = sorted(set(a) & set(b))
     ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
     doc["summary"] = {
