@@ -32,6 +32,65 @@ object StreamingNearDup {
   final case class Verdict(doc_id: Long, verdict: String,
                            near_dup_of: Option[Long], jaccard_pct: Option[Long])
 
+  /** Near-dup admission with HOT LEDGER REFRESH — the production shape: a
+    * real ingest pipeline rebuilds its ledger index periodically (nightly
+    * compaction, backfill merge) while the stream keeps flowing.
+    *
+    * Because the verdict pipeline is STATELESS (every group completes
+    * within its micro-batch; see [[verdicts]]), an index swap needs no
+    * state migration at all: [[refresh]] stops the query at a trigger
+    * boundary and restarts the same plan against the new index, with
+    * source offsets carried by the checkpoint — documents admitted before
+    * the swap are never reprocessed, documents after it are judged by the
+    * new ledger, and an interrupted in-flight batch replays under
+    * at-least-once with the sink deduplicating by `batchId` (the standard
+    * foreachBatch idempotence contract). StreamingSpec gates verdict
+    * continuity across a mid-stream refresh against the batch operator
+    * run per-phase with the corresponding ledgers.
+    *
+    * At fleet scale this is also the cheap swap: the new index's static
+    * relations are persisted once at build and stream-static-joined every
+    * micro-batch, so the swap cost is one query restart (seconds), not a
+    * stateful-operator checkpoint rewrite.
+    *
+    * @param sink per-micro-batch consumer `(verdicts, batchId)`; must be
+    *             idempotent in `batchId` for exactly-once results
+    */
+  final class Refreshable(spark: SparkSession, stream: DataFrame,
+      checkpointDir: String,
+      sink: (Dataset[Verdict], Long) => Unit) {
+    @volatile private var query: org.apache.spark.sql.streaming.StreamingQuery = _
+    @volatile private var current: Dedup.NearDupIndex = _
+
+    def start(index: Dedup.NearDupIndex): Unit = synchronized {
+      require(query == null, "already started — use refresh(newIndex)")
+      current = index
+      query = verdicts(spark, stream, index).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    }
+
+    /** Swap to `newIndex` at a trigger boundary. The OLD index's cached
+      * relations are released once the restarted query is running —
+      * callers keep ownership of the new one until the next swap. */
+    def refresh(newIndex: Dedup.NearDupIndex): Unit = synchronized {
+      require(query != null, "not started")
+      query.stop(); query.awaitTermination()
+      val old = current
+      query = null
+      start(newIndex)
+      old.release()
+    }
+
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    def stop(): Unit = synchronized {
+      if (query != null) { query.stop(); query.awaitTermination(); query = null }
+      if (current != null) { current.release(); current = null }
+    }
+  }
+
   /** Streaming verdicts for a stream of (doc_id, text) rows. */
   def verdicts(spark: SparkSession, stream: DataFrame,
                index: Dedup.NearDupIndex): Dataset[Verdict] = {

@@ -150,6 +150,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.release() }
   }
 
+  test("streaming near-dup verdicts stay continuous across a mid-stream " +
+    "ledger index refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    import graft.streaming.StreamingNearDup.Verdict
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    def uwords(n: Int) = (1 to n).map(i => s"u$i").mkString(" ")
+    val ledger1 = Seq((1L, words(20)),
+      (3L, "totally unrelated ledger doc content here")).toDF("doc_id", "text")
+    // refreshed ledger adds doc 4, a near-copy of BOTH phase-1 doc 103 and
+    // phase-2 doc 201 — so the refresh visibly flips 201's verdict while
+    // 103 (already admitted under ledger1) must NOT be re-judged
+    val ledger2 = Seq((1L, words(20)), (4L, uwords(10)),
+      (3L, "totally unrelated ledger doc content here")).toDF("doc_id", "text")
+    val phase1 = Seq((101L, words(20)), (103L, uwords(10)))
+    val phase2 = Seq((201L, uwords(9) + " z"), (202L, "something else entirely"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val expected =
+      Dedup.incrementalNearDup(phase1.toDF("doc_id", "text"), ledger1)
+        .collect().map(key).toSet ++
+      Dedup.incrementalNearDup(phase2.toDF("doc_id", "text"), ledger2)
+        .collect().map(key).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long, Array[Verdict]]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_neardup_refresh").toString
+    val rq = new graft.streaming.StreamingNearDup.Refreshable(spark,
+      mem.toDF().toDF("doc_id", "text"), ckpt,
+      (ds, batchId) => byBatch.put(batchId, ds.collect()))
+    rq.start(Dedup.buildNearDupIndex(ledger1))
+    try {
+      mem.addData(phase1: _*); rq.processAllAvailable()
+      rq.refresh(Dedup.buildNearDupIndex(ledger2))
+      mem.addData(phase2: _*); rq.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = byBatch.values.asScala.flatten
+        .map(v => (v.doc_id, v.verdict, v.near_dup_of, v.jaccard_pct)).toSet
+      val want = expected.map { case (id, vd, of, j) =>
+        (id, vd, of.map(_.asInstanceOf[Long]), j.map(_.asInstanceOf[Long])) }
+      assert(got == want)
+      // the swap is visible: 201 near-dups against the refreshed doc 4...
+      assert(got.exists(v => v._1 == 201L && v._2 == "near_dup" && v._3 == Some(4L)))
+      // ...and 103's pre-swap admission stands (no reprocessing), even
+      // though ledger2 would have judged it a near-dup
+      assert(got.count(_._1 == 103L) == 1 &&
+        got.exists(v => v._1 == 103L && v._2 == "admitted"))
+    } finally rq.stop()
+  }
+
   test("streaming dedup TTL expires state and re-admits late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
