@@ -3751,6 +3751,79 @@ object SparkEntry {
        |SELECT source_a, source_b, COUNT(*) AS n_pairs
        |FROM j GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
 
+  /** Distinct-user cardinality per event type through the HyperLogLog
+    * sketch (`graft_hll_agg` / `graft_hll_registers`): the distinct-count
+    * member of the sketch tier. Per-partition state is 2^p bytes
+    * regardless of user cardinality (map-side register max), so
+    * "distinct users per X" at corpus scale costs a scan plus a
+    * 2^p-byte-per-group rollup instead of a key-cardinality shuffle.
+    * The query emits every REGISTER byte (bucket grain): the sketch's
+    * 31-bit xorshift-multiply hash runs in plain BIGINT SQL, so the
+    * oracle re-derives the full register state exactly — the estimate
+    * is then a pure deterministic function of the pinned bytes
+    * (accuracy itself is pinned in GraftFunctionsSpec). */
+  private def qDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsRaw(s, dir).select("event_type", "user_id")
+    val sk = ev.groupBy("event_type")
+      .agg(expr("graft_hll_agg(user_id, 8)").as("sk"))
+    sk.select(col("event_type"),
+        posexplode(expr("graft_hll_registers(sk)")).as(Seq("bucket", "register")))
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Shared register re-derivation: the 31-bit xorshift-multiply mix
+    * (LongHll.hash31) in plain BIGINT SQL — `xor`/`//`/`%` are exact,
+    * `length(printf('%b', w))` is the bit length, and a left join onto
+    * the (event_type x 256-bucket) grid restores untouched registers. */
+  private val qDistinctSketchSql =
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+       |m1 AS (SELECT event_type,
+       |  ((((user_id % 2147483648) + 2147483648) % 2147483648)
+       |    * 1103515245 + 12345) % 2147483648 AS h FROM ev),
+       |x1 AS (SELECT event_type, xor(h, h // 65536) AS h FROM m1),
+       |m2 AS (SELECT event_type, (h * 32452843) % 2147483648 AS h FROM x1),
+       |x2 AS (SELECT event_type, xor(h, h // 8192) AS h FROM m2),
+       |m3 AS (SELECT event_type, (h * 49979687) % 2147483648 AS h FROM x2),
+       |x3 AS (SELECT event_type, xor(h, h // 65536) AS h FROM m3),
+       |rr AS (SELECT event_type, h % 256 AS bucket,
+       |         CASE WHEN h // 256 = 0 THEN 24
+       |              ELSE 24 - length(printf('%b', h // 256)) END AS rho
+       |       FROM x3),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS register
+       |         FROM rr GROUP BY 1, 2),
+       |grid AS (SELECT t.event_type, g.range AS bucket
+       |         FROM (SELECT DISTINCT event_type FROM events) t
+       |         CROSS JOIN range(256) g)
+       |SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket,
+       |  CAST(COALESCE(r.register, 0) AS BIGINT) AS register
+       |FROM grid g LEFT JOIN regs r
+       |  ON g.event_type = r.event_type AND g.bucket = r.bucket
+       |ORDER BY g.event_type, g.bucket""".stripMargin
+
+  /** The incremental path: per-DAY sketches re-aggregated with
+    * `graft_hll_merge` (register max — idempotent, so overlapping or
+    * re-delivered slices cannot double-count). The oracle is the DIRECT
+    * derivation over the union, so this gate pins merge(sketch-of-days)
+    * == sketch(union) cross-engine, byte for byte — the property that
+    * lets a 100 TB pipeline store daily sketch blobs and answer
+    * "distinct over any date range" without rescanning. */
+  private def qDistinctSketchMerged(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsRaw(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_us div 86400000000").as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("graft_hll_agg(user_id, 8)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("graft_hll_merge(sk)").as("sk"))
+    merged.select(col("event_type"),
+        posexplode(expr("graft_hll_registers(sk)")).as(Seq("bucket", "register")))
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+      .orderBy("event_type", "bucket")
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3869,7 +3942,9 @@ object SparkEntry {
     "q_train_val_test" -> (qTrainValTest _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
-    "q_source_overlap" -> (qSourceOverlap _)
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_distinct_sketch" -> (qDistinctSketch _),
+    "q_distinct_sketch_merged" -> (qDistinctSketchMerged _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3986,6 +4061,9 @@ object SparkEntry {
     "q_train_val_test" -> qTrainValTestSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_heavy_hitters_cms" -> qHeavyHittersCmsSql,
-    "q_source_overlap" -> qSourceOverlapSql
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_distinct_sketch" -> qDistinctSketchSql,
+    // same oracle as the direct sketch: pins merge == direct, byte for byte
+    "q_distinct_sketch_merged" -> qDistinctSketchSql
   )
 }

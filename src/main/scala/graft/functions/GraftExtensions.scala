@@ -56,5 +56,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
       arity("graft_cms_estimate", 2, c => CmsEstimate(c.head, c(1))) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_agg"),
+      new ExpressionInfo(classOf[LongHllAgg].getName, "graft_hll_agg"),
+      arity("graft_hll_agg", 2, c => LongHllAgg(c.head, c(1))) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      arity("graft_hll_merge", 1, c => HllMergeAgg(c.head)) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
+      arity("graft_hll_estimate", 1, c => HllEstimate(c.head)) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll_registers"),
+      arity("graft_hll_registers", 1, c => HllRegisters(c.head)) _))
   }
 }

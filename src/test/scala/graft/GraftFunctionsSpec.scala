@@ -224,4 +224,112 @@ class GraftFunctionsSpec extends AnyFunSuite {
         .agg(call_function("graft_cms_agg", col("v"), lit(4), lit(1))).head()
     }
   }
+
+  // ---------------------------------------------------------------
+  // HyperLogLog distinct sketch
+  // ---------------------------------------------------------------
+
+  test("hll: estimate tracks the exact distinct count within the " +
+      "standard error band across cardinality regimes") {
+    // sigma ~ 1.04/sqrt(m); assert 5 sigma so the test pins quality
+    // without flaking on one awkward cardinality
+    val p = 11
+    val tol = 5 * 1.04 / math.sqrt((1 << p).toDouble)
+    for (n <- Seq(50L, 1000L, 20000L)) {
+      val est = spark.range(n)
+        .select((col("id") * 7919L + 17L).as("v")) // arbitrary spread ids
+        .agg(call_function("graft_hll_agg", col("v"), lit(p)))
+        .head().getAs[Array[Byte]](0)
+      val e = graft.functions.LongHll.estimate(est)
+      assert(math.abs(e - n).toDouble / n <= tol,
+        s"n=$n est=$e relErr=${math.abs(e - n).toDouble / n} tol=$tol")
+    }
+  }
+
+  test("hll: blob is a pure function of the value SET — partitioning, " +
+      "duplication and merge order leave it byte-identical") {
+    val vals = (1L to 5000L)
+    val a = vals.toDF("v").repartition(1)
+      .agg(call_function("graft_hll_agg", col("v"), lit(9)))
+      .head().getAs[Array[Byte]](0)
+    val b = (vals ++ vals ++ vals.reverse).toDF("v").repartition(23)
+      .agg(call_function("graft_hll_agg", col("v"), lit(9)))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("hll: merging stored per-slice sketches equals sketching the " +
+      "union, even when slices overlap") {
+    val slices = Seq(
+      (1L to 4000L),            // slice 0
+      (3000L to 7000L),         // overlaps slice 0
+      (6500L to 9000L))         // overlaps slice 1
+    val perSlice = slices.zipWithIndex.map { case (r, i) =>
+      r.toDF("v").withColumn("day", lit(i))
+        .groupBy("day")
+        .agg(call_function("graft_hll_agg", col("v"), lit(10)).as("sk"))
+    }.reduce(_ union _)
+    val merged = perSlice
+      .agg(call_function("graft_hll_merge", col("sk")))
+      .head().getAs[Array[Byte]](0)
+    val direct = slices.flatten.toDF("v")
+      .agg(call_function("graft_hll_agg", col("v"), lit(10)))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+    // and the estimate is the union's, not the sum of slices
+    val e = graft.functions.LongHll.estimate(merged)
+    assert(math.abs(e - 9000L).toDouble / 9000 < 0.15, s"est=$e")
+  }
+
+  test("graft_hll_estimate participates in whole-stage codegen") {
+    val blob = spark.range(1000)
+      .agg(call_function("graft_hll_agg", col("id"), lit(8)))
+      .head().getAs[Array[Byte]](0)
+    val probed = spark.range(5)
+      .select(call_function("graft_hll_estimate", lit(blob)).as("e"))
+    val hasWsc = probed.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, probed.queryExecution.executedPlan.toString)
+    assert(probed.collect().forall(_.getLong(0) > 800L))
+  }
+
+  test("hll: registers expose the blob exactly; nulls are skipped; " +
+      "empty merge group yields null") {
+    val blob = Seq(Some(5L), None, Some(9L)).toDF("v")
+      .agg(call_function("graft_hll_agg", col("v"), lit(4)))
+      .head().getAs[Array[Byte]](0)
+    val regs = graft.functions.LongHll.registers(blob)
+    assert(regs.numElements() == 16)
+    assert((0 until 16).count(regs.getInt(_) > 0) == 2) // 2 distinct values
+    val emptyMerge = spark.range(0)
+      .select(lit(blob).as("sk"))
+      .agg(call_function("graft_hll_merge", col("sk")))
+      .head()
+    assert(emptyMerge.isNullAt(0))
+  }
+
+  test("hll: invalid p, mixed precisions and malformed blobs fail " +
+      "cleanly") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).agg(
+        call_function("graft_hll_agg", col("id"), lit(3))).head()
+    }
+    val short = intercept[Exception] {
+      spark.range(1).selectExpr("graft_hll_estimate(CAST('x' AS BINARY))")
+        .head()
+    }
+    assert(short.toString.contains("graft_hll") ||
+      (short.getCause != null && short.getCause.toString.contains("graft_hll")),
+      s"unexpected failure shape: $short")
+    val p9 = spark.range(10).agg(
+      call_function("graft_hll_agg", col("id"), lit(9))).head().getAs[Array[Byte]](0)
+    val p10 = spark.range(10).agg(
+      call_function("graft_hll_agg", col("id"), lit(10))).head().getAs[Array[Byte]](0)
+    val mixed = intercept[Exception] {
+      Seq(p9, p10).toDF("sk")
+        .agg(call_function("graft_hll_merge", col("sk"))).head()
+    }
+    assert(mixed.getMessage != null)
+  }
 }

@@ -576,4 +576,53 @@ class StreamingSpec extends AnyFunSuite {
           s"window $ws sketch differs from batch")
     } finally q.stop()
   }
+
+  test("hll distinct sketch aggregates in streaming windows, " +
+      "byte-identical to the batch sketch per window — and the emitted " +
+      "window blobs re-merge to the whole-stream sketch") {
+    import org.apache.spark.sql.functions.{call_function, col, lit, window}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(10000L + s * 1000L)
+    // duplicated users across and within windows: the idempotent-max
+    // register merge is what keeps re-deliveries from double-counting
+    val rows = (0L until 60L).map(i => (ts(i % 4), i % 13))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "2 seconds"))
+      .agg(call_function("graft_hll_agg", col("user"), lit(6)).as("sk"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(37)
+      mem.addData(b); q.processAllAvailable()   // out-of-order split
+      mem.addData(a); q.processAllAvailable()
+      mem.addData((ts(100), 0L)); q.processAllAvailable()
+      mem.addData((ts(120), 0L)); q.processAllAvailable()
+      val got = spark.table("hll_stream")
+        .selectExpr("window.start AS ws", "sk").collect()
+        .map(r => r.getAs[Timestamp]("ws").getTime ->
+          r.getAs[Array[Byte]]("sk")).toMap
+      val batch = rows.toDF("ts", "user")
+        .groupBy(window(col("ts"), "2 seconds"))
+        .agg(call_function("graft_hll_agg", col("user"), lit(6)).as("sk"))
+        .selectExpr("window.start AS ws", "sk").collect()
+        .map(r => r.getAs[Timestamp]("ws").getTime ->
+          r.getAs[Array[Byte]]("sk")).toMap
+      assert(batch.keySet.subsetOf(got.keySet))
+      for ((ws, blob) <- batch)
+        assert(java.util.Arrays.equals(got(ws), blob),
+          s"window $ws sketch differs from batch")
+      // downstream re-merge of the emitted per-window blobs == one
+      // sketch over every event (the stored-sketch rollup path)
+      val merged = spark.table("hll_stream")
+        .where(col("window.start") < ts(50)) // the two real windows
+        .agg(call_function("graft_hll_merge", col("sk")))
+        .head().getAs[Array[Byte]](0)
+      val whole = rows.toDF("ts", "user")
+        .agg(call_function("graft_hll_agg", col("user"), lit(6)))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(merged, whole))
+    } finally q.stop()
+  }
 }
