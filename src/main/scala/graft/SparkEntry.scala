@@ -3824,6 +3824,105 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** Distributed BPE merge training (pipeline.Bpe): 6 merges learned
+    * over the document corpus's word frequencies. The corpus is read
+    * once (word counts); every iteration is vocab-sized. The oracle
+    * unrolls all 6 iterations as CTEs — pair counting, the total-order
+    * argmax, and the greedy left-to-right merge (spelled as the
+    * run-parity window: within a run of consecutive candidate
+    * positions, merges land at even offsets — equivalent to the
+    * engine's single-pass fold), so every rank's pair and count is
+    * under the hash. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val model = pipeline.Bpe.train(
+      pipeline.Bpe.wordFreq(Tables.documents(s, dir), col("text")), 6)
+    pipeline.Bpe.mergesDf(s, model.merges)
+      .select(col("rank"), col("left").as("left_sym"),
+        col("right").as("right_sym"), col("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  /** Encoding under the trained merges: per source, documents, word
+    * occurrences and encoded-token totals — the "what does this corpus
+    * cost in subword tokens" report. One corpus-sized explode + a join
+    * against the vocab-sized segmentation. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = pipeline.Bpe.train(
+      pipeline.Bpe.wordFreq(docs, col("text")), 6)
+    pipeline.Bpe.encodedTokens(docs, col("text"),
+        Seq(col("source"), col("doc_id")), model.segmented)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** The shared 6-iteration BPE CTE chain (DuckDB): s0..s6 carry
+    * (word, freq, syms LIST); bN holds iteration N's argmax pair. */
+  private val BpeChainSql: String = {
+    val iters = (1 to 6).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (SELECT s$p.syms[j] AS l, s$p.syms[j+1] AS r,
+         |    CAST(SUM(s$p.freq) AS BIGINT) AS cnt
+         |  FROM s$p, unnest(generate_series(1, len(s$p.syms) - 1)) AS t(j)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |x$i AS (SELECT word, freq, j, s$p.syms[j] AS sym, b$i.l AS bl,
+         |    b$i.r AS br
+         |  FROM s$p, unnest(generate_series(1, len(s$p.syms))) AS t(j), b$i),
+         |c$i AS (SELECT x$i.*, CASE WHEN sym = bl AND lead(sym)
+         |      OVER (PARTITION BY word ORDER BY j) = br
+         |    THEN 1 ELSE 0 END AS cand FROM x$i),
+         |g$i AS (SELECT c$i.*, CASE WHEN cand = 1 THEN j - ROW_NUMBER()
+         |      OVER (PARTITION BY word, cand ORDER BY j) END AS grp
+         |  FROM c$i),
+         |k$i AS (SELECT g$i.*, CASE WHEN cand = 1
+         |      AND (j - MIN(j) OVER (PARTITION BY word, grp)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS keep FROM g$i),
+         |m$i AS (SELECT word, freq, j,
+         |    CASE WHEN keep = 1 THEN sym || br
+         |         WHEN lag(keep) OVER (PARTITION BY word ORDER BY j) = 1
+         |           THEN NULL
+         |         ELSE sym END AS sym
+         |  FROM k$i),
+         |s$i AS MATERIALIZED (SELECT word, ANY_VALUE(freq) AS freq,
+         |    list(sym ORDER BY j) FILTER (sym IS NOT NULL) AS syms
+         |  FROM m$i GROUP BY word)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest($DuckToks) AS word FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM w GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq,
+       |  regexp_extract_all(word, '.') AS syms FROM wf),
+       |$iters""".stripMargin
+  }
+
+  private val qBpeMergesSql = {
+    val rows = (1 to 6).map { i =>
+      s"""SELECT $i AS rank, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, cnt AS pair_count FROM b$i""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH $BpeChainSql
+       |SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, merged,
+       |  pair_count
+       |FROM ($rows) ORDER BY rank""".stripMargin
+  }
+
+  private val qBpeEncodeSql =
+    s"""WITH $BpeChainSql,
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s6),
+       |dw AS (SELECT source, doc_id, unnest($DuckToks) AS word
+       |  FROM documents),
+       |per_doc AS (SELECT source, doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(e.n_syms) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN enc e USING (word) GROUP BY source, doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3944,7 +4043,9 @@ object SparkEntry {
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_distinct_sketch" -> (qDistinctSketch _),
-    "q_distinct_sketch_merged" -> (qDistinctSketchMerged _)
+    "q_distinct_sketch_merged" -> (qDistinctSketchMerged _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4064,6 +4165,8 @@ object SparkEntry {
     "q_source_overlap" -> qSourceOverlapSql,
     "q_distinct_sketch" -> qDistinctSketchSql,
     // same oracle as the direct sketch: pins merge == direct, byte for byte
-    "q_distinct_sketch_merged" -> qDistinctSketchSql
+    "q_distinct_sketch_merged" -> qDistinctSketchSql,
+    "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql
   )
 }
