@@ -3824,6 +3824,49 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** Exact-substring dedup with canonical retention
+    * (Curation.trimDuplicateSpans): every duplicated 8-token window
+    * keeps its global-first occurrence and trims the rest; documents
+    * rebuild from their surviving tokens. The oracle re-derives the
+    * canonical pick (row_number over (hash, ordered by doc_id, start)),
+    * the island merge, and the positional trim, so kept counts AND the
+    * rebuilt text are under the hash. */
+  private def qTrimDupSpans(s: SparkSession, dir: String): DataFrame =
+    pipeline.Curation.trimDuplicateSpans(Tables.documents(s, dir), w = 8)
+      .orderBy("doc_id")
+
+  private val qTrimDupSpansSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |el AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+       |ex AS (SELECT doc_id, toks, unnest(range(n - 7)) AS start FROM el),
+       |hs AS (SELECT doc_id, start,
+       |  ${DuckHash60.format("array_to_string(toks[start + 1 : start + 8], ' ')")} AS h
+       |  FROM ex),
+       |occ AS (SELECT doc_id, start,
+       |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+       |  COUNT(*) OVER (PARTITION BY h) AS cnt FROM hs),
+       |mk AS (SELECT doc_id, start FROM occ WHERE cnt > 1 AND rn > 1),
+       |br AS (SELECT doc_id, start,
+       |  CASE WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 8
+       |       THEN 1 ELSE 0 END AS brk FROM mk),
+       |isl AS (SELECT doc_id, start,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM br),
+       |sp AS (SELECT doc_id, MIN(start) AS s, MAX(start) + 8 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |pos AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks
+       |  FROM t WHERE len(toks) > 0),
+       |kept AS (SELECT p.doc_id, p.i, p.toks[p.i + 1] AS tok FROM pos p
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = p.doc_id AND p.i >= sp.s AND p.i < sp.e)),
+       |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(reb.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Distributed BPE merge training (pipeline.Bpe): 6 merges learned
     * over the document corpus's word frequencies. The corpus is read
     * once (word counts); every iteration is vocab-sized. The oracle
@@ -4045,7 +4088,8 @@ object SparkEntry {
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_distinct_sketch_merged" -> (qDistinctSketchMerged _),
     "q_bpe_merges" -> (qBpeMerges _),
-    "q_bpe_encode" -> (qBpeEncode _)
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_trim_dup_spans" -> (qTrimDupSpans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4167,6 +4211,7 @@ object SparkEntry {
     // same oracle as the direct sketch: pins merge == direct, byte for byte
     "q_distinct_sketch_merged" -> qDistinctSketchSql,
     "q_bpe_merges" -> qBpeMergesSql,
-    "q_bpe_encode" -> qBpeEncodeSql
+    "q_bpe_encode" -> qBpeEncodeSql,
+    "q_trim_dup_spans" -> qTrimDupSpansSql
   )
 }

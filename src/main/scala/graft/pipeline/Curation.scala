@@ -211,31 +211,13 @@ object Curation {
   def duplicateSpans(docs: DataFrame, w: Int = 8,
                      maxCount: Int = 1): DataFrame = {
     require(w > 0 && maxCount > 0)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val shingles = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - w),
-          i => array_join(slice(col("toks"), i + 1, lit(w)), " "))
-        ).as(Seq("start", "sh")))
-    // 60-bit hash in a primitive loop — the shuffles below move BIGINTs
-    val hashed = shingles.as[(Long, Int, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, st, sh) => (id, st, Dedup.md5Top60(md, sh)) }
-      }.toDF("doc_id", "start", "h")
+    val hashed = windowHashes(docs, w)
       .persist() // feeds the occurrence count AND the verdict semi-join
     val dup = hashed.groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > maxCount)
-    val byDoc = Window.partitionBy("doc_id").orderBy("start")
     val out = hashed
       .join(dup.select("h"), Seq("h"), "left_semi")
-      .withColumn("brk",
-        when(col("start") > lag("start", 1).over(byDoc) + w, 1).otherwise(0))
-      .withColumn("island", sum("brk").over(byDoc))
+      .transform(islands(w))
       .groupBy("doc_id", "island")
       .agg(min("start").cast("long").as("span_start"),
         (max("start") + w).cast("long").as("span_end"),
@@ -244,6 +226,120 @@ object Curation {
       .localCheckpoint(true)
     hashed.unpersist()
     out
+  }
+
+  /** Every `w`-token window of every document, as `(doc_id, start, h)`
+    * with `h` the 60-bit window hash — the shared front of the
+    * sliding-window dedup family. The hash runs in a primitive
+    * `mapPartitions` loop so downstream shuffles move BIGINTs, never
+    * window strings. */
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => array_join(slice(col("toks"), i + 1, lit(w)), " "))
+        ).as(Seq("start", "sh")))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, st, sh) => (id, st, Dedup.md5Top60(md, sh)) }
+      }.toDF("doc_id", "start", "h")
+  }
+
+  /** Gaps-and-islands labelling of marked window starts: window ends are
+    * monotone in starts (fixed width), so one `lag` per document decides
+    * each break. Adds an `island` column; callers group by
+    * `(doc_id, island)` for span aggregates. */
+  private def islands(w: Int)(marked: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    marked
+      .withColumn("brk",
+        when(col("start") > lag("start", 1).over(byDoc) + w, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+  }
+
+  /** Remove duplicated spans, keeping ONE occurrence corpus-wide — the
+    * destructive twin of [[duplicateSpans]] (detect → trim), i.e. the
+    * "deduplicate exact substrings" pass of Lee et al. 2022 with
+    * canonical retention. For each over-occurring window hash the
+    * canonical occurrence is the global first by `(doc_id, start)` — a
+    * total order, so re-runs and the oracle agree pick-for-pick; every
+    * OTHER occurrence marks its `w` tokens for removal. Marked windows
+    * merge into maximal spans per document, and the document's tokens
+    * outside those spans survive.
+    *
+    * Output, one row per input document: `(doc_id, n_tokens, n_kept,
+    * n_removed, clean_text)` — `clean_text` is the surviving tokens
+    * space-joined (the same canonical text form
+    * [[dropDuplicateBlocks]] emits).
+    *
+    * Scale shape: [[duplicateSpans]]'s exchanges (window-hash count +
+    * co-partitioned verdict join, island merge on doc_id) plus ONE extra
+    * corpus-sized narrow pass — the trim itself is a per-document
+    * `filter(toks, i -> no span covers i)` against that document's own
+    * span list (spans are duplicated-text-sized; a document's list is
+    * bounded by its own duplicated regions). The canonical pick rides
+    * the existing count aggregate as a `min(struct(doc_id, start))` —
+    * map-side combinable, no extra shuffle. */
+  def trimDuplicateSpans(docs: DataFrame, w: Int = 8,
+                         maxCount: Int = 1): DataFrame = {
+    require(w > 0 && maxCount > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = windowHashes(docs, w).persist()
+    val dup = hashed.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("start"))).as("canon"))
+      .where(col("cnt") > maxCount)
+      .select(col("h"), col("canon.doc_id").as("c_doc"),
+        col("canon.start").as("c_start"))
+    val spans = hashed.join(dup, "h")
+      .where(!(col("doc_id") === col("c_doc") &&
+        col("start") === col("c_start")))
+      .select("doc_id", "start")
+      .transform(islands(w))
+      .groupBy("doc_id", "island")
+      .agg(min("start").cast("long").as("s"),
+        (max("start") + w).cast("long").as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s").as("_1"), col("e").as("_2")))
+        .as("spans"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    val noSpans = expr("cast(array() as array<struct<_1:bigint,_2:bigint>>)")
+    // the trim itself: a primitive per-document loop (the repo's standard
+    // replacement for interpreted HOF filters on corpus-sized relations)
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"), noSpans))
+      .as[(Long, Seq[String], Seq[(Long, Long)])]
+      .mapPartitions { it =>
+        it.map { case (id, toks, spans) =>
+          val n = toks.length
+          val dead = new Array[Boolean](n)
+          spans.foreach { case (s, e) =>
+            var i = s.toInt
+            while (i < e && i < n) { dead(i) = true; i += 1 }
+          }
+          val sb = new StringBuilder
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            if (!dead(i)) {
+              if (kept > 0) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1
+            }
+            i += 1
+          }
+          (id, n.toLong, kept.toLong, (n - kept).toLong, sb.toString)
+        }
+      }.toDF("doc_id", "n_tokens", "n_kept", "n_removed", "clean_text")
   }
 
   // =================================================================

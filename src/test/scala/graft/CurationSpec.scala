@@ -190,6 +190,83 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("trimDuplicateSpans keeps the canonical occurrence, trims the rest") {
+    val P = (1 to 12).map(i => s"p$i").mkString(" ")
+    val Q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$P ${(1 to 10).map(i => s"a$i").mkString(" ")}"),
+      (2L, s"${(1 to 5).map(i => s"b$i").mkString(" ")} $P " +
+        (1 to 3).map(i => s"c$i").mkString(" ")),
+      (3L, s"$Q ${(1 to 9).map(i => s"d$i").mkString(" ")} $Q"),
+      (4L, "too short"),
+      (5L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.trimDuplicateSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    // doc 1 holds every canonical P window (min doc_id): untouched
+    assert(out(1L)._1 === ((22L, 22L, 0L)))
+    // doc 2's P copy (starts 5..9) is non-canonical: span [5, 17) trimmed
+    assert(out(2L)._1 === ((20L, 8L, 12L)))
+    assert(out(2L)._2 ===
+      ((1 to 5).map(i => s"b$i") ++ (1 to 3).map(i => s"c$i")).mkString(" "))
+    // doc 3 repeats Q within-doc: first occurrence canonical, second cut
+    assert(out(3L)._1 === ((25L, 17L, 8L)))
+    assert(out(3L)._2 ===
+      ((1 to 8).map(i => s"q$i") ++ (1 to 9).map(i => s"d$i")).mkString(" "))
+    // short and unique docs survive whole
+    assert(out(4L)._1 === ((2L, 2L, 0L)))
+    assert(out(5L)._1 === ((20L, 20L, 0L)))
+  }
+
+  test("trimDuplicateSpans matches an independent model on a seeded corpus") {
+    // independent model: string windows, brute counts, canonical = global
+    // first by (doc_id, start), fold-based islands, positional trim
+    def modelTrim(docs: Seq[(Long, String)], w: Int)
+        : Map[Long, (Long, Long, String)] = {
+      val tok = docs.map { case (id, t) =>
+        id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }.toMap
+      val windows = for {
+        (id, ts) <- tok.toSeq; if ts.length >= w
+        s <- 0 to ts.length - w
+      } yield (id, s, ts.slice(s, s + w).mkString(" "))
+      val byWin = windows.groupBy(_._3)
+      val marks = byWin.values.filter(_.size > 1).flatMap { occ =>
+        occ.sortBy(o => (o._1, o._2)).drop(1) // all but the canonical
+      }.toSeq
+      val removed = marks.groupBy(_._1).view.mapValues { ms =>
+        ms.map(_._2).sorted.flatMap(s => s until s + w).toSet
+      }.toMap
+      tok.map { case (id, ts) =>
+        val dead = removed.getOrElse(id, Set.empty)
+        val kept = ts.zipWithIndex.collect { case (t, i) if !dead(i) => t }
+        id -> (ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 25).map(i => s"t$i")
+    val base = (1L to 40L).map { id =>
+      id -> Vector.fill(rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted copies: a slice of an earlier doc behind fresh-prefix noise
+    val planted = (41L to 48L).map { id =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val ts = src.split(' ').filter(_.nonEmpty)
+      val take = ts.drop(rnd.nextInt(math.max(ts.length, 1))).take(10)
+      id -> (Seq.fill(3)(s"p${id}x${rnd.nextInt(9)}") ++ take).mkString(" ")
+    }
+    val docs = base ++ planted
+    val w = 4
+    val got = Curation.trimDuplicateSpans(docs.toDF("doc_id", "text"), w = w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    val expected = modelTrim(docs, w)
+    assert(expected.values.exists(v => v._1 != v._2),
+      "seeded corpus must contain trimmed spans")
+    assert(got === expected)
+  }
+
   // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------
