@@ -541,6 +541,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed quantiles equal the batch cumulative-count " +
+      "derivation on split replay; emission is final") {
+    import graft.streaming.StreamingQuantiles
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lit, min, sum}
+    implicit val sqlCtx = spark.sqlContext
+    val winMs = 1000L
+    val base = 10L
+    def ts(win: Long, off: Long) = new Timestamp((base + win) * winMs + off)
+    // 3 windows x 2 groups, value multiset with duplicates and skew
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      win <- 0L to 2L; g <- Seq("g1", "g2"); i <- 1 to 20 + (win * 7).toInt
+    } yield (g, ts(win, rnd.nextInt(900)), (rnd.nextInt(6) * rnd.nextInt(6)).toLong)
+    val ps = Seq(500000L, 900000L, 990000L)
+    // independent batch twin: counts -> cumulative window -> first value
+    // whose cumulative count passes the nearest-rank-lower index
+    val counted = rows.toDF("grp", "ts", "v")
+      .withColumn("win", expr(s"unix_millis(ts) div $winMs - $base"))
+      .groupBy("grp", "win", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("grp", "win").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp", "win")))
+    val batch = ps.zipWithIndex.map { case (p, i) =>
+      counted.where(col("cum") > expr(s"(n - 1) * $p div 1000000"))
+        .groupBy("grp", "win").agg(min("v").as(s"q_$i"))
+    }.reduce(_.join(_, Seq("grp", "win")))
+      .join(counted.groupBy("grp", "win")
+        .agg(sum("c").as("n")), Seq("grp", "win"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("win")) ->
+        (r.getAs[Long]("n"),
+          Seq(r.getAs[Long]("q_0"), r.getAs[Long]("q_1"), r.getAs[Long]("q_2"))))
+      .toMap
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val q = StreamingQuantiles.quantiles(spark,
+        mem.toDF().toDF("grp", "ts", "v"), winMs,
+        watermarkDelay = "10 seconds", psMicros = ps)
+      .writeStream.format("memory").queryName("quantile_stream")
+      .outputMode("append").start()
+    try {
+      val (early, late) = rows.splitAt(rows.size / 2)
+      mem.addData(late); q.processAllAvailable() // out-of-order split
+      mem.addData(early); q.processAllAvailable()
+      mem.addData(("zz", new Timestamp(50 * winMs), 0L)); q.processAllAvailable()
+      mem.addData(("zz", new Timestamp(60 * winMs), 0L)); q.processAllAvailable()
+      val got = spark.table("quantile_stream")
+        .where(col("grp") =!= "zz").collect()
+        .map(r => (r.getAs[String]("grp"),
+          r.getAs[Long]("window_start_ms") / winMs - base) ->
+          (r.getAs[Long]("n"), r.getAs[Seq[Long]]("qs")))
+        .toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // one final append-only row per closed (group, window)
+      assert(spark.table("quantile_stream")
+        .where(col("grp") =!= "zz").count() == 6)
+    } finally q.stop()
+  }
+
   test("count-min sketch aggregates in streaming windows, " +
       "byte-identical to the batch sketch per window") {
     import org.apache.spark.sql.functions.{call_function, lit, window}
