@@ -32,6 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * index-backed retrieval path whose postings are written by executors and
   * re-read term-pruned (q_hybrid_retrieval_indexed, q_ann_recall).
   *
+  * Round-8 additions: q_bpe_merges (per-iteration localCheckpoint blocks
+  * + a 1-row argmax collect over executor partials, repeated 6 times) and
+  * q_trim_dup_spans (collect_list struct spans joined back and consumed
+  * by a primitive mapPartitions loop — struct serialization across the
+  * exchange).
+  *
   * Run (SPARK_HOME is required so the master can fork worker JVMs — and
   * SPARK_SCALA_VERSION too, because the in-process ExecutorRunner builds
   * the executor command without the bin scripts that normally set it, and
@@ -61,7 +67,9 @@ object ClusterSmoke {
     "embedding_clusters",
     "q_dup_spans",
     "q_hybrid_retrieval_indexed",
-    "q_ann_recall")
+    "q_ann_recall",
+    "q_bpe_merges",
+    "q_trim_dup_spans")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
