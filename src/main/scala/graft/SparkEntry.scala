@@ -3901,9 +3901,39 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The trained subword inventory: every symbol surviving the 6 merges,
+    * with a dense deterministic id (rank by symbol), the distinct words
+    * containing it and its weighted occurrence count — the vocab table a
+    * tokenizer ships next to its merge list. The ranking window runs
+    * over a relation bounded by |alphabet| + nMerges rows, not the
+    * corpus. */
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val model = pipeline.Bpe.train(
+      pipeline.Bpe.wordFreq(Tables.documents(s, dir), col("text")), 6)
+    val occ = model.segmented
+      .select(col("word"), col("freq"), explode(col("syms")).as("symbol"))
+    occ.groupBy("symbol")
+      .agg(countDistinct("word").as("n_words"),
+        sum("freq").as("n_occurrences"))
+      .withColumn("id", row_number()
+        .over(Window.orderBy("symbol")).cast("long"))
+      .select("id", "symbol", "n_words", "n_occurrences")
+      .orderBy("id")
+  }
+
+  private val qBpeVocabSql =
+    s"""WITH $BpeChainSql,
+       |occ AS (SELECT word, freq, unnest(syms) AS symbol FROM s6),
+       |agg AS (SELECT symbol, COUNT(DISTINCT word) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM occ GROUP BY symbol)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS BIGINT) AS id,
+       |  symbol, n_words, n_occurrences
+       |FROM agg ORDER BY id""".stripMargin
+
   /** The shared 6-iteration BPE CTE chain (DuckDB): s0..s6 carry
-    * (word, freq, syms LIST); bN holds iteration N's argmax pair. */
-  private val BpeChainSql: String = {
+    * (word, freq, syms LIST); bN holds iteration N's argmax pair.
+    * (`lazy` — referenced by oracle vals declared above it.) */
+  private lazy val BpeChainSql: String = {
     val iters = (1 to 6).map { i =>
       val p = i - 1
       s"""p$i AS MATERIALIZED (SELECT s$p.syms[j] AS l, s$p.syms[j+1] AS r,
@@ -4089,6 +4119,7 @@ object SparkEntry {
     "q_distinct_sketch_merged" -> (qDistinctSketchMerged _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_vocab" -> (qBpeVocab _),
     "q_trim_dup_spans" -> (qTrimDupSpans _)
   )
 
@@ -4212,6 +4243,7 @@ object SparkEntry {
     "q_distinct_sketch_merged" -> qDistinctSketchSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_bpe_vocab" -> qBpeVocabSql,
     "q_trim_dup_spans" -> qTrimDupSpansSql
   )
 }

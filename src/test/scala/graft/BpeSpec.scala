@@ -120,6 +120,35 @@ class BpeSpec extends AnyFunSuite {
     assert(gotTotal === refTotal)
   }
 
+  test("property: trainer equals the reference on 25 random corpora " +
+      "(vocab, frequencies and merge depth all fuzzed)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // tiny alphabet forces pair collisions, ties and run-parity cases
+    val genWord = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val genCorpus = for {
+      nw <- Gen.choose(2, 8)
+      ws <- Gen.listOfN(nw, genWord)
+      fs <- Gen.listOfN(nw, Gen.choose(1L, 9L))
+    } yield ws.zip(fs).toMap // map dedups colliding words (last freq wins)
+    val prop = Prop.forAllNoShrink(genCorpus, Gen.choose(1, 4)) { (freq, k) =>
+      val (refM, refV) = refTrain(freq, k)
+      val model = Bpe.train(wordsDf(freq), k)
+      val got = model.segmented.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+      model.merges.map(m => (m.rank, m.left, m.right, m.pairCount)) == refM &&
+        got == refV
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(25)
+      .withInitialSeed(Seed(0xB9E))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"bpe-fuzz: ${res.status}")
+  }
+
   test("per-iteration plan: pair counts partial-aggregate before exchange") {
     val words = Bpe.wordFreq(Tables.documents(spark, sfDir),
       col("text"))
