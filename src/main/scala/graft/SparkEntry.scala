@@ -3270,6 +3270,40 @@ object SparkEntry {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** File-level zone-map data skipping (sources.ZoneMaps): events are
+    * re-laid-out CLUSTERED on `value` (range repartition + in-file sort,
+    * so per-file value ranges are near-disjoint), a one-row-per-file
+    * min/max index is built beside the data, and a selective range
+    * aggregate then plans only the files whose range overlaps the
+    * predicate — the skipping layer between hive-partition pruning
+    * (whole directories) and parquet row-group stats (inside a file).
+    * Pruning is sound (a file is dropped only when its whole [min, max]
+    * misses the interval; the residual predicate re-filters survivors),
+    * so the oracle is the SAME aggregate over the logical table —
+    * byte-equality here proves no row was lost to skipping.
+    * ZoneMapsSpec pins the complementary property the oracle can't see:
+    * that files ARE skipped (candidate set strictly smaller than the
+    * listing) and that the pruned plan equals the unpruned one. */
+  private def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_zonemap_${new java.io.File(dir).getName}"
+    val ev = eventsRaw(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.repartitionByRange(8, col("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(path)
+    sources.ZoneMaps.writeIndex(s, path, Seq("value"))
+    sources.ZoneMaps.prunedScan(s, path, "value", Some(300.0), None)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hi"), msum(col("value")).as("sum_value_micros"))
+      .orderBy("event_type")
+  }
+
+  private val qZonemapPruneSql =
+    s"""SELECT event_type, COUNT(*) AS n_hi,
+       |  ${msumSql("value")} AS sum_value_micros
+       |FROM events WHERE value >= 300.0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ===================================================================
   // Weighted (priority) sampling
   // ===================================================================
@@ -4090,6 +4124,7 @@ object SparkEntry {
     "q_hybrid_retrieval_indexed" -> (qHybridRetrievalIndexed _),
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
+    "q_zonemap_prune" -> (qZonemapPrune _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_part_triangles" -> (qPartTriangles _),
     "q_fuzzy_part_names" -> (qFuzzyPartNames _),
@@ -4213,6 +4248,7 @@ object SparkEntry {
     "q_hybrid_retrieval_indexed" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,
+    "q_zonemap_prune" -> qZonemapPruneSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
     "q_fuzzy_part_names" -> qFuzzyPartNamesSql,

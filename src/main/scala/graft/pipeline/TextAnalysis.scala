@@ -118,19 +118,42 @@ object TextAnalysis {
 
   /** Repetition-based quality signals (the Gopher/C4-style filters): the
     * share of the document taken by its most frequent token and the
-    * distinct-token ratio, as exact integer micros. Shape: explode ->
-    * groupBy(doc, term) -> groupBy(doc) — one fact-sized shuffle, partial
-    * aggregation map-side. */
-  def repetitionStats(docs: DataFrame, topTfPctMax: Int = 20): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(sum("tf").as("n_tokens"), max("tf").as("top_tf"),
-        count(lit(1)).as("n_distinct"))
+    * distinct-token ratio, as exact integer micros.
+    *
+    * Shape: ZERO shuffles. Every signal is a function of one document's
+    * own token multiset, so the per-term frequencies are counted inside
+    * the scan with a per-row hash map (the established primitive-loop
+    * pattern, see [[rollingChunks]]) instead of explode ->
+    * groupBy(doc, term) -> groupBy(doc) — the original spelling moved the
+    * whole token stream through an exchange to compute a per-row answer,
+    * and was the suite's worst 10x scale ratio (5.4x, BENCH_SCALE_r07)
+    * purely from shuffle-writing the corpus. Tokenization stays in the
+    * declarative plan (`tokens`) so the lexer is bit-identical to every
+    * other operator and to the DuckDB oracle. */
+  def repetitionStats(docs: DataFrame, topTfPctMax: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the token-less guard lives INSIDE the partition function: a
+    // `.where(size(toks) > 0)` between project and deserialize gets pushed
+    // below the projection and re-evaluates the tokenizer regexp twice
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.collect { case (id, toks) if toks.nonEmpty =>
+          val m = new java.util.HashMap[String, Long](64)
+          // m.get on a miss returns null, which unboxes to 0L in Scala
+          toks.foreach(t => m.put(t, m.get(t) + 1L))
+          var top = 0L
+          val vs = m.values.iterator()
+          while (vs.hasNext) { val v = vs.next(); if (v > top) top = v }
+          (id, toks.length.toLong, top, m.size.toLong)
+        }
+      }.toDF("doc_id", "n_tokens", "top_tf", "n_distinct")
       .select(col("doc_id"), col("n_tokens"), col("top_tf"), col("n_distinct"),
         expr("(top_tf * 1000000) div n_tokens").as("top_tf_ratio_micros"),
         expr("(n_distinct * 1000000) div n_tokens").as("distinct_ratio_micros"),
         (col("top_tf") * 100 >= col("n_tokens") * topTfPctMax).as("repetitive"))
+  }
 
   /** Content-defined chunking via a polynomial rolling hash (Rabin-Karp
     * style) over the document's token-hash sequence.
@@ -273,12 +296,33 @@ object TextAnalysis {
           .as("chunk_tokens"))
   }
 
+  /** Per-document term frequencies as a narrow pass: (doc_id, term, tf)
+    * with no exchange. A document's term counts are a function of its own
+    * row, so they are counted inside the scan (per-row hash map) rather
+    * than explode -> groupBy(doc_id, term), which shuffle-writes every
+    * token occurrence to compute a per-document answer. Output rows are
+    * (doc, DISTINCT term) — already the compact relation the old groupBy
+    * produced, minus the exchange that built it. */
+  def termCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, toks) =>
+          val m = new java.util.LinkedHashMap[String, Long](64)
+          toks.foreach(t => m.put(t, m.get(t) + 1L))
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](m.size)
+          val es = m.entrySet().iterator()
+          while (es.hasNext) { val e = es.next(); out += ((id, e.getKey, e.getValue)) }
+          out
+        }
+      }.toDF("doc_id", "term", "tf")
+  }
+
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = termCounts(docs).persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, "term")

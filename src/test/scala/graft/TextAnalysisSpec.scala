@@ -130,6 +130,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("repetitionStats counts per-doc frequencies with zero shuffles") {
+    val df = docs(
+      (1L, "spam spam spam spam eggs", "en"),  // top_tf 4/5 -> repetitive
+      (2L, "one two three four five six", "en"),
+      (3L, "", "en")) // no tokens: no row
+    val out = TextAnalysis.repetitionStats(df)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("top_tf"),
+        r.getAs[Long]("n_distinct"), r.getAs[Boolean]("repetitive"))).toMap
+    assert(got(1L) == ((5L, 4L, 2L, true)))
+    assert(got(2L) == ((6L, 1L, 6L, false)))
+    assert(!got.contains(3L))
+    // ratio columns are exact integer micros
+    val r1 = out.where($"doc_id" === 1L).head()
+    assert(r1.getAs[Long]("top_tf_ratio_micros") == 800000L)
+    assert(r1.getAs[Long]("distinct_ratio_micros") == 400000L)
+    // the whole operator is one narrow pass: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+  }
+
+  test("termCounts equals the explode->groupBy spelling") {
+    val df = docs((1L, "a b a c b a", "en"), (2L, "x", "en"), (3L, "", "en"))
+    val narrow = TextAnalysis.termCounts(df)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = df.select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          TextAnalysis.tokens($"text")).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(narrow == wide)
+    assert(!TextAnalysis.termCounts(df).queryExecution.executedPlan
+      .toString.contains("Exchange"))
+  }
+
   test("fingerprint is whitespace- and case-invariant") {
     val df = docs((1L, "Hello   World", "en"), (2L, "hello world", "en"),
       (3L, " HELLO\tWORLD ", "en"), (4L, "hello there", "en"))

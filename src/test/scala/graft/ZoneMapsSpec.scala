@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZoneMaps
+
+/** File-level zone maps: index exactness, skipping evidence, pruned-scan
+  * equality (incl. boundary overlap and the fully-pruned empty case). */
+class ZoneMapsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_test_zonemaps"
+
+  // 4 range-clustered files over v in [0, 4000): file k holds [1000k, 1000k+1000)
+  private lazy val written: Unit = {
+    val df = (0L until 4000L).map(i => (i, i % 4000, s"r$i")).toDF("id", "v", "s")
+    df.repartitionByRange(4, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(dir)
+    ZoneMaps.writeIndex(spark, dir, Seq("v"))
+  }
+
+  test("index holds one exact min/max row per data file") {
+    written
+    val idx = ZoneMaps.readIndex(spark, dir).collect()
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(idx.length == nFiles)
+    assert(idx.map(_.getAs[Long]("n_rows")).sum == 4000L)
+    // per-file stats agree with reading that file alone
+    idx.foreach { r =>
+      val one = spark.read.parquet(r.getAs[String]("file"))
+        .agg(min("v"), max("v")).head()
+      assert(r.getAs[Long]("v_min") == one.getLong(0))
+      assert(r.getAs[Long]("v_max") == one.getLong(1))
+    }
+  }
+
+  test("range predicate skips non-overlapping files") {
+    written
+    val (files, total) = ZoneMaps.candidateFiles(spark, dir, "v",
+      Some(3100L), None)
+    assert(total == 4)
+    assert(files.length == 1, s"expected the single top-range file: $files")
+    // boundary overlap: an interval touching two files keeps exactly both
+    val (two, _) = ZoneMaps.candidateFiles(spark, dir, "v",
+      Some(999L), Some(1000L))
+    assert(two.length == 2)
+  }
+
+  test("pruned scan equals the unpruned filtered read") {
+    written
+    val full = spark.read.parquet(dir).where(col("v") >= 2500L && col("v") <= 3200L)
+      .collect().map(_.toSeq).toSet
+    val pruned = ZoneMaps.prunedScan(spark, dir, "v", Some(2500L), Some(3200L))
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full && full.nonEmpty)
+  }
+
+  test("fully-pruned scan returns the empty frame with the data schema") {
+    written
+    val out = ZoneMaps.prunedScan(spark, dir, "v", Some(100000L), None)
+    assert(out.columns.toSeq == Seq("id", "v", "s"))
+    assert(out.count() == 0L)
+  }
+
+  test("all-null stats drop the file; bound-less scan keeps everything") {
+    val d2 = "/tmp/graft_test_zonemaps_null"
+    (1L to 10L).map(i => (i, None: Option[Long])).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(d2)
+    ZoneMaps.writeIndex(spark, d2, Seq("v"))
+    val (files, total) = ZoneMaps.candidateFiles(spark, d2, "v", Some(1L), None)
+    assert(total == 1 && files.isEmpty)
+    val (all, _) = ZoneMaps.candidateFiles(spark, d2, "v", None, None)
+    assert(all.length == 1)
+  }
+}
