@@ -3304,6 +3304,47 @@ object SparkEntry {
        |FROM events WHERE value >= 300.0
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Compaction planning (sources.Compaction): next-fit-decreasing bin
+    * packing of per-(event_type, day) ingest segments into 32 KB target
+    * bins — the planning half of small-file compaction, run here over
+    * LOGICAL segment sizes (sum of row payload bytes) so the oracle can
+    * re-derive every input exactly; physical file sizes differ per
+    * engine. NFD is a pure sequential fold over the (bytes desc, item)
+    * order, which DuckDB replays verbatim as a recursive CTE — every
+    * bin assignment is under the hash, not just summary stats.
+    * CompactionSpec covers the physical half (real file listing,
+    * one-file-per-bin execution, content equality). */
+  private def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val segs = eventsRaw(s, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        (length(col("props")) + lit(64)).cast("long").as("row_bytes"))
+      .groupBy("event_type", "day")
+      .agg(sum("row_bytes").as("bytes"))
+      .select(concat_ws("/", col("event_type"), col("day")).as("item"),
+        col("bytes"))
+    sources.Compaction.plan(segs, targetBytes = 32768L)
+      .orderBy("bin_id", "item")
+  }
+
+  private val qCompactionPlanSql =
+    s"""WITH RECURSIVE segs AS (
+       |  SELECT event_type || '/' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS item,
+       |    CAST(SUM(length(props) + 64) AS BIGINT) AS bytes
+       |  FROM events GROUP BY 1),
+       |ordered AS (
+       |  SELECT item, bytes,
+       |    row_number() OVER (ORDER BY bytes DESC, item) AS rn
+       |  FROM segs),
+       |pack AS (
+       |  SELECT rn, item, bytes, CAST(0 AS BIGINT) AS bin_id, bytes AS acc
+       |  FROM ordered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.rn, o.item, o.bytes,
+       |    CASE WHEN p.acc + o.bytes > 32768 THEN p.bin_id + 1 ELSE p.bin_id END,
+       |    CASE WHEN p.acc + o.bytes > 32768 THEN o.bytes ELSE p.acc + o.bytes END
+       |  FROM pack p JOIN ordered o ON o.rn = p.rn + 1)
+       |SELECT bin_id, item, bytes FROM pack ORDER BY bin_id, item""".stripMargin
+
   // ===================================================================
   // Weighted (priority) sampling
   // ===================================================================
@@ -4124,6 +4165,7 @@ object SparkEntry {
     "q_hybrid_retrieval_indexed" -> (qHybridRetrievalIndexed _),
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
+    "q_compaction_plan" -> (qCompactionPlan _),
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_part_triangles" -> (qPartTriangles _),
@@ -4248,6 +4290,7 @@ object SparkEntry {
     "q_hybrid_retrieval_indexed" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,
+    "q_compaction_plan" -> qCompactionPlanSql,
     "q_zonemap_prune" -> qZonemapPruneSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
