@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EventsStream, PlacementMonitor}
+import graft.streaming.{EventsStream, PlacementMonitor, StreamingJoin}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -681,6 +681,75 @@ class StreamingSpec extends AnyFunSuite {
         .agg(call_function("graft_hll_agg", col("user"), lit(6)))
         .head().getAs[Array[Byte]](0)
       assert(java.util.Arrays.equals(merged, whole))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch join on split replay") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val vRows = Seq((1L, t(10, 0)), (1L, t(10, 30)), (2L, t(10, 5)),
+      (3L, t(11, 0)))
+    val pRows = Seq((1L, t(10, 20), 5.0), (1L, t(10, 50), 7.0),
+      (2L, t(12, 0), 9.0), (4L, t(10, 10), 1.0))
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingJoin.attributedPairs(
+      vMem.toDF().toDF("user_id", "view_ts"),
+      pMem.toDF().toDF("user_id", "purchase_ts", "value"),
+      window = "1 hour", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      // split replay, out-of-order WITHIN the watermark on both sides
+      vMem.addData(vRows(1), vRows(0)); pMem.addData(pRows(0))
+      q.processAllAvailable()
+      vMem.addData(vRows(2), vRows(3)); pMem.addData(pRows(1), pRows(2), pRows(3))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getDouble(3))).toSet
+      val batch = StreamingJoin.attributedPairs(
+          vRows.toDF("user_id", "view_ts"),
+          pRows.toDF("user_id", "purchase_ts", "value"),
+          window = "1 hour", watermark = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+      // sanity on semantics: purchase at 10:20 pairs with the 10:00 view
+      // only; purchase at 12:00 (user 2) is outside the 10:05 view's hour
+      assert(batch.contains((1L, t(10, 0), t(10, 20), 5.0)))
+      assert(!batch.exists(p => p._1 == 2L))
+      assert(batch.size == 3) // (10:00,10:20) (10:00,10:50) (10:30,10:50)
+    } finally q.stop()
+  }
+
+  test("interval join drops beyond-watermark stragglers; batch diverges " +
+      "(bounded-lateness scope pinned)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingJoin.attributedPairs(
+      vMem.toDF().toDF("user_id", "view_ts"),
+      pMem.toDF().toDF("user_id", "purchase_ts", "value"),
+      window = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_join_late")
+      .outputMode("append").start()
+    try {
+      vMem.addData((1L, t(10, 0)))
+      pMem.addData((9L, t(10, 0), 0.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the view's join range
+      vMem.addData((8L, t(18, 0)))
+      pMem.addData((9L, t(18, 0), 0.0))
+      q.processAllAvailable()
+      // straggler purchase inside the 10:00 view's window, hours late:
+      // its event time is behind the watermark, so the buffered view is
+      // gone and no pair can be emitted
+      pMem.addData((1L, t(10, 30), 5.0))
+      q.processAllAvailable()
+      assert(!spark.table("ss_join_late").collect()
+        .exists(_.getLong(0) == 1L))
     } finally q.stop()
   }
 }
