@@ -3304,6 +3304,43 @@ object SparkEntry {
        |FROM events WHERE value >= 300.0
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Dominant spectral (principal) direction of the embedding corpus
+    * (pipeline.Spectral): one zero-shuffle corpus pass folds the d x d
+    * second-moment matrix into per-partition long arrays, one d^2-row
+    * exchange sums them exactly, and three fixed-point power-iteration
+    * steps (BigInt matvec, floor-div renormalize to max-abs 1e6) run on
+    * the metadata-sized matrix — the RowMatrix/PCA architecture with
+    * every step exact, so the oracle replays the whole ladder: moment
+    * entries, all three iterates, and the final micros components are
+    * identical HUGEINT arithmetic in DuckDB. */
+  private def qSpectralDirection(s: SparkSession, dir: String): DataFrame =
+    pipeline.Spectral.dominantDirection(Tables.embeddings(s, dir),
+        dims = 16, iters = 3)
+      .orderBy("dim")
+
+  private val qSpectralDirectionSql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT list_transform(embedding[1:16],
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+       |  FROM embeddings),
+       |idx AS (SELECT unnest(range(16)) AS k),
+       |m AS MATERIALIZED (
+       |  SELECT i.k AS i, j.k AS j, SUM(xs[i.k + 1] * xs[j.k + 1]) AS m
+       |  FROM e, idx i, idx j GROUP BY 1, 2),
+       |v1 AS MATERIALIZED (SELECT i, SUM(m) AS v FROM m GROUP BY i),
+       |u1 AS MATERIALIZED (SELECT i,
+       |  (v * 1000000) // (SELECT MAX(ABS(v)) FROM v1) AS v FROM v1),
+       |v2 AS MATERIALIZED (SELECT m.i, SUM(m.m * u.v) AS v
+       |  FROM m JOIN u1 u ON u.i = m.j GROUP BY 1),
+       |u2 AS MATERIALIZED (SELECT i,
+       |  (v * 1000000) // (SELECT MAX(ABS(v)) FROM v2) AS v FROM v2),
+       |v3 AS MATERIALIZED (SELECT m.i, SUM(m.m * u.v) AS v
+       |  FROM m JOIN u2 u ON u.i = m.j GROUP BY 1),
+       |u3 AS (SELECT i,
+       |  (v * 1000000) // (SELECT MAX(ABS(v)) FROM v3) AS v FROM v3)
+       |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS component_micros
+       |FROM u3 ORDER BY dim""".stripMargin
+
   /** Compaction planning (sources.Compaction): next-fit-decreasing bin
     * packing of per-(event_type, day) ingest segments into 32 KB target
     * bins — the planning half of small-file compaction, run here over
@@ -4166,6 +4203,7 @@ object SparkEntry {
     "q_scd2_users" -> (qScd2Users _),
     "q_event_cube" -> (qEventCube _),
     "q_compaction_plan" -> (qCompactionPlan _),
+    "q_spectral_direction" -> (qSpectralDirection _),
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_part_triangles" -> (qPartTriangles _),
@@ -4291,6 +4329,7 @@ object SparkEntry {
     "q_scd2_users" -> qScd2UsersSql,
     "q_event_cube" -> qEventCubeSql,
     "q_compaction_plan" -> qCompactionPlanSql,
+    "q_spectral_direction" -> qSpectralDirectionSql,
     "q_zonemap_prune" -> qZonemapPruneSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
