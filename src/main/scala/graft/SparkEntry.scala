@@ -2933,6 +2933,27 @@ object SparkEntry {
        |  (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS z
        |FROM lineitem ORDER BY z, l_orderkey, l_linenumber""".stripMargin
 
+  /** Hilbert-curve layout key (operators.Hilbert): the same two-column
+    * clustering surface as q_zorder_layout but on the jump-free curve —
+    * 31 unrolled quadrant steps, each a few integer CASEs, all narrow
+    * whole-stage-codegen projections. The oracle replays the identical
+    * CTE chain (Hilbert.sqlSteps), so every per-row index is under the
+    * hash, not a spot check. */
+  private def qHilbertLayout(s: SparkSession, dir: String): DataFrame =
+    operators.Hilbert.withIndex(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", bits = 31, out = "h")
+      .orderBy("h", "l_orderkey", "l_linenumber")
+
+  private val qHilbertLayoutSql =
+    s"""WITH ${operators.Hilbert.sqlSteps(31, "l_partkey", "l_suppkey",
+        Seq("l_orderkey", "CAST(l_linenumber AS BIGINT) AS l_linenumber",
+          "l_partkey", "l_suppkey"), "lineitem")}
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d AS h
+       |FROM h31 ORDER BY h, l_orderkey, l_linenumber""".stripMargin
+
   // ===================================================================
   // Triangle counting
   // ===================================================================
@@ -4206,6 +4227,7 @@ object SparkEntry {
     "q_spectral_direction" -> (qSpectralDirection _),
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_hilbert_layout" -> (qHilbertLayout _),
     "q_part_triangles" -> (qPartTriangles _),
     "q_fuzzy_part_names" -> (qFuzzyPartNames _),
     "q_retention" -> (qRetention _),
@@ -4332,6 +4354,7 @@ object SparkEntry {
     "q_spectral_direction" -> qSpectralDirectionSql,
     "q_zonemap_prune" -> qZonemapPruneSql,
     "q_zorder_layout" -> qZorderLayoutSql,
+    "q_hilbert_layout" -> qHilbertLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,
     "q_fuzzy_part_names" -> qFuzzyPartNamesSql,
     "q_retention" -> qRetentionSql,
