@@ -69,7 +69,14 @@ object ClusterSmoke {
     "q_hybrid_retrieval_indexed",
     "q_ann_recall",
     "q_bpe_merges",
-    "q_trim_dup_spans")
+    "q_trim_dup_spans",
+    // round-8 additions with cross-JVM surface: the spectral moment
+    // fold (executor long-array partials -> decimal merge -> driver
+    // BigInt), the zone-map build+prune (executor-written files +
+    // metadata collect), and the compaction plan (single-task NFD fold)
+    "q_spectral_direction",
+    "q_zonemap_prune",
+    "q_compaction_plan")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
