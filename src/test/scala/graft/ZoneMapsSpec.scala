@@ -13,7 +13,8 @@ class ZoneMapsSpec extends AnyFunSuite {
 
   private val dir = "/tmp/graft_test_zonemaps"
 
-  // 4 range-clustered files over v in [0, 4000): file k holds [1000k, 1000k+1000)
+  // 4 range-clustered files over v in [0, 4000) with disjoint v ranges
+  // (boundaries are sampled by RangePartitioner — near, not exactly, 1000k)
   private lazy val written: Unit = {
     val df = (0L until 4000L).map(i => (i, i % 4000, s"r$i")).toDF("id", "v", "s")
     df.repartitionByRange(4, col("v")).sortWithinPartitions("v")
@@ -39,14 +40,24 @@ class ZoneMapsSpec extends AnyFunSuite {
 
   test("range predicate skips non-overlapping files") {
     written
+    // the top-range file alone survives a predicate above every other
+    // file's max (ranges come from the ACTUAL index — RangePartitioner
+    // samples, so boundaries are not exact 1000-multiples)
+    val idx = ZoneMaps.readIndex(spark, dir)
+      .collect().map(r => (r.getAs[String]("file"),
+        r.getAs[Long]("v_min"), r.getAs[Long]("v_max")))
+      .sortBy(_._2)
+    assert(idx.length == 4)
     val (files, total) = ZoneMaps.candidateFiles(spark, dir, "v",
-      Some(3100L), None)
+      Some(idx.map(_._3).sorted.apply(2) + 1L), None)
     assert(total == 4)
     assert(files.length == 1, s"expected the single top-range file: $files")
-    // boundary overlap: an interval touching two files keeps exactly both
+    // boundary overlap: an interval spanning the seam between the two
+    // lowest files keeps exactly both
+    val seam = Seq(idx(0)._3, idx(1)._2)
     val (two, _) = ZoneMaps.candidateFiles(spark, dir, "v",
-      Some(999L), Some(1000L))
-    assert(two.length == 2)
+      Some(seam.min), Some(seam.max))
+    assert(two.length == 2, s"seam $seam kept $two")
   }
 
   test("pruned scan equals the unpruned filtered read") {
