@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
       arity("graft_hll_estimate", 1, c => HllEstimate(c.head)) _))
     ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      arity("graft_hilbert", 3, c => HilbertIndex(c.head, c(1), c(2))) _))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll_registers"),
       new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll_registers"),
       arity("graft_hll_registers", 1, c => HllRegisters(c.head)) _))

@@ -332,4 +332,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
     assert(mixed.getMessage != null)
   }
+
+  test("graft_hilbert from SQL equals the reference walk and " +
+      "participates in whole-stage codegen") {
+    val df = spark.range(256)
+      .selectExpr("id % 16 AS x", "id div 16 AS y")
+      .selectExpr("x", "y", "graft_hilbert(x, y, 4) AS h")
+    val hasWsc = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    df.collect().foreach { r =>
+      assert(r.getLong(2) ==
+        graft.operators.Hilbert.index(r.getLong(0), r.getLong(1), 4))
+    }
+    // null coordinate propagates null
+    assert(spark.sql(
+      "SELECT graft_hilbert(CAST(NULL AS BIGINT), 1L, 4)").head().isNullAt(0))
+  }
+
+  test("graft_hilbert rejects bad arity, types, and bits at analysis time") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(1L, 2L)").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(1L, 2L, 32)").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(1, 2L, 4)").head() // INT coordinate
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // non-literal bits
+      spark.range(1).selectExpr(
+        "graft_hilbert(id, id, CAST(id AS INT))").head()
+    }
+  }
 }
