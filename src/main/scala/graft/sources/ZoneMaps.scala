@@ -59,6 +59,52 @@ object ZoneMaps {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$IndexDirName")
 
+  /** Incremental refresh for an append-only table: stat ONLY the data
+    * files not yet in the index and union them in. At 10^6 files the
+    * full rebuild re-reads the whole table; the refresh reads the
+    * appended delta plus the metadata-sized index. Files present in the
+    * index but gone on disk (compacted away) are dropped from it.
+    * Returns the number of newly indexed files. */
+  def updateIndex(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compare by scheme-less path: input_file_name() renders file:///p
+    // while FileSystem listing renders file:/p — same file, two spellings
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    val onDiskNorm = onDisk.map(norm).toSet
+    val have = readIndex(spark, path)
+    val kept = have.collect()
+      .filter(r => onDiskNorm(norm(r.getAs[String]("file"))))
+    val keptNorm = kept.map(r => norm(r.getAs[String]("file"))).toSet
+    val newFiles = onDisk.filterNot(f => keptNorm(norm(f))).toSeq.sorted
+    val updated =
+      if (newFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toSeq, 1), have.schema)
+      else {
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max")))
+        val fresh = spark.read.parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(kept.toSeq, 1), have.schema)
+          .unionByName(fresh)
+      }
+    // write-then-swap: the index dir is tiny, a plain overwrite re-read
+    // races only with concurrent readers of the INDEX (not the data)
+    val rows = updated.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), have.schema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$IndexDirName")
+    newFiles.length.toLong
+  }
+
   /** Files whose `[min, max]` intersects `[lo, hi]` (either bound
     * optional), plus the total file count. Metadata-sized: the index
     * holds one row per file. A file with only nulls in `c` has null

@@ -44,6 +44,29 @@ class HilbertSpec extends AnyFunSuite {
     assert(corners.map { case (x, y) => Hilbert.index(x, y, 31) }.distinct.size == 4)
   }
 
+  test("Hilbert files carry tighter bounding boxes than Morton at equal " +
+      "file counts (the pruning claim, measured)") {
+    // 32x32 grid cut into contiguous curve ranges of 96 cells — NOT
+    // power-of-4 aligned, so ranges straddle quadrant seams (where real
+    // range-partitioner boundaries land); a file's prunability is the
+    // area of its (x, y) bounding box
+    def boxArea(cells: Seq[(Long, Long)]): Long = {
+      val (xs, ys) = (cells.map(_._1), cells.map(_._2))
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }
+    def totalArea(key: (Long, Long) => Long): Long =
+      (for (x <- 0L until 32L; y <- 0L until 32L) yield (key(x, y), x, y))
+        .sortBy(_._1).grouped(96)
+        .map(g => boxArea(g.map(c => (c._2, c._3)))).sum
+    val hilbert = totalArea(Hilbert.index(_, _, 5))
+    def morton(x: Long, y: Long): Long = { // 5-bit interleave
+      (0 until 5).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    }
+    val z = totalArea(morton)
+    assert(hilbert < z, s"hilbert $hilbert !< morton $z")
+  }
+
   test("clusterBy2 range-partitions by the curve without residual columns") {
     val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y")

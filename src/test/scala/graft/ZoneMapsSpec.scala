@@ -76,6 +76,36 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("incremental refresh stats only appended files and drops compacted ones") {
+    val d3 = "/tmp/graft_test_zonemaps_incr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d3))
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(d3)
+    ZoneMaps.writeIndex(spark, d3, Seq("v"))
+    // append two more files without touching the first two
+    (1000L until 2000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+      .write.mode("append").parquet(d3)
+    val statted = ZoneMaps.updateIndex(spark, d3, Seq("v"))
+    assert(statted == 2L, s"expected 2 fresh files, statted $statted")
+    // refreshed index == full rebuild
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(canon(ZoneMaps.readIndex(spark, d3)) ==
+      canon(ZoneMaps.buildIndex(spark, d3, Seq("v"))))
+    // pruning works across old + new ranges
+    val (files, total) = ZoneMaps.candidateFiles(spark, d3, "v",
+      Some(1990L), None)
+    assert(total == 4 && files.length == 1)
+    // delete one data file (compaction): refresh drops its index row
+    val victim = ZoneMaps.readIndex(spark, d3).collect()
+      .map(_.getAs[String]("file")).sorted.head
+    new java.io.File(new java.net.URI(victim)).delete()
+    assert(ZoneMaps.updateIndex(spark, d3, Seq("v")) == 0L)
+    assert(ZoneMaps.readIndex(spark, d3).count() == 3L)
+  }
+
   test("all-null stats drop the file; bound-less scan keeps everything") {
     val d2 = "/tmp/graft_test_zonemaps_null"
     (1L to 10L).map(i => (i, None: Option[Long])).toDF("id", "v")
