@@ -3829,6 +3829,59 @@ object SparkEntry {
       .orderBy("rk")
   }
 
+  /** Equi-join cardinality estimation from two count-min sketches
+    * (graft_cms_dot — the Cormode/Muthukrishnan inner-product
+    * estimator): the optimizer-support primitive that sizes a join
+    * (broadcast vs shuffle vs salt) from two depth x width blobs
+    * without touching either input again. Reported next to the exact
+    * join size `sum_key f_a * f_b`; est >= exact always, and the
+    * oracle re-derives every counter and both numbers in plain BIGINT
+    * SQL, so the estimate itself (not just the bound) is under the
+    * hash. */
+  private def qJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsRaw(s, dir).select("user_id", "event_type")
+    val a = ev.agg(expr("graft_cms_agg(user_id, 4, 256)").as("cms_all"))
+    val b = ev.where(col("event_type") === "purchase")
+      .agg(expr("graft_cms_agg(user_id, 4, 256)").as("cms_p"))
+    val exact = ev
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .agg(sum(col("na") * col("np")).as("exact_join_n"))
+    a.crossJoin(b)
+      .select(expr("graft_cms_dot(cms_all, cms_p)").as("est_join_n"))
+      .crossJoin(broadcast(exact))
+  }
+
+  private val qJoinSizeEstimateSql =
+    s"""WITH ev AS (SELECT user_id, event_type FROM events),
+       |consts AS (
+       |  SELECT 0 AS r, 1103515245 AS a, 12345 AS b
+       |  UNION ALL SELECT 1, 1299709, 7919
+       |  UNION ALL SELECT 2, 15485863, 104729
+       |  UNION ALL SELECT 3, 32452843, 1299721),
+       |ca AS (
+       |  SELECT c.r,
+       |    ((((user_id % 2147483648) + 2147483648) % 2147483648) * c.a + c.b)
+       |      % 2147483648 % 256 AS cell,
+       |    COUNT(*) AS cnt
+       |  FROM ev CROSS JOIN consts c GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT c.r,
+       |    ((((user_id % 2147483648) + 2147483648) % 2147483648) * c.a + c.b)
+       |      % 2147483648 % 256 AS cell,
+       |    COUNT(*) AS cnt
+       |  FROM ev CROSS JOIN consts c
+       |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |dots AS (SELECT ca.r, SUM(ca.cnt * cb.cnt) AS dot
+       |  FROM ca JOIN cb ON cb.r = ca.r AND cb.cell = ca.cell GROUP BY 1),
+       |ex AS (SELECT CAST(SUM(na * np) AS BIGINT) AS exact_join_n FROM (
+       |  SELECT user_id, COUNT(*) AS na,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+       |  FROM ev GROUP BY 1))
+       |SELECT CAST(MIN(dot) AS BIGINT) AS est_join_n, ex.exact_join_n
+       |FROM dots, ex GROUP BY 2""".stripMargin
+
   private val qHeavyHittersCmsSql =
     s"""WITH ev AS (SELECT user_id FROM events),
        |consts AS (
@@ -4251,6 +4304,7 @@ object SparkEntry {
     "q_train_val_test" -> (qTrainValTest _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
+    "q_join_size_estimate" -> (qJoinSizeEstimate _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_distinct_sketch_merged" -> (qDistinctSketchMerged _),
@@ -4378,6 +4432,7 @@ object SparkEntry {
     "q_train_val_test" -> qTrainValTestSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_heavy_hitters_cms" -> qHeavyHittersCmsSql,
+    "q_join_size_estimate" -> qJoinSizeEstimateSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_distinct_sketch" -> qDistinctSketchSql,
     // same oracle as the direct sketch: pins merge == direct, byte for byte

@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
       arity("graft_cms_estimate", 2, c => CmsEstimate(c.head, c(1))) _))
     ext.injectFunction((
+      FunctionIdentifier("graft_cms_dot"),
+      new ExpressionInfo(classOf[CmsInnerProduct].getName, "graft_cms_dot"),
+      arity("graft_cms_dot", 2, c => CmsInnerProduct(c.head, c(1))) _))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll_agg"),
       new ExpressionInfo(classOf[LongHllAgg].getName, "graft_hll_agg"),
       arity("graft_hll_agg", 2, c => LongHllAgg(c.head, c(1))) _))

@@ -72,30 +72,67 @@ object LongCms {
     v
   }
 
-  /** Point estimate straight off the serialized blob (called per row from
-    * codegen; no buffer materialization). The blob's self-described layout
-    * is validated against its actual length first: a truncated or foreign
-    * BINARY input must fail with a clean error, not an
-    * ArrayIndexOutOfBoundsException from inside codegen. */
-  def estimate(blob: Array[Byte], value: Long): Long = {
+  /** Validate a blob's self-described layout against its actual length —
+    * a truncated or foreign BINARY input must fail with a clean error,
+    * not an ArrayIndexOutOfBoundsException from inside codegen. Returns
+    * (depth, width). */
+  def validate(blob: Array[Byte], fn: String): (Int, Int) = {
     if (blob.length < HeaderBytes)
       throw new IllegalArgumentException(
-        s"graft_cms_estimate: blob of ${blob.length} bytes is shorter than " +
+        s"$fn: blob of ${blob.length} bytes is shorter than " +
           s"the $HeaderBytes-byte (depth, width) header — not a graft_cms_agg sketch")
     val depth = readIntBE(blob, 0)
     val width = readIntBE(blob, 4)
     if (depth < 1 || depth > MaxDepth || width < 2 || width > (1 << 22) ||
         blob.length < HeaderBytes + 8L * depth * width)
       throw new IllegalArgumentException(
-        s"graft_cms_estimate: blob declares depth=$depth width=$width " +
+        s"$fn: blob declares depth=$depth width=$width " +
           s"(needs ${HeaderBytes + 8L * depth * width} bytes) but holds " +
           s"${blob.length} bytes — truncated or not a graft_cms_agg sketch")
+    (depth, width)
+  }
+
+  /** Point estimate straight off the serialized blob (called per row from
+    * codegen; no buffer materialization). */
+  def estimate(blob: Array[Byte], value: Long): Long = {
+    val (depth, width) = validate(blob, "graft_cms_estimate")
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
       val c = readLongBE(blob,
         HeaderBytes + 8 * (r * width + cell(r, value, width)))
       if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  /** Sketch inner product — the classic CM join-cardinality estimator
+    * (Cormode & Muthukrishnan §4.3): `min over rows r of
+    * sum_w a_r[w] * b_r[w]` upper-bounds (and concentrates around) the
+    * equi-join size `sum_key f_a(key) * f_b(key)`; never an
+    * undercount, since every true pair lands in the same cell of every
+    * row. Both sketches must share (depth, width) — and therefore hash
+    * seeds, which are fixed per row index. */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    val (da, wa) = validate(a, "graft_cms_dot")
+    val (db, wb) = validate(b, "graft_cms_dot")
+    if (da != db || wa != wb)
+      throw new IllegalArgumentException(
+        s"graft_cms_dot: sketch shapes differ — ($da x $wa) vs ($db x $wb); " +
+          "join-size estimation needs both sides aggregated with the same " +
+          "graft_cms_agg(_, depth, width)")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < da) {
+      var dot = 0L
+      var w = 0
+      while (w < wa) {
+        val off = HeaderBytes + 8 * (r * wa + w)
+        dot += readLongBE(a, off) * readLongBE(b, off)
+        w += 1
+      }
+      if (dot < best) best = dot
       r += 1
     }
     best
@@ -201,5 +238,35 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd sketch inner product `graft_cms_dot(a, b)` — equi-join
+  * cardinality estimation from two same-shape count-min sketches (see
+  * [[LongCms.innerProduct]]): plan-time sizing for join strategy choices
+  * (broadcast vs shuffle, salting) without touching either input again.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BINARY graft_cms_agg sketches, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongCms.innerProduct(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongCms.innerProduct($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
     copy(left = newLeft, right = newRight)
 }

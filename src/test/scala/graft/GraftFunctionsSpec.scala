@@ -333,6 +333,62 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(mixed.getMessage != null)
   }
 
+  test("graft_cms_dot never undercounts the join size, and is exact when " +
+      "the sketch is wide enough to be collision-free") {
+    val left = (0L until 4000L).map(i => i % 37).toDF("k")   // 37 keys
+    val right = (0L until 900L).map(i => i % 13).toDF("k")   // subset keys
+    val exact = {
+      val la = left.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rb = right.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      la.map { case (k, n) => n * rb.getOrElse(k, 0L) }.sum
+    }
+    def dotAt(width: Int): Long = {
+      val a = left.agg(call_function("graft_cms_agg", col("k"), lit(4), lit(width)))
+        .head().getAs[Array[Byte]](0)
+      val b = right.agg(call_function("graft_cms_agg", col("k"), lit(4), lit(width)))
+        .head().getAs[Array[Byte]](0)
+      Seq((a, b)).toDF("a", "b")
+        .selectExpr("graft_cms_dot(a, b) AS d").head().getLong(0)
+    }
+    assert(dotAt(4096) == exact)   // collision-free regime: exact
+    assert(dotAt(16) >= exact)     // tiny sketch: overcount only
+  }
+
+  test("graft_cms_dot participates in whole-stage codegen and rejects " +
+      "mismatched shapes and bad types") {
+    val blob = spark.range(100).agg(
+      call_function("graft_cms_agg", col("id"), lit(4), lit(64)))
+      .head().getAs[Array[Byte]](0)
+    // one side kept non-foldable (depends on id) so the expression runs
+    // inside codegen instead of being constant-folded at plan time
+    val df = spark.range(3).select(call_function("graft_cms_dot",
+      when(col("id") >= 0, lit(blob)), lit(blob)).as("d"))
+    val hasWsc = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    assert(df.head().getLong(0) >= 100L)
+    // self-join of distinct ids in a wide sketch: exactly n
+    val wide = spark.range(100).agg(
+      call_function("graft_cms_agg", col("id"), lit(4), lit(4096)))
+      .head().getAs[Array[Byte]](0)
+    assert(Seq((wide, wide)).toDF("a", "b")
+      .selectExpr("graft_cms_dot(a, b)").head().getLong(0) == 100L)
+    val other = spark.range(100).agg(
+      call_function("graft_cms_agg", col("id"), lit(4), lit(128)))
+      .head().getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      Seq((blob, other)).toDF("a", "b").selectExpr("graft_cms_dot(a, b)").head()
+    }
+    assert(e.getMessage.contains("shapes differ") ||
+      e.getCause != null && e.getCause.getMessage.contains("shapes differ"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cms_dot(1L, 2L)").head()
+    }
+    assert(Seq((Option.empty[Array[Byte]], blob)).toDF("a", "b")
+      .selectExpr("graft_cms_dot(a, b)").head().isNullAt(0))
+  }
+
   test("graft_hilbert from SQL equals the reference walk and " +
       "participates in whole-stage codegen") {
     val df = spark.range(256)
