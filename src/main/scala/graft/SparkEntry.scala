@@ -1001,6 +1001,41 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Blocklist patterns for q_blocklist_screen — lowercase, with shared
+    * prefixes and a self-overlapping phrase so the automaton's fail
+    * links and overlap counting are exercised on real data; the last
+    * pattern never occurs (the all-clear case). Shared verbatim between
+    * the Spark automaton and the oracle's VALUES list. */
+  private val BlockPatterns = Seq("table", "table part", "part a",
+    "slow fast", "a a", "merge batch", "spark", "forbidden phrase")
+
+  /** Multi-pattern blocklist screening (pipeline.Blocklist): one
+    * Aho-Corasick pass per document regardless of pattern count — vs one
+    * regexp pass per pattern — with every start position counted
+    * (overlaps included). The oracle re-counts every pattern at every
+    * position with a substring scan, so the exact hit counts (not just
+    * the verdicts) are under the hash. */
+  private def qBlocklistScreen(s: SparkSession, dir: String): DataFrame =
+    pipeline.Blocklist.screen(Tables.documents(s, dir), BlockPatterns)
+      .orderBy("doc_id")
+
+  private val qBlocklistScreenSql = {
+    val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $vals) AS v(p)),
+       |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |hits AS (SELECT doc_id,
+       |    CASE WHEN length(t) >= length(p) THEN
+       |      len(list_filter(range(length(t) - length(p) + 1),
+       |        i -> substr(t, CAST(i + 1 AS BIGINT), length(p)) = p))
+       |    ELSE 0 END AS n
+       |  FROM d CROSS JOIN pats)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_patterns_hit,
+       |  SUM(n) > 0 AS blocked
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Repetition quality signals (Gopher/C4-style filters). */
   private def qRepetitionStats(s: SparkSession, dir: String): DataFrame =
     pipeline.TextAnalysis.repetitionStats(Tables.documents(s, dir))
@@ -4218,6 +4253,7 @@ object SparkEntry {
     "text_stats" -> (textStats _),
     "q_token_counts" -> (qTokenCounts _),
     "q_repetition_stats" -> (qRepetitionStats _),
+    "q_blocklist_screen" -> (qBlocklistScreen _),
     "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -4346,6 +4382,7 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "q_token_counts" -> qTokenCountsSql,
     "q_repetition_stats" -> qRepetitionStatsSql,
+    "q_blocklist_screen" -> qBlocklistScreenSql,
     "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
