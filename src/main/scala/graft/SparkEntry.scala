@@ -1001,6 +1001,29 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Positional phrase search (Search.phraseMatches): documents holding
+    * the exact token sequence "table value", with occurrence counts —
+    * the positional-index primitive bag-of-words retrieval can't
+    * express. The positional relation is pruned to the phrase's terms
+    * inside the scan; adjacency is re-keyed to plain equality
+    * (pos - i), so the oracle replays it as ordinary self-joins over a
+    * zipped unnest. */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    pipeline.Search.phraseMatches(Tables.documents(s, dir),
+        Seq("table", "value"))
+      .orderBy("doc_id")
+
+  private val qPhraseSearchSql =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+       |        unnest(toks) AS term FROM t)
+       |SELECT p0.doc_id, COUNT(*) AS n_matches
+       |FROM p p0 JOIN p p1
+       |  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       | AND p1.term = 'value'
+       |WHERE p0.term = 'table'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Blocklist patterns for q_blocklist_screen — lowercase, with shared
     * prefixes and a self-overlapping phrase so the automaton's fail
     * links and overlap counting are exercised on real data; the last
@@ -4254,6 +4277,7 @@ object SparkEntry {
     "q_token_counts" -> (qTokenCounts _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_blocklist_screen" -> (qBlocklistScreen _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -4383,6 +4407,7 @@ object SparkEntry {
     "q_token_counts" -> qTokenCountsSql,
     "q_repetition_stats" -> qRepetitionStatsSql,
     "q_blocklist_screen" -> qBlocklistScreenSql,
+    "q_phrase_search" -> qPhraseSearchSql,
     "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,

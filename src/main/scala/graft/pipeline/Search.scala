@@ -292,6 +292,39 @@ object Search {
     *
     * @param a,b (query_id, doc_id, rk) relations, lower rk = better
     */
+  /** Positional phrase search: documents containing the exact token
+    * sequence `phrase`, with occurrence counts — the retrieval primitive
+    * bag-of-words BM25 cannot express ("new york" vs "york new").
+    *
+    * Shape at scale: the positional relation is built ONCE and pruned to
+    * the phrase's own terms INSIDE the scan (`isin` before any exchange),
+    * so each join arm is phrase-selectivity-sized, not corpus-sized — the
+    * same query-term prune as the BM25 path. A k-term phrase is k-1
+    * equi-joins on (doc_id, aligned position): position alignment
+    * (`pos - i`) turns adjacency into plain key equality, so every join
+    * is a hash join on the same key pair and AQE broadcasts the rarest
+    * term's arm. The pruned relation is persisted across its k uses
+    * (caller releases via clearCache, the lmScore precedent) — without
+    * it each arm would re-tokenize the corpus. */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(terms.distinct: _*))
+      .persist()
+    val first = pos.where(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").cast("long").as("p0"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(pos.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).cast("long").as("p0")),
+          Seq("doc_id", "p0"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, cRrf: Int = 60): DataFrame = {
     require(k > 0 && cRrf >= 0)
     def side(df: DataFrame, name: String): DataFrame =

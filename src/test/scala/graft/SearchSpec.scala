@@ -115,4 +115,33 @@ class SearchSpec extends AnyFunSuite {
     // every doc exactly once
     assert(got.map(_._1).distinct.length == got.length)
   }
+
+  test("phraseMatches finds exact token sequences, overlaps and repeats " +
+      "included, order-sensitively") {
+    val docs = Seq(
+      (1L, "new york new york city"),   // "new york" twice
+      (2L, "york new"),                  // reversed: no match
+      (3L, "the new york times"),
+      (4L, "a new and a york"),          // non-adjacent: no match
+      (5L, "new new new")).toDF("doc_id", "text")
+    val two = Search.phraseMatches(docs, Seq("new", "york"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 2L, 3L -> 1L))
+    // 3-term phrase, repeated term inside the phrase
+    val three = Search.phraseMatches(docs, Seq("new", "york", "new"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 1L))
+    // self-overlapping repeated-token phrase: "new new" in "new new new"
+    val rep = Search.phraseMatches(docs, Seq("new", "new"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(5L -> 2L, 1L -> 0L).filter(_._2 > 0))
+    // single-term phrase degrades to term occurrence counts
+    val one = Search.phraseMatches(docs, Seq("new"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+    // case-insensitive via the shared lexer
+    val caps = Search.phraseMatches(
+      Seq((9L, "New YORK")).toDF("doc_id", "text"), Seq("new", "york"))
+    assert(caps.head().getLong(1) == 1L)
+  }
 }
