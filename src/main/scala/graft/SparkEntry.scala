@@ -1001,6 +1001,32 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental aggregate maintenance (operators.IncrementalAgg): the
+    * standing per-(event_type, user_id) rollup is built from an 80%
+    * "history" slice, then REFRESHED with the remaining 20% delta —
+    * delta-sized work instead of a history recompute. The oracle is the
+    * FULL recompute over all events: hash-equality here is the
+    * maintenance invariant itself, merge(agg(A), agg(B)) == agg(A u B),
+    * exact because every state component is algebraic integer
+    * arithmetic (decimal-sum micros, floored-micros extremes). */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsRaw(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    val keys = Seq("event_type", "user_id")
+    val base = operators.IncrementalAgg.aggregate(
+      ev.where(col("event_id") % 10 < 8), keys, "value")
+    operators.IncrementalAgg.refresh(base,
+        ev.where(col("event_id") % 10 >= 8), keys, "value")
+      .orderBy("event_type", "user_id")
+  }
+
+  private val qIncrementalAggSql =
+    s"""SELECT event_type, user_id, COUNT(*) AS n,
+       |  ${msumSql("value")} AS sum_micros,
+       |  MIN(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micros,
+       |  MAX(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micros
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Positional phrase search (Search.phraseMatches): documents holding
     * the exact token sequence "table value", with occurrence counts —
     * the positional-index primitive bag-of-words retrieval can't
@@ -4278,6 +4304,7 @@ object SparkEntry {
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_blocklist_screen" -> (qBlocklistScreen _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "doc_rolling_chunks" -> (docRollingChunks _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -4408,6 +4435,7 @@ object SparkEntry {
     "q_repetition_stats" -> qRepetitionStatsSql,
     "q_blocklist_screen" -> qBlocklistScreenSql,
     "q_phrase_search" -> qPhraseSearchSql,
+    "q_incremental_agg" -> qIncrementalAggSql,
     "doc_rolling_chunks" -> docRollingChunksSql,
     "q_tfidf_top" -> qTfidfTopSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
