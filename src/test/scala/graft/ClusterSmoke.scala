@@ -76,7 +76,14 @@ object ClusterSmoke {
     // metadata collect), and the compaction plan (single-task NFD fold)
     "q_spectral_direction",
     "q_zonemap_prune",
-    "q_compaction_plan")
+    "q_compaction_plan",
+    // the Aho-Corasick automaton is a custom Serializable broadcast —
+    // the first graft broadcast of a hand-built object graph (maps +
+    // arrays) to real executor JVMs; hilbert adds the codegen'd
+    // expression, incremental-agg the full-outer merge join
+    "q_blocklist_screen",
+    "q_hilbert_layout",
+    "q_incremental_agg")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
