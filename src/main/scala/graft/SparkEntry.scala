@@ -3403,6 +3403,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** The table-maintenance tiers COMPOSED: events re-laid-out on the
+    * Hilbert curve of (user_id, value-bucket), zone maps built over both
+    * raw columns, and a 2-D box query pruned twice — first by file
+    * ranges on user_id, then residually on value. A single-column sort
+    * gives perfect pruning on one dimension and none on the other; the
+    * curve layout gives tight per-file boxes in BOTH (the HilbertSpec
+    * bounding-box measurement, here as a live query). Oracle: the plain
+    * 2-D filter aggregate — soundness of stacked pruning under the
+    * hash; the files-skipped evidence for this layout lives in
+    * ZoneMapsSpec/HilbertSpec. */
+  private def qZonemapHilbert(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_zm_hilbert_${new java.io.File(dir).getName}"
+    val ev = eventsRaw(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("vb", floor(col("value")).cast("long"))
+    operators.Hilbert.clusterBy2(ev, "user_id", "vb", partitions = 8)
+      .write.mode("overwrite").parquet(path)
+    sources.ZoneMaps.writeIndex(s, path, Seq("user_id", "value"))
+    sources.ZoneMaps.prunedScan(s, path, "user_id", Some(100L), Some(400L))
+      .where(col("value") >= 200.0 && col("value") <= 350.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_box"), msum(col("value")).as("sum_value_micros"))
+      .orderBy("event_type")
+  }
+
+  private val qZonemapHilbertSql =
+    s"""SELECT event_type, COUNT(*) AS n_box,
+       |  ${msumSql("value")} AS sum_value_micros
+       |FROM events
+       |WHERE user_id >= 100 AND user_id <= 400
+       |  AND value >= 200.0 AND value <= 350.0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val qZonemapPruneSql =
     s"""SELECT event_type, COUNT(*) AS n_hi,
        |  ${msumSql("value")} AS sum_value_micros
@@ -4366,6 +4399,7 @@ object SparkEntry {
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_spectral_direction" -> (qSpectralDirection _),
     "q_zonemap_prune" -> (qZonemapPrune _),
+    "q_zonemap_hilbert" -> (qZonemapHilbert _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_hilbert_layout" -> (qHilbertLayout _),
     "q_part_triangles" -> (qPartTriangles _),
@@ -4497,6 +4531,7 @@ object SparkEntry {
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_spectral_direction" -> qSpectralDirectionSql,
     "q_zonemap_prune" -> qZonemapPruneSql,
+    "q_zonemap_hilbert" -> qZonemapHilbertSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_hilbert_layout" -> qHilbertLayoutSql,
     "q_part_triangles" -> qPartTrianglesSql,

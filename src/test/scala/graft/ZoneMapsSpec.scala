@@ -106,6 +106,33 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.readIndex(spark, d3).count() == 3L)
   }
 
+  test("hilbert layout prunes BOTH dimensions where a single-column sort " +
+      "prunes one (the composed-tier claim, measured)") {
+    import graft.operators.Hilbert
+    // 2-D uniform grid: x, y in [0, 256)
+    val df = (0L until 65536L).map(i => (i % 256, i / 256)).toDF("x", "y")
+    val hPath = "/tmp/graft_test_zm_hilbert"
+    val sPath = "/tmp/graft_test_zm_sorted"
+    Hilbert.clusterBy2(df, "x", "y", partitions = 16, bits = 8)
+      .write.mode("overwrite").parquet(hPath)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sPath)
+    ZoneMaps.writeIndex(spark, hPath, Seq("x", "y"))
+    ZoneMaps.writeIndex(spark, sPath, Seq("x", "y"))
+    def kept(path: String, c: String): Long =
+      ZoneMaps.candidateFiles(spark, path, c, Some(0L), Some(31L))._1.length.toLong
+    // x-sorted layout: perfect x pruning, NO y pruning
+    assert(kept(sPath, "x") <= 3L)
+    assert(kept(sPath, "y") == 16L)
+    // hilbert layout: real pruning on BOTH dimensions
+    assert(kept(hPath, "x") < 16L, s"x kept ${kept(hPath, "x")}")
+    assert(kept(hPath, "y") < 16L, s"y kept ${kept(hPath, "y")}")
+    // and results stay exact through the stacked prune
+    val box = ZoneMaps.prunedScan(spark, hPath, "x", Some(0L), Some(31L))
+      .where(col("y") >= 0L && col("y") <= 31L).count()
+    assert(box == 32L * 32L)
+  }
+
   test("all-null stats drop the file; bound-less scan keeps everything") {
     val d2 = "/tmp/graft_test_zonemaps_null"
     (1L to 10L).map(i => (i, None: Option[Long])).toDF("id", "v")
