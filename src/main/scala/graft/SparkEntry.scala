@@ -1331,6 +1331,46 @@ object SparkEntry {
        |FROM res WHERE inter * 100 >= union_size * 30
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Sorted-neighborhood near-dup pairs (Dedup.sortedNeighborhoodPairs):
+    * the third blocking family — per-bucket sort by a normalized key
+    * prefix, candidates within a rank window of 4, exact-Jaccard
+    * verification on the shared hashed-shingle primitive. The oracle
+    * re-derives the key, bucket, per-bucket ranks, the windowed
+    * candidate join and the Jaccard verdicts. */
+  private def dedupSnmPairs(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupSnmPairsSql =
+    s"""WITH sk0 AS (SELECT doc_id,
+       |    substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 32) AS sk
+       |  FROM documents),
+       |sk1 AS (SELECT doc_id, sk, substr(sk, 1, 2) AS bucket
+       |        FROM sk0 WHERE length(sk) > 0),
+       |rk AS (SELECT doc_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
+       |  FROM sk1),
+       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM rk a JOIN rk b ON b.bucket = a.bucket
+       |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+       |toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len(t) - 2, 0) + 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |hsd AS (SELECT doc_id, list_transform(sh, s -> ${DuckHash60.format("s")}) AS hs
+       |        FROM sh WHERE len(sh) >= 0),
+       |res AS (SELECT c.doc_a, c.doc_b,
+       |          len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |          len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS union_size
+       |        FROM cand c
+       |        JOIN hsd ha ON ha.doc_id = c.doc_a
+       |        JOIN hsd hb ON hb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter, union_size,
+       |       CAST(floor(inter * 100 / union_size) AS BIGINT) AS jaccard_pct
+       |FROM res WHERE union_size > 0 AND inter * 100 >= union_size * 30
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -4352,6 +4392,7 @@ object SparkEntry {
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
+    "dedup_snm_pairs" -> (dedupSnmPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -4484,6 +4525,7 @@ object SparkEntry {
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql,
+    "dedup_snm_pairs" -> dedupSnmPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -275,6 +275,55 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "union_size", "jaccard_pct")
   }
 
+  /** Sorted-neighborhood near-dup pairs — the third classic blocking
+    * family beside hash-banding (MinHash-LSH) and symmetric deletion
+    * (the fuzzy join): sort the corpus by a normalized key, compare each
+    * record only to its `window - 1` successors in that order. Catches
+    * the "same document, tiny head edit" class with a candidate set of
+    * |corpus| x (window - 1) — independent of how hot any one shingle
+    * is, which is exactly where df-capped shingle blocking drops pairs.
+    *
+    * Scalable shape: the sort runs per BUCKET (a short prefix of the
+    * key), so ranking is a per-bucket window, not a single-task global
+    * sort; neighbor pairing is an equi-join on (bucket, rank + d) built
+    * by exploding the d = 1..window-1 offsets. The standard cross-bucket
+    * blind spot (neighbors straddling a prefix boundary) is the known
+    * multi-pass-SNM trade-off — run a second pass with a different key
+    * for coverage, exactly as the literature prescribes. Verification is
+    * the shared exact-Jaccard primitive over hashed shingles. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+      prefixLen: Int = 2, thresholdPct: Int = 30): DataFrame = {
+    require(window >= 2, s"window >= 2, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val sk = substring(
+      regexp_replace(lower(col("text")), "\\s+", " "), 1, 32)
+    val keyed = docs.select(col("doc_id"), sk.as("sk"))
+      .where(length(col("sk")) > 0)
+      .withColumn("bucket", substring(col("sk"), 1, prefixLen))
+    val ranked = keyed.withColumn("rn", row_number().over(
+      Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
+    val left = ranked.select(col("bucket"), col("doc_id").as("id_l"),
+        explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
+          .as("rn_match"))
+    val cand = left.join(
+        ranked.select(col("bucket"), col("rn").as("rn_match"),
+          col("doc_id").as("id_r")),
+        Seq("bucket", "rn_match"))
+      .select(least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"))
+      .distinct()
+    val hdf = hashedShingleDf(docs).persist()
+    // union_size > 0: unlike shingle-co-occurrence candidates, a sorted
+    // neighbor can be a sub-3-token doc with an EMPTY shingle set —
+    // 0/0 Jaccard is a non-pair, not a division
+    pairOverlap(cand, hdf)
+      .where(col("union_size") > 0 &&
+        col("inter") * 100 >= col("union_size") * thresholdPct)
+      .withColumn("jaccard_pct",
+        floor(col("inter") * 100 / col("union_size")).cast("long"))
+      .select("doc_a", "doc_b", "inter", "union_size", "jaccard_pct")
+  }
+
   /** Deterministic permutation constants from the shared 31-bit LCG. */
   private def lcg(x: Long): Long = (1103515245L * x + 12345L) % 2147483648L
   def permA(j: Int): Long = 1 + lcg(j * 2L + 1) % (P - 1)

@@ -318,4 +318,44 @@ class DedupSpec extends AnyFunSuite {
     // the unrelated doc 3 never pairs with the fox corpus
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("sorted-neighborhood pairs catch tail-edited near-dups and skip " +
+      "far-apart sort positions") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                       // sort-adjacent to 2 (same head)
+      (2L, base + " extra tail words"), // near-dup of 1
+      (3L, "completely different content that shares nothing at all"),
+      (4L, "zz sorts far away " + base),// same MIDDLE, different head
+      (5L, "hi")                        // sub-3-token neighbor: no shingles
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 4, prefixLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(pairs.contains((1L, 2L)), pairs) // adjacent in sort order
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // doc 4 shares text with 1/2 but lives in the 'zz' bucket — the
+    // documented cross-bucket blind spot of single-pass SNM
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the shingle-less short doc is a candidate but never a verdict
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("sorted-neighborhood window bounds the candidate distance") {
+    // five docs in one bucket, sort order d1..d5; with window=2 only
+    // adjacent ranks pair — d1/d3 (distance 2) must NOT be verified even
+    // though they are near-identical
+    // sort keys order d1 < d2 < d3 ("aa a" < "aa b" < "aa c"); d1 and d3
+    // are near-identical but separated by the dissimilar d2
+    val docs = Seq(
+      (1L, "aa a " + (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "aa b " + (1 to 20).map(i => s"x$i").mkString(" ")),
+      (3L, "aa c " + (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val w2 = Dedup.sortedNeighborhoodPairs(docs, window = 2, prefixLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!w2.contains((1L, 3L)), w2)
+    val w3 = Dedup.sortedNeighborhoodPairs(docs, window = 3, prefixLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3.contains((1L, 3L)), w3)
+  }
 }
