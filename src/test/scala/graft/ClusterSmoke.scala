@@ -83,7 +83,9 @@ object ClusterSmoke {
     // expression, incremental-agg the full-outer merge join
     "q_blocklist_screen",
     "q_hilbert_layout",
-    "q_incremental_agg")
+    "q_incremental_agg",
+    "q_zonemap_hilbert",
+    "dedup_snm_pairs")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
