@@ -3253,6 +3253,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Exact equi-depth histogram of event values per type
+    * (operators.Histogram): 8 buckets, upper bounds at rank
+    * ceil(i*n/8) — the optimizer-statistics tier next to graft_cms_dot
+    * (range selectivity reads straight off the buckets). The oracle
+    * replays ranks, bounds, cumulative counts and the difference. */
+  private def qValueHistogram(s: SparkSession, dir: String): DataFrame =
+    operators.Histogram.equiDepth(
+        eventsBase(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 8)
+      .orderBy("event_type", "bucket")
+
+  private val qValueHistogramSql =
+    s"""WITH v AS (SELECT event_type,
+       |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events),
+       |r AS (SELECT event_type, vm,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM v),
+       |b AS (SELECT event_type, i.bucket, MAX(vm) AS hi_micros
+       |  FROM r CROSS JOIN (SELECT unnest(range(1, 9)) AS bucket) i
+       |  WHERE rn = -((-i.bucket * n) // 8)
+       |  GROUP BY 1, 2),
+       |c AS (SELECT v.event_type, b.bucket, COUNT(*) AS cum
+       |  FROM v JOIN b ON b.event_type = v.event_type AND v.vm <= b.hi_micros
+       |  GROUP BY 1, 2)
+       |SELECT c.event_type, c.bucket, b.hi_micros,
+       |  CAST(cum - COALESCE(lag(cum) OVER (
+       |    PARTITION BY c.event_type ORDER BY c.bucket), 0) AS BIGINT)
+       |    AS n_bucket
+       |FROM c JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+       |ORDER BY c.event_type, c.bucket""".stripMargin
+
   /** Sketch-merge variant of the IQR-outlier query: quartiles come from
     * `percentile_approx` partials merged map-side (operators.Quantiles)
     * instead of a per-group global sort — the scale path for few-group
@@ -4449,6 +4481,7 @@ object SparkEntry {
     "q_table_diff" -> (qTableDiff _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
+    "q_value_histogram" -> (qValueHistogram _),
     "q_value_outliers_approx" -> (qValueOutliersApprox _),
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
@@ -4582,6 +4615,7 @@ object SparkEntry {
     "q_table_diff" -> qTableDiffSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
+    "q_value_histogram" -> qValueHistogramSql,
     "q_value_outliers_approx" -> qValueOutliersSql,
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,

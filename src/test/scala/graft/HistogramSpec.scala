@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Histogram
+
+/** Equi-depth histogram: rank-statistic bounds, tie collapse, totals. */
+class HistogramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hist(k: Int, rows: (String, Double)*) =
+    Histogram.equiDepth(rows.toDF("g", "v"), Seq("g"), "v", k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+  test("uniform values split into equal-depth buckets at exact rank bounds") {
+    val h = hist(4, (1 to 8).map(i => "a" -> i.toDouble): _*)
+    // bounds at ranks 2, 4, 6, 8 -> values 2, 4, 6, 8
+    assert(h == Map(
+      ("a", 1L) -> (2000000L, 2L), ("a", 2L) -> (4000000L, 2L),
+      ("a", 3L) -> (6000000L, 2L), ("a", 4L) -> (8000000L, 2L)))
+  }
+
+  test("heavy ties collapse into the boundary-owning bucket, leaving " +
+      "empty buckets between equal bounds") {
+    val h = hist(2, Seq.fill(4)("a" -> 1.0): _*)
+    assert(h == Map(("a", 1L) -> (1000000L, 4L), ("a", 2L) -> (1000000L, 0L)))
+  }
+
+  test("bucket counts sum to the group size; groups are isolated") {
+    val rows = (1 to 23).map(i => "a" -> (i * 1.5)) ++
+      (1 to 7).map(i => "b" -> (100.0 - i))
+    val h = hist(5, rows: _*)
+    assert(h.keys.count(_._1 == "a") == 5 && h.keys.count(_._1 == "b") == 5)
+    assert(h.collect { case (("a", _), (_, n)) => n }.sum == 23L)
+    assert(h.collect { case (("b", _), (_, n)) => n }.sum == 7L)
+    // bounds are non-decreasing in bucket order
+    Seq("a", "b").foreach { g =>
+      val bs = (1 to 5).map(i => h((g, i.toLong))._1)
+      assert(bs == bs.sorted)
+    }
+    // equi-depth: every bucket within ceil(n/k) of the ideal depth
+    assert(h.collect { case (("a", _), (_, n)) => n }.forall(n => n >= 3 && n <= 6))
+  }
+
+  test("range selectivity reads off the histogram within one bucket depth") {
+    val rows = (1 to 100).map(i => "a" -> i.toDouble)
+    val h = hist(10, rows: _*)
+    // estimate #values <= 42: full buckets with hi <= 42 plus at most one
+    val cumBelow = h.collect { case (("a", _), (hi, n)) if hi <= 42000000L => n }.sum
+    assert(math.abs(cumBelow - 42L) <= 10L) // within one bucket depth
+  }
+}
