@@ -3411,6 +3411,41 @@ object SparkEntry {
       .orderBy("rk")
   }
 
+  /** Salt advisor (SaltedJoin.adviseSalts): the skew diagnosis turned
+    * into actionable salt factors — a key is hot when it exceeds one
+    * task's fair share; its factor is ceil(n * tasks / total). Run here
+    * on event_type (5 keys over the whole table: every key is hot at 32
+    * tasks — the degenerate low-cardinality join this operator exists
+    * for). Exact integer arithmetic, fully oracle-replayed. */
+  private def qSaltAdvisor(s: SparkSession, dir: String): DataFrame =
+    operators.SaltedJoin.adviseSalts(
+        eventsBase(s, dir).select("event_type"), "event_type", tasks = 32)
+      .orderBy("event_type")
+
+  private val qSaltAdvisorSql =
+    s"""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       |SELECT event_type, n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS share_micros,
+       |  CAST(-((-n * 32) // total) AS BIGINT) AS salt_factor
+       |FROM c, t WHERE n * 32 > total ORDER BY event_type""".stripMargin
+
+  /** Logical twin of partition expiry (sources.Retention): the per-day
+    * row counts with the TTL verdict under a fixed cutoff day — pins the
+    * day-bucket arithmetic and the strictly-below cutoff semantics
+    * cross-engine; the physical directory-drop half is RetentionSpec's
+    * (filesystem effects have no SQL oracle, the compaction precedent). */
+  private def qRetentionExpiry(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).select(expr("ts_us div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_rows"))
+      .withColumn("expired", col("day") < 19738L)
+      .orderBy("day")
+
+  private val qRetentionExpirySql =
+    s"""SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n_rows,
+       |  (epoch_us(ts) // 86400000000) < 19738 AS expired
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qSkewReportSql =
     s"""WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
        |stats AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n
@@ -4401,6 +4436,8 @@ object SparkEntry {
     "q_event_type_stats" -> (qEventTypeStats _),
     "q_daily_anomalies" -> (qDailyAnomalies _),
     "q_salted_events_join" -> (qSaltedEventsJoin _),
+    "q_salt_advisor" -> (qSaltAdvisor _),
+    "q_retention_expiry" -> (qRetentionExpiry _),
     "q_user_event_pivot" -> (qUserEventPivot _),
     "q_topk_event_values" -> (qTopkEventValues _),
     "q_props_json" -> (qPropsJson _),
@@ -4535,6 +4572,8 @@ object SparkEntry {
     "q_event_type_stats" -> qEventTypeStatsSql,
     "q_daily_anomalies" -> qDailyAnomaliesSql,
     "q_salted_events_join" -> qSaltedEventsJoinSql,
+    "q_salt_advisor" -> qSaltAdvisorSql,
+    "q_retention_expiry" -> qRetentionExpirySql,
     "q_user_event_pivot" -> qUserEventPivotSql,
     "q_topk_event_values" -> qTopkEventValuesSql,
     "q_props_json" -> qPropsJsonSql,

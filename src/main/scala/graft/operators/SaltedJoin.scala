@@ -31,4 +31,23 @@ object SaltedJoin {
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salt advisor — turns the skew diagnosis (q_skew_report's shape) into
+    * the `saltFactor` inputs [[innerSalted]] needs: a key is HOT when its
+    * row count exceeds one task's fair share (`n * tasks > total`), and
+    * its recommended factor is the number of fair shares it occupies,
+    * `ceil(n * tasks / total)` — enough sub-keys that no task carries
+    * more than ~1 fair share of the hot key. Exact integer arithmetic;
+    * one combine-heavy aggregate + a 1-row broadcast. Keys under the
+    * threshold are absent (salt factor 1 implied). */
+  def adviseSalts(fact: DataFrame, key: String, tasks: Int = 32): DataFrame = {
+    require(tasks >= 1, s"tasks >= 1, got $tasks")
+    val counts = fact.groupBy(key).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("n") * tasks > col("total"))
+      .select(col(key), col("n"),
+        expr("n * 1000000 div total").as("share_micros"),
+        expr(s"-((-n * $tasks) div total)").as("salt_factor"))
+  }
 }

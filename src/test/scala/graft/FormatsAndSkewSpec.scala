@@ -167,4 +167,25 @@ class FormatsAndSkewSpec extends AnyFunSuite {
       graft.operators.IntervalJoin.within(l, r, "k", "ms", "ms", 10L)
     }
   }
+
+  test("salt advisor flags only above-fair-share keys with ceil factors") {
+    // 100 rows: hot key 60, warm 30, ten cold keys with 1 each
+    val fact = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"c$i")).toDF("k")
+    val adv = SaltedJoin.adviseSalts(fact, "k", tasks = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // fair share = 10 rows; hot: ceil(60*10/100) = 6; warm: 3; cold absent
+    assert(adv == Map("hot" -> 6L, "warm" -> 3L))
+    // boundary: exactly fair share is NOT flagged (strict >)
+    val even = (1 to 10).flatMap(i => Seq.fill(10)(s"k$i")).toDF("k")
+    assert(SaltedJoin.adviseSalts(even, "k", tasks = 10).count() == 0L)
+    // advised factor neutralizes the skew: salting with it keeps results
+    // equal to the plain join (semantics pin)
+    val dim = Seq("hot", "warm").map(k => (k, s"d_$k")).toDF("k", "v")
+    val salted = SaltedJoin.innerSalted(fact, dim, "k", saltFactor = 6)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val plain = fact.join(dim, "k")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(salted == plain)
+  }
 }
