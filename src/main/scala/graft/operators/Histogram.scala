@@ -42,12 +42,17 @@ object Histogram {
         Window.partitionBy(g: _*).orderBy(col("vm"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(g: _*)))
     // the k upper bounds: value at rank ceil(i*n/k), i = 1..k
+    // eagerly materialized: bounds feeds BOTH the cumulative-count join
+    // and the final join-back — without it each consumer re-runs the
+    // whole rank pipeline (seen in the r8 plan audit). k x groups rows,
+    // the q_heavy_hitters top-10 checkpoint precedent.
     val bounds = ranked
       .crossJoin(broadcast(
         df.sparkSession.range(1, k + 1).select(col("id").as("bucket"))))
       .where(col("rn") === expr(s"-((-bucket * n) div $k)")) // ceil(i*n/k)
       .groupBy(g :+ col("bucket"): _*)
       .agg(max(col("vm")).as("hi_micros"))
+      .localCheckpoint(true)
     // bucket counts via CUMULATIVE counts: cum_i = #{v <= hi_i} (one
     // broadcast join + one aggregate over the values), then
     // n_bucket_i = cum_i - cum_{i-1} on the k-row-per-group boundary

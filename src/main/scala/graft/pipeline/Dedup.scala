@@ -300,8 +300,13 @@ object Dedup {
     val keyed = docs.select(col("doc_id"), sk.as("sk"))
       .where(length(col("sk")) > 0)
       .withColumn("bucket", substring(col("sk"), 1, prefixLen))
+    // persisted: both sides of the neighbor join read the ranked
+    // relation; without the cache each arm re-runs the scan + rank
+    // window (seen in the r8 plan audit). Caller owns the lifetime
+    // (clearCache between stages), the hdf precedent below.
     val ranked = keyed.withColumn("rn", row_number().over(
-      Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
+        Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
+      .persist()
     val left = ranked.select(col("bucket"), col("doc_id").as("id_l"),
         explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
           .as("rn_match"))
