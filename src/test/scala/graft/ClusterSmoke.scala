@@ -85,7 +85,9 @@ object ClusterSmoke {
     "q_hilbert_layout",
     "q_incremental_agg",
     "q_zonemap_hilbert",
-    "dedup_snm_pairs")
+    "dedup_snm_pairs",
+    // histogram: executor-held localCheckpoint blocks feed two consumers
+    "q_value_histogram")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
