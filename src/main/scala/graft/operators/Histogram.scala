@@ -49,7 +49,13 @@ object Histogram {
     val bounds = ranked
       .crossJoin(broadcast(
         df.sparkSession.range(1, k + 1).select(col("id").as("bucket"))))
-      .where(col("rn") === expr(s"-((-bucket * n) div $k)")) // ceil(i*n/k)
+      // ceil(i*n/k) via (i*n + k-1) div k: operands are positive, where
+      // truncation == floor, so the +k-1 shift is a true ceil. (The
+      // -((-i*n) div k) spelling is NOT a ceil here: Spark's `div` and
+      // DuckDB's `//` truncate toward zero, so it collapses to floor —
+      // which sent rank 0 for groups with n < k and silently dropped
+      // the low buckets.)
+      .where(col("rn") === expr(s"(bucket * n + ${k - 1}) div $k"))
       .groupBy(g :+ col("bucket"): _*)
       .agg(max(col("vm")).as("hi_micros"))
       .localCheckpoint(true)

@@ -31,11 +31,24 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IncrementalAgg {
 
-  /** Per-key algebraic state over a DOUBLE value column. Extremes are
-    * kept as floored integer micros — like every emitted aggregate in
-    * this engine, the state must be hash-comparable across engines, and
-    * BIGINT micros are while raw doubles invite drift at the compare
-    * boundary. */
+  /** Per-key algebraic state over a DOUBLE value column. Like every
+    * emitted aggregate in this engine, the state must be hash-comparable
+    * across engines: BIGINT micros are exact, while raw doubles invite
+    * drift at the compare boundary.
+    *
+    * Rounding convention (two deliberately different quantizers):
+    *  - sum_micros ROUNDS each row half-away-from-zero — the
+    *    `cast(v*1e6 as DECIMAL(38,0))` path, the corpus-wide msum
+    *    convention. Replays identically in DuckDB because BOTH engines
+    *    round double->DECIMAL half-away-from-zero (Spark: BigDecimal
+    *    HALF_UP on changePrecision; DuckDB verified: 2.5 -> 3,
+    *    -2.5 -> -3).
+    *  - min/max FLOOR (`floor(v*1e6)`) — the corpus-wide point-value
+    *    convention, and `floor` is floor in both engines.
+    * The two differ on any negative fractional micro (floor(-2.5) = -3,
+    * round/truncate = -2/-3) and on .5 fractions; IncrementalAggSpec
+    * pins a value where floor, truncation and half-away rounding all
+    * disagree, so a convention swap on either column fails the spec. */
   def aggregate(rows: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame = {
     val vm = floor(col(valueCol) * lit(1000000.0)).cast("long")

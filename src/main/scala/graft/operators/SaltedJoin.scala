@@ -48,6 +48,10 @@ object SaltedJoin {
       .where(col("n") * tasks > col("total"))
       .select(col(key), col("n"),
         expr("n * 1000000 div total").as("share_micros"),
-        expr(s"-((-n * $tasks) div total)").as("salt_factor"))
+        // true ceil via the +denominator-1 shift (positive operands, so
+        // truncating `div` == floor): -((-a) div b) is NOT a ceil under
+        // Spark/DuckDB truncate-toward-zero division — it collapsed to
+        // floor, under-salting any key holding a fractional fair share.
+        expr(s"(n * $tasks + total - 1) div total").as("salt_factor"))
   }
 }

@@ -110,10 +110,15 @@ object Blocklist {
       .mapPartitions { it =>
         val ac = bc.value
         it.map { case (id, t) =>
-          val hits = ac.countMatches(t)
-          var tot = 0L; var distinct = 0L
-          hits.foreach { h => tot += h; if (h > 0L) distinct += 1L }
-          (id, tot, distinct, tot > 0L)
+          // NULL text scores all-zero (not dropped): every doc gets a
+          // verdict, matching the oracle's CASE ... ELSE 0 on NULL length
+          if (t == null) (id, 0L, 0L, false)
+          else {
+            val hits = ac.countMatches(t)
+            var tot = 0L; var distinct = 0L
+            hits.foreach { h => tot += h; if (h > 0L) distinct += 1L }
+            (id, tot, distinct, tot > 0L)
+          }
         }
       }.toDF("doc_id", "n_hits", "n_patterns_hit", "blocked")
   }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * oracle replays it bit-for-bit: embeddings quantize to micros
   * (`floor(double(v) * 1e6)`, the corpus-wide convention), M entries are
   * exact integer sums of micros products, and each power-iteration step
-  * `v <- M v` renormalizes to max-abs 1e6 with FLOOR division (DuckDB's
-  * `//`; Scala BigInt division truncates, so [[floorDiv]] is spelled
-  * out). Power iteration from the all-ones vector is deterministic —
+  * `v <- M v` renormalizes to max-abs 1e6 with TRUNCATING division
+  * toward zero — Scala BigInt `/` and DuckDB's integer `//` share that
+  * convention (verified: `-7000000 // 3 = -2333333` in DuckDB 1.x), so
+  * negative iterate components replay bit-for-bit with no emulation.
+  * Power iteration from the all-ones vector is deterministic —
   * no RNG, no eigensolver library, no float drift.
   *
   * Scale shape: the corpus pass is a zero-shuffle mapPartitions fold
@@ -34,11 +36,12 @@ object Spectral {
     * multiply is the same IEEE double op in both engines). */
   private def micros(v: Float): Long = math.floor(v.toDouble * 1e6).toLong
 
-  /** Floor division (DuckDB `//` semantics) for BigInt. */
-  def floorDiv(a: BigInt, b: BigInt): BigInt = {
-    val q = a / b
-    if ((a % b).signum * b.signum < 0) q - 1 else q
-  }
+  /** Truncating division toward zero — Scala BigInt `/` already has
+    * exactly DuckDB's integer `//` semantics, so this is the identity
+    * spelling kept (and spec-pinned) as the cross-engine contract.
+    * (An earlier round floored here; DuckDB `//` truncates, so floor
+    * would diverge on negative-not-divisible iterate components.) */
+  def truncDiv(a: BigInt, b: BigInt): BigInt = a / b
 
   /** Second-moment matrix of the first `dims` coordinates:
     * `(i, j, m)` with `m = sum_x xs(i) * xs(j)` in micros^2, as
@@ -76,7 +79,7 @@ object Spectral {
 
   /** `iters` power-iteration steps of `v <- normalize(M v)` from the
     * all-ones vector; returns `(dim, component_micros)` with components
-    * scaled to max-abs 1e6. Exact: BigInt matvec, floor-div rescale. */
+    * scaled to max-abs 1e6. Exact: BigInt matvec, trunc-div rescale. */
   def dominantDirection(embs: DataFrame, dims: Int,
       iters: Int = 3): DataFrame = {
     val spark = embs.sparkSession
@@ -94,7 +97,7 @@ object Spectral {
       }
       val mx = next.map(_.abs).max
       require(mx.signum > 0, "zero iterate: degenerate moment matrix")
-      v = next.map(x => floorDiv(x * BigInt(1000000), mx))
+      v = next.map(x => truncDiv(x * BigInt(1000000), mx))
     }
     v.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toLong) }.toSeq

@@ -135,11 +135,13 @@ object TextAnalysis {
     import spark.implicits._
     // the token-less guard lives INSIDE the partition function: a
     // `.where(size(toks) > 0)` between project and deserialize gets pushed
-    // below the projection and re-evaluates the tokenizer regexp twice
+    // below the projection and re-evaluates the tokenizer regexp twice.
+    // NULL text tokenizes to a NULL array — dropped here exactly like the
+    // explode-based spelling dropped it (unnest of NULL emits no rows)
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
-        it.collect { case (id, toks) if toks.nonEmpty =>
+        it.collect { case (id, toks) if toks != null && toks.nonEmpty =>
           val m = new java.util.HashMap[String, Long](64)
           // m.get on a miss returns null, which unboxes to 0L in Scala
           toks.foreach(t => m.put(t, m.get(t) + 1L))
@@ -309,13 +311,18 @@ object TextAnalysis {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
+        // NULL text -> NULL token array: emit nothing, matching the old
+        // explode -> groupBy spelling (explode of NULL emits no rows)
         it.flatMap { case (id, toks) =>
-          val m = new java.util.LinkedHashMap[String, Long](64)
-          toks.foreach(t => m.put(t, m.get(t) + 1L))
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](m.size)
-          val es = m.entrySet().iterator()
-          while (es.hasNext) { val e = es.next(); out += ((id, e.getKey, e.getValue)) }
-          out
+          if (toks == null) Nil
+          else {
+            val m = new java.util.LinkedHashMap[String, Long](64)
+            toks.foreach(t => m.put(t, m.get(t) + 1L))
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](m.size)
+            val es = m.entrySet().iterator()
+            while (es.hasNext) { val e = es.next(); out += ((id, e.getKey, e.getValue)) }
+            out
+          }
         }
       }.toDF("doc_id", "term", "tf")
   }

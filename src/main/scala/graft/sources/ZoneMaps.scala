@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level zone maps (min/max skipping index) for parquet directories —
@@ -24,28 +24,51 @@ import org.apache.spark.sql.functions._
   * invisible to Spark's file listing (the `_spark_metadata` convention),
   * so the data directory stays readable as plain parquet.
   *
-  * Pruning consults only the index (metadata-sized collect, the
-  * [[graft.operators.Placement]] snapshot precedent) and hands Spark the
-  * surviving file list; the residual predicate is re-applied to the
-  * pruned scan, so results are EXACTLY the unpruned `read.where(pred)` —
-  * files whose [min, max] merely overlaps contribute only their matching
-  * rows, and false drops are impossible (a file is dropped only when its
-  * whole range misses the interval). ZoneMapsSpec pins equality and the
-  * actually-skipped file count; the oracle gate runs the same aggregate
+  * Pruning consults the index plus ONE directory listing (the same
+  * listing Spark's own planner performs) and hands Spark the surviving
+  * file list; the residual predicate is re-applied to the pruned scan, so
+  * results are EXACTLY the unpruned `read.where(pred)` — files whose
+  * [min, max] merely overlaps contribute only their matching rows, and
+  * false drops are impossible (a file is dropped only when its whole
+  * range misses the interval). The listing makes a STALE index safe in
+  * both directions: data files appended after the last refresh are not
+  * in the index, so they join the scan unpruned (never silently
+  * excluded); index rows whose file is gone (compacted away) are
+  * ignored. ZoneMapsSpec pins equality, the skipped-file counts, and
+  * both staleness directions; the oracle gate runs the same aggregate
   * against the logical table.
   */
 object ZoneMaps {
 
   val IndexDirName = "_graft_zonemaps"
 
+  /** Scheme-less path: `input_file_name()` renders `file:///p` while a
+    * FileSystem listing renders `file:/p` — same file, two spellings. */
+  private def norm(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** The directory's data files (one FS listing — what Spark's planner
+    * itself does before every scan of `path`). */
+  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSeq
+  }
+
+  private def statAggs(cols: Seq[String]) =
+    count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+
   /** Per-file stats for `cols` over the parquet directory at `path`:
     * `(file, n_rows, <c>_min, <c>_max ...)` — one row per data file. */
   def buildIndex(spark: SparkSession, path: String,
       cols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(path)
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max")))
+    val aggs = statAggs(cols)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -64,54 +87,65 @@ object ZoneMaps {
     * full rebuild re-reads the whole table; the refresh reads the
     * appended delta plus the metadata-sized index. Files present in the
     * index but gone on disk (compacted away) are dropped from it.
-    * Returns the number of newly indexed files. */
+    * Returns the number of newly indexed files.
+    *
+    * Fully distributed in the index: the existing rows are carried
+    * kept-set -> semi-join -> union -> write without ever collecting
+    * them to the driver (the r8 spelling round-tripped the whole index
+    * through `collect()`, a driver bottleneck at 10^7 files). Only the
+    * DELTA file list (the appended files to stat) and the directory
+    * listing touch the driver — the same listing Spark's planner makes.
+    * The refreshed index is written to a `_tmp` sibling first and swapped
+    * in with delete+rename, so the write never overwrites its own input
+    * and index readers never see a half-written directory. */
   def updateIndex(spark: SparkSession, path: String,
       cols: Seq[String]): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // compare by scheme-less path: input_file_name() renders file:///p
-    // while FileSystem listing renders file:/p — same file, two spellings
-    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-    val onDiskNorm = onDisk.map(norm).toSet
+    import spark.implicits._
+    val onDisk = listDataFiles(spark, path)
     val have = readIndex(spark, path)
-    val kept = have.collect()
-      .filter(r => onDiskNorm(norm(r.getAs[String]("file"))))
-    val keptNorm = kept.map(r => norm(r.getAs[String]("file"))).toSet
-    val newFiles = onDisk.filterNot(f => keptNorm(norm(f))).toSeq.sorted
+    val normU = udf(norm _)
+    val listing = onDisk.toDF("disk_file")
+      .withColumn("fn", normU(col("disk_file")))
+    // indexed rows whose file still exists (index stays distributed; the
+    // listing side is metadata-sized, AQE picks the join strategy)
+    val kept = have.withColumn("fn", normU(col("file")))
+      .join(listing.select("fn"), Seq("fn"), "left_semi")
+      .drop("fn")
+    // appended files: on disk, absent from the index — delta-sized collect
+    val newFiles = listing
+      .join(have.select(normU(col("file")).as("fn")), Seq("fn"), "left_anti")
+      .select("disk_file").as[String].collect().sorted.toSeq
     val updated =
-      if (newFiles.isEmpty) spark.createDataFrame(
-        spark.sparkContext.parallelize(kept.toSeq, 1), have.schema)
+      if (newFiles.isEmpty) kept
       else {
-        val aggs = count(lit(1)).as("n_rows") +:
-          cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
-            max(col(c)).as(s"${c}_max")))
-        val fresh = spark.read.parquet(newFiles: _*)
+        val aggs = statAggs(cols)
+        kept.unionByName(spark.read.parquet(newFiles: _*)
           .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(kept.toSeq, 1), have.schema)
-          .unionByName(fresh)
+          .agg(aggs.head, aggs.tail: _*))
       }
-    // write-then-swap: the index dir is tiny, a plain overwrite re-read
-    // races only with concurrent readers of the INDEX (not the data)
-    val rows = updated.collect()
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), have.schema)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/$IndexDirName")
+    val fsPath = new org.apache.hadoop.fs.Path(s"$path/$IndexDirName")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/${IndexDirName}_tmp")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updated.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    fs.delete(fsPath, true)
+    require(fs.rename(tmpPath, fsPath),
+      s"zone-map index swap failed: $tmpPath -> $fsPath")
     newFiles.length.toLong
   }
 
-  /** Files whose `[min, max]` intersects `[lo, hi]` (either bound
-    * optional), plus the total file count. Metadata-sized: the index
-    * holds one row per file. A file with only nulls in `c` has null
-    * min/max and is dropped — null rows cannot satisfy a range
-    * predicate. */
+  /** Files that can hold `c` in `[lo, hi]` (either bound optional), plus
+    * the on-disk data-file count. Metadata-sized: one index read + one
+    * directory listing. Soundness under a stale index: data files NOT in
+    * the index are always candidates (their rows are recovered by the
+    * residual predicate), and index rows whose file is gone are ignored
+    * — so [[prunedScan]] equals the unpruned filtered read even between
+    * refreshes. A file with only nulls in `c` has null min/max and is
+    * dropped — null rows cannot satisfy a range predicate. */
   def candidateFiles(spark: SparkSession, path: String, c: String,
       lo: Option[Any], hi: Option[Any]): (Seq[String], Long) = {
+    val onDisk = listDataFiles(spark, path)
+    val onDiskNorm = onDisk.map(norm).toSet
     val idx = readIndex(spark, path)
     val keep = Seq(
       lo.map(v => col(s"${c}_max") >= lit(v)),
@@ -121,12 +155,18 @@ object ZoneMaps {
     // droppable (null rows can't satisfy a range predicate), so null -> false
     val rows = idx.select(col("file"),
       coalesce(keep, lit(false)).as("keep")).collect()
-    (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, rows.length.toLong)
+    val indexedNorm = rows.map(r => norm(r.getString(0))).toSet
+    val keptIndexed = rows
+      .filter(r => r.getBoolean(1) && onDiskNorm(norm(r.getString(0))))
+      .map(_.getString(0)).toSeq
+    val unindexed = onDisk.filterNot(f => indexedNorm(norm(f)))
+    (keptIndexed ++ unindexed, onDisk.length.toLong)
   }
 
   /** Scan of `path` restricted to files that can hold `c` in `[lo, hi]`,
     * with the residual predicate applied — row-for-row equal to the
-    * unpruned `read.where(...)`. Schema is taken from the directory so a
+    * unpruned `read.where(...)` even when the index is stale (see
+    * [[candidateFiles]]). Schema is taken from the directory so a
     * fully-pruned scan still returns the right (empty) shape. */
   def prunedScan(spark: SparkSession, path: String, c: String,
       lo: Option[Any], hi: Option[Any]): DataFrame = {

@@ -58,6 +58,17 @@ class BlocklistSpec extends AnyFunSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("NULL text screens all-zero / not-blocked (every doc gets a " +
+      "verdict; the oracle's CASE on NULL length does the same)") {
+    val docs = Seq((1L, "has a table"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Blocklist.screen(docs, Seq("table"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((1L, 1L, true)))
+    assert(got(2L) == ((0L, 0L, false)))
+  }
+
   test("empty pattern set is rejected") {
     intercept[IllegalArgumentException] { new Blocklist.Automaton(Nil) }
     intercept[IllegalArgumentException] { new Blocklist.Automaton(Seq("")) }

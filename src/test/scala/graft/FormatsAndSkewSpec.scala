@@ -179,6 +179,13 @@ class FormatsAndSkewSpec extends AnyFunSuite {
     // boundary: exactly fair share is NOT flagged (strict >)
     val even = (1 to 10).flatMap(i => Seq.fill(10)(s"k$i")).toDF("k")
     assert(SaltedJoin.adviseSalts(even, "k", tasks = 10).count() == 0L)
+    // NON-divisible share: 65 of 100 rows at 10 tasks = 6.5 fair shares
+    // -> true ceil is 7. The pre-r9 -((-a) div b) spelling truncated to
+    // 6, leaving one subtask above a fair share.
+    val frac = (Seq.fill(65)("hot") ++ (1 to 35).map(i => s"c$i")).toDF("k")
+    val fracAdv = SaltedJoin.adviseSalts(frac, "k", tasks = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fracAdv == Map("hot" -> 7L))
     // advised factor neutralizes the skew: salting with it keeps results
     // equal to the plain join (semantics pin)
     val dim = Seq("hot", "warm").map(k => (k, s"d_$k")).toDF("k", "v")

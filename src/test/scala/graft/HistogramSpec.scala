@@ -45,6 +45,27 @@ class HistogramSpec extends AnyFunSuite {
     assert(h.collect { case (("a", _), (_, n)) => n }.forall(n => n >= 3 && n <= 6))
   }
 
+  test("non-divisible n/k puts bounds at true ceil(i*n/k) ranks") {
+    // n=5, k=2: bounds at ranks ceil(2.5)=3 and ceil(5)=5 -> values 3, 5.
+    // The pre-r9 floor spelling put the first bound at rank 2 (value 2),
+    // mislabeling the histogram as documented-ceil while computing floor.
+    val h = hist(2, (1 to 5).map(i => "a" -> i.toDouble): _*)
+    assert(h == Map(("a", 1L) -> (3000000L, 3L), ("a", 2L) -> (5000000L, 2L)))
+  }
+
+  test("groups smaller than k still produce all k buckets (no silent " +
+      "vanishing at rank 0)") {
+    // n=3 < k=8: ceil(i*3/8) ranges over 1..3, every bucket matches a
+    // row. The floor spelling sent buckets 1-2 to rank 0 (no match) and
+    // they vanished, violating the (bucket (1..k)) contract.
+    val h = hist(8, Seq("a" -> 10.0, "a" -> 20.0, "a" -> 30.0): _*)
+    assert(h.keys.map(_._2).toSet == (1L to 8L).toSet, h)
+    assert(h.collect { case (("a", _), (_, n)) => n }.sum == 3L)
+    // bounds non-decreasing, last bound is the max value
+    val bs = (1 to 8).map(i => h(("a", i.toLong))._1)
+    assert(bs == bs.sorted && bs.last == 30000000L)
+  }
+
   test("range selectivity reads off the histogram within one bucket depth") {
     val rows = (1 to 100).map(i => "a" -> i.toDouble)
     val h = hist(10, rows: _*)

@@ -54,4 +54,20 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(out.getAs[Long]("min_micros") == 100000L)
     assert(out.getAs[Long]("max_micros") == 200000L)
   }
+
+  test("rounding convention pin: sum rounds half-away-from-zero, " +
+      "extremes floor — a value where floor/truncate/round all disagree") {
+    // v = -2.5e-6: v*1e6 = -2.5 exactly in doubles.
+    //   half-away-from-zero (the DECIMAL(38,0) cast, both engines) -> -3
+    //   floor -> -3, truncate -> -2
+    // v = 2.5e-6: v*1e6 = 2.5 -> round 3, floor 2, truncate 2.
+    val out = IncrementalAgg.aggregate(
+      rows("k" -> 2.5e-6, "k" -> -2.5e-6), Seq("k"), "v").head()
+    assert(out.getAs[Long]("sum_micros") == 0L) // 3 + (-3); truncation would give 0 too, but floor gives -1
+    assert(out.getAs[Long]("min_micros") == -3L) // floor(-2.5); truncate would give -2
+    assert(out.getAs[Long]("max_micros") == 2L)  // floor(2.5); rounding would give 3
+    // isolate the positive row so the sum pin distinguishes round vs floor
+    val pos = IncrementalAgg.aggregate(rows("k" -> 2.5e-6), Seq("k"), "v").head()
+    assert(pos.getAs[Long]("sum_micros") == 3L) // round; floor/truncate give 2
+  }
 }

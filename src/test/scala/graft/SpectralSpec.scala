@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.Spectral
 
-/** Spectral direction: moment-matrix exactness, floor-div semantics,
-  * plan shape, and recovery of a planted dominant axis. */
+/** Spectral direction: moment-matrix exactness, truncating-division
+  * semantics (the DuckDB `//` contract), plan shape, and recovery of a
+  * planted dominant axis. */
 class SpectralSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -13,12 +14,45 @@ class SpectralSpec extends AnyFunSuite {
   private def embs(rows: Seq[Float]*) =
     rows.map(Tuple1(_)).toDF("embedding")
 
-  test("floorDiv matches floor semantics on every sign combination") {
-    assert(Spectral.floorDiv(BigInt(7), BigInt(2)) == BigInt(3))
-    assert(Spectral.floorDiv(BigInt(-7), BigInt(2)) == BigInt(-4))
-    assert(Spectral.floorDiv(BigInt(7), BigInt(-2)) == BigInt(-4))
-    assert(Spectral.floorDiv(BigInt(-7), BigInt(-2)) == BigInt(3))
-    assert(Spectral.floorDiv(BigInt(-6), BigInt(2)) == BigInt(-3))
+  test("truncDiv truncates toward zero on every sign combination " +
+      "(DuckDB // semantics: -7000000 // 3 = -2333333, NOT floor)") {
+    assert(Spectral.truncDiv(BigInt(7), BigInt(2)) == BigInt(3))
+    assert(Spectral.truncDiv(BigInt(-7), BigInt(2)) == BigInt(-3))
+    assert(Spectral.truncDiv(BigInt(7), BigInt(-2)) == BigInt(-3))
+    assert(Spectral.truncDiv(BigInt(-7), BigInt(-2)) == BigInt(3))
+    assert(Spectral.truncDiv(BigInt(-6), BigInt(2)) == BigInt(-3))
+    assert(Spectral.truncDiv(BigInt(-7000000), BigInt(3)) == BigInt(-2333333))
+  }
+
+  test("dominantDirection replays an in-test BigInt reference with " +
+      "truncating renormalization on negative-component iterates") {
+    // Mixed-sign fixture chosen so iterates carry NEGATIVE components
+    // that are NOT divisible by the max-abs normalizer — exactly the
+    // case where floor division would diverge from DuckDB's truncating
+    // `//` (the round-8 latent bug: green only because the sf fixtures
+    // never produced such a component).
+    val rows = Seq(
+      Seq(0.3f, -0.7f, 0.11f),
+      Seq(-0.9f, 0.2f, 0.45f),
+      Seq(0.17f, 0.5f, -0.33f))
+    def mic(v: Float) = BigInt(math.floor(v.toDouble * 1e6).toLong)
+    val m = Array.tabulate(3, 3) { (i, j) =>
+      rows.map(x => mic(x(i)) * mic(x(j))).sum
+    }
+    var v = Array.fill[BigInt](3)(BigInt(1))
+    var sawNegNonDivisible = false
+    (1 to 3).foreach { _ =>
+      val next = Array.tabulate(3)(i => (0 until 3).map(j => m(i)(j) * v(j)).sum)
+      val mx = next.map(_.abs).max
+      if (next.exists(x => x.signum < 0 && (x * BigInt(1000000)) % mx != 0))
+        sawNegNonDivisible = true
+      v = next.map(x => (x * BigInt(1000000)) / mx) // BigInt / truncates
+    }
+    assert(sawNegNonDivisible,
+      "fixture must exercise the floor-vs-trunc divergence case")
+    val got = Spectral.dominantDirection(embs(rows: _*), dims = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(i => assert(got(i.toLong) == v(i).toLong, s"dim $i"))
   }
 
   test("momentMatrix equals the brute-force outer-product sum") {

@@ -151,6 +151,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
   }
 
+  test("NULL text is dropped (not NPE'd) by the partition-loop operators, " +
+      "matching the explode spelling's unnest-of-NULL semantics") {
+    val df = docs((1L, "spam spam eggs", "en"), (2L, null, "en"))
+    val rep = TextAnalysis.repetitionStats(df).collect().map(_.getLong(0))
+    assert(rep.toSeq == Seq(1L))
+    val tc = TextAnalysis.termCounts(df).collect().map(_.getLong(0)).distinct
+    assert(tc.toSeq == Seq(1L))
+  }
+
   test("termCounts equals the explode->groupBy spelling") {
     val df = docs((1L, "a b a c b a", "en"), (2L, "x", "en"), (3L, "", "en"))
     val narrow = TextAnalysis.termCounts(df)

@@ -106,6 +106,45 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(ZoneMaps.readIndex(spark, d3).count() == 3L)
   }
 
+  test("stale index: files appended after the last refresh still scan " +
+      "(unpruned candidates), so prunedScan never silently drops rows") {
+    val d4 = "/tmp/graft_test_zonemaps_stale"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d4))
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(d4)
+    ZoneMaps.writeIndex(spark, d4, Seq("v"))
+    // append WITHOUT refreshing the index
+    (1000L until 2000L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(d4)
+    val full = spark.read.parquet(d4).where(col("v") >= 1500L)
+      .collect().map(_.toSeq).toSet
+    val pruned = ZoneMaps.prunedScan(spark, d4, "v", Some(1500L), None)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full && full.size == 500)
+    // indexed files still prune: a low-range query drops the top indexed
+    // file but must keep the unindexed appendix
+    val (files, total) = ZoneMaps.candidateFiles(spark, d4, "v", None, Some(10L))
+    assert(total == 3L)
+    assert(files.length == 2, s"1 indexed survivor + 1 unindexed: $files")
+  }
+
+  test("stale index: rows for deleted files are ignored (no dead paths " +
+      "handed to the scan)") {
+    val d5 = "/tmp/graft_test_zonemaps_dead"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d5))
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(d5)
+    ZoneMaps.writeIndex(spark, d5, Seq("v"))
+    val victim = ZoneMaps.readIndex(spark, d5).collect()
+      .map(_.getAs[String]("file")).sorted.head
+    new java.io.File(new java.net.URI(victim)).delete()
+    val (files, total) = ZoneMaps.candidateFiles(spark, d5, "v", None, None)
+    assert(total == 1L && files.length == 1)
+    assert(ZoneMaps.prunedScan(spark, d5, "v", None, None).count() > 0L)
+  }
+
   test("hilbert layout prunes BOTH dimensions where a single-column sort " +
       "prunes one (the composed-tier claim, measured)") {
     import graft.operators.Hilbert
