@@ -1334,26 +1334,41 @@ object SparkEntry {
   /** Sorted-neighborhood near-dup pairs (Dedup.sortedNeighborhoodPairs):
     * the third blocking family — per-bucket sort by a normalized key
     * prefix, candidates within a rank window of 4, exact-Jaccard
-    * verification on the shared hashed-shingle primitive. The oracle
-    * re-derives the key, bucket, per-bucket ranks, the windowed
-    * candidate join and the Jaccard verdicts. */
+    * verification on the shared hashed-shingle primitive. TWO passes
+    * (the literature's multi-pass SNM): prefix key + reversed-text key,
+    * closing the cross-bucket blind spot for head-edited near-dups. The
+    * oracle re-derives both keys, buckets, per-bucket ranks, the
+    * windowed candidate joins, their union and the Jaccard verdicts. */
   private def dedupSnmPairs(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
   private val dedupSnmPairsSql =
-    s"""WITH sk0 AS (SELECT doc_id,
-       |    substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 32) AS sk
+    s"""WITH nt AS (SELECT doc_id,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
        |  FROM documents),
-       |sk1 AS (SELECT doc_id, sk, substr(sk, 1, 2) AS bucket
-       |        FROM sk0 WHERE length(sk) > 0),
+       |sk1 AS (SELECT doc_id, sk, substr(sk, 1, 2) AS bucket FROM (
+       |    SELECT doc_id, substr(nt, 1, 32) AS sk FROM nt)
+       |  WHERE length(sk) > 0),
        |rk AS (SELECT doc_id, bucket,
        |    row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
        |  FROM sk1),
-       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-       |    greatest(a.doc_id, b.doc_id) AS doc_b
-       |  FROM rk a JOIN rk b ON b.bucket = a.bucket
-       |    AND b.rn > a.rn AND b.rn <= a.rn + 3),
+       |sk2 AS (SELECT doc_id, sk, substr(sk, 1, 2) AS bucket FROM (
+       |    SELECT doc_id, substr(reverse(nt), 1, 32) AS sk FROM nt)
+       |  WHERE length(sk) > 0),
+       |rk2 AS (SELECT doc_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
+       |  FROM sk2),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |      greatest(a.doc_id, b.doc_id) AS doc_b
+       |    FROM rk a JOIN rk b ON b.bucket = a.bucket
+       |      AND b.rn > a.rn AND b.rn <= a.rn + 3
+       |  UNION ALL
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |      greatest(a.doc_id, b.doc_id) AS doc_b
+       |    FROM rk2 a JOIN rk2 b ON b.bucket = a.bucket
+       |      AND b.rn > a.rn AND b.rn <= a.rn + 3)),
        |toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |         range(1, greatest(len(t) - 2, 0) + 1),
@@ -3265,6 +3280,22 @@ object SparkEntry {
         Seq("event_type"), "value", k = 8)
       .orderBy("event_type", "bucket")
 
+  /** Sketch-merge twin of q_value_histogram (Histogram.equiDepthApprox):
+    * bounds from merged percentile_approx partials instead of the
+    * per-group rank sort — the few-groups/large-n scale path (5 event
+    * types over 100 TB caps the exact form at 5 sort tasks; the sketch's
+    * parallelism follows the data). The gate pins `accuracy = 2^22 > n`
+    * and `k = 8` (power of two), where the GK sketch is provably exact
+    * at rank `ceil(i*n/k)` — so the oracle is the SAME SQL as
+    * `q_value_histogram` and the two must agree row-for-row (the
+    * q_value_outliers_approx precedent). Production callers drop
+    * accuracy to bound sketch memory. */
+  private def qValueHistogramApprox(s: SparkSession, dir: String): DataFrame =
+    operators.Histogram.equiDepthApprox(
+        eventsBase(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 8, accuracy = 1 << 22)
+      .orderBy("event_type", "bucket")
+
   private val qValueHistogramSql =
     s"""WITH v AS (SELECT event_type,
        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events),
@@ -4520,6 +4551,7 @@ object SparkEntry {
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
     "q_value_histogram" -> (qValueHistogram _),
+    "q_value_histogram_approx" -> (qValueHistogramApprox _),
     "q_value_outliers_approx" -> (qValueOutliersApprox _),
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
@@ -4656,6 +4688,7 @@ object SparkEntry {
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
     "q_value_histogram" -> qValueHistogramSql,
+    "q_value_histogram_approx" -> qValueHistogramSql,
     "q_value_outliers_approx" -> qValueOutliersSql,
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,

@@ -287,35 +287,48 @@ object Dedup {
     * key), so ranking is a per-bucket window, not a single-task global
     * sort; neighbor pairing is an equi-join on (bucket, rank + d) built
     * by exploding the d = 1..window-1 offsets. The standard cross-bucket
-    * blind spot (neighbors straddling a prefix boundary) is the known
-    * multi-pass-SNM trade-off — run a second pass with a different key
-    * for coverage, exactly as the literature prescribes. Verification is
-    * the shared exact-Jaccard primitive over hashed shingles. */
+    * blind spot (neighbors straddling a prefix boundary, e.g. a HEAD
+    * edit that lands the near-dup in a different bucket) is closed the
+    * way the literature prescribes — multi-pass SNM: `passes = 2` (the
+    * default) runs a second pass keyed on the REVERSED normalized text,
+    * so tail-identical/head-edited docs sort adjacent there, and the two
+    * candidate sets union before the single verification pass.
+    * `passes = 1` keeps the cheaper single-key form (its blind spot is
+    * spec-pinned). Verification is the shared exact-Jaccard primitive
+    * over hashed shingles. */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
-      prefixLen: Int = 2, thresholdPct: Int = 30): DataFrame = {
+      prefixLen: Int = 2, thresholdPct: Int = 30,
+      passes: Int = 2): DataFrame = {
     require(window >= 2, s"window >= 2, got $window")
+    require(passes == 1 || passes == 2, s"passes in {1, 2}, got $passes")
     import org.apache.spark.sql.expressions.Window
-    val sk = substring(
-      regexp_replace(lower(col("text")), "\\s+", " "), 1, 32)
-    val keyed = docs.select(col("doc_id"), sk.as("sk"))
-      .where(length(col("sk")) > 0)
-      .withColumn("bucket", substring(col("sk"), 1, prefixLen))
-    // persisted: both sides of the neighbor join read the ranked
-    // relation; without the cache each arm re-runs the scan + rank
-    // window (seen in the r8 plan audit). Caller owns the lifetime
-    // (clearCache between stages), the hdf precedent below.
-    val ranked = keyed.withColumn("rn", row_number().over(
-        Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
-      .persist()
-    val left = ranked.select(col("bucket"), col("doc_id").as("id_l"),
-        explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
-          .as("rn_match"))
-    val cand = left.join(
-        ranked.select(col("bucket"), col("rn").as("rn_match"),
-          col("doc_id").as("id_r")),
-        Seq("bucket", "rn_match"))
-      .select(least(col("id_l"), col("id_r")).as("doc_a"),
-        greatest(col("id_l"), col("id_r")).as("doc_b"))
+    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    // one pass: rank within prefix buckets of the given key, pair each
+    // row with its window-1 successors
+    def passCandidates(skExpr: Column): DataFrame = {
+      val keyed = docs.select(col("doc_id"), skExpr.as("sk"))
+        .where(length(col("sk")) > 0)
+        .withColumn("bucket", substring(col("sk"), 1, prefixLen))
+      // persisted: both sides of the neighbor join read the ranked
+      // relation; without the cache each arm re-runs the scan + rank
+      // window (seen in the r8 plan audit). Caller owns the lifetime
+      // (clearCache between stages), the hdf precedent below.
+      val ranked = keyed.withColumn("rn", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
+        .persist()
+      val left = ranked.select(col("bucket"), col("doc_id").as("id_l"),
+          explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
+            .as("rn_match"))
+      left.join(
+          ranked.select(col("bucket"), col("rn").as("rn_match"),
+            col("doc_id").as("id_r")),
+          Seq("bucket", "rn_match"))
+        .select(least(col("id_l"), col("id_r")).as("doc_a"),
+          greatest(col("id_l"), col("id_r")).as("doc_b"))
+    }
+    val cand0 = passCandidates(substring(nt, 1, 32))
+    val cand = (if (passes == 1) cand0
+      else cand0.union(passCandidates(substring(reverse(nt), 1, 32))))
       .distinct()
     val hdf = hashedShingleDf(docs).persist()
     // union_size > 0: unlike shingle-co-occurrence candidates, a sorted

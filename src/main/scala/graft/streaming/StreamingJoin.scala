@@ -35,7 +35,30 @@ object StreamingJoin {
     * @param window    attribution horizon, SQL interval text
     * @param watermark bounded-lateness horizon for BOTH sides */
   def attributedPairs(views: DataFrame, purchases: DataFrame,
-      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    joined(views, purchases, window, watermark, "inner")
+
+  /** The production attribution question is two-sided: which views
+    * converted — and which did NOT. This is [[attributedPairs]] as a
+    * LEFT OUTER stream-stream join: matched pairs emit exactly as the
+    * inner form does (same monotone contract, same batch equality on
+    * the matched subset), and a view with no purchase emits ONCE with
+    * null (purchase_ts, value) — but only when the purchase-side
+    * watermark has passed `view_ts + window`, i.e. when no in-lateness
+    * purchase can still attribute it. That expiry-driven null is the
+    * part batch can't express incrementally (batch re-derives
+    * non-conversion from scratch each run; the stream proves it from
+    * the watermark) and is exactly the state-eviction condition, so the
+    * outer form buffers no more than the inner one. Spark supports the
+    * outer join under the same two-sided range predicate — without it
+    * (or the watermarks) the planner rejects the query rather than
+    * buffering forever. */
+  def attributedOrNull(views: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    joined(views, purchases, window, watermark, "left_outer")
+
+  private def joined(views: DataFrame, purchases: DataFrame,
+      window: String, watermark: String, joinType: String): DataFrame = {
     val v = views
       .select(col("user_id"), col("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -45,7 +68,8 @@ object StreamingJoin {
     v.join(p,
         col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+        joinType)
       .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 }

@@ -329,13 +329,21 @@ class DedupSpec extends AnyFunSuite {
       (4L, "zz sorts far away " + base),// same MIDDLE, different head
       (5L, "hi")                        // sub-3-token neighbor: no shingles
     ).toDF("doc_id", "text")
+    // single pass: doc 4 shares text with 1/2 but lives in the 'zz'
+    // bucket — the documented cross-bucket blind spot of 1-pass SNM
+    val onePass = Dedup.sortedNeighborhoodPairs(docs, window = 4,
+        prefixLen = 2, passes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(onePass.contains((1L, 2L)), onePass) // adjacent in sort order
+    assert(!onePass.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // default two-pass: the reversed-key pass sorts the tail-identical
+    // head-edited doc 4 next to doc 1, closing exactly that blind spot
     val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 4, prefixLen = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
-    assert(pairs.contains((1L, 2L)), pairs) // adjacent in sort order
+    assert(pairs.contains((1L, 2L)), pairs)
+    assert(pairs.contains((1L, 4L)), pairs) // caught ONLY by pass 2
+    assert(pairs.keySet.intersect(onePass.keySet) == onePass.keySet)
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
-    // doc 4 shares text with 1/2 but lives in the 'zz' bucket — the
-    // documented cross-bucket blind spot of single-pass SNM
-    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
     // the shingle-less short doc is a candidate but never a verdict
     assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
@@ -351,10 +359,15 @@ class DedupSpec extends AnyFunSuite {
       (2L, "aa b " + (1 to 20).map(i => s"x$i").mkString(" ")),
       (3L, "aa c " + (1 to 20).map(i => s"w$i").mkString(" "))
     ).toDF("doc_id", "text")
-    val w2 = Dedup.sortedNeighborhoodPairs(docs, window = 2, prefixLen = 2)
+    // passes = 1 isolates the window semantics: under the default second
+    // (reversed-key) pass d1/d3 are tail-identical and sort ADJACENT
+    // there, which is coverage, not a window violation
+    val w2 = Dedup.sortedNeighborhoodPairs(docs, window = 2, prefixLen = 2,
+        passes = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!w2.contains((1L, 3L)), w2)
-    val w3 = Dedup.sortedNeighborhoodPairs(docs, window = 3, prefixLen = 2)
+    val w3 = Dedup.sortedNeighborhoodPairs(docs, window = 3, prefixLen = 2,
+        passes = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(w3.contains((1L, 3L)), w3)
   }

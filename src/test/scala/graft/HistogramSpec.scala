@@ -73,4 +73,36 @@ class HistogramSpec extends AnyFunSuite {
     val cumBelow = h.collect { case (("a", _), (hi, n)) if hi <= 42000000L => n }.sum
     assert(math.abs(cumBelow - 42L) <= 10L) // within one bucket depth
   }
+
+  test("exact bounds come from ONE hash-join pass over the ranked " +
+      "relation (no nested-loop fan-out of k filter passes)") {
+    val df = (1 to 50).map(i => ("a", i * 1.1)).toDF("g", "v")
+    // the bounds subplan is materialized inside equiDepth; pin the shape
+    // by rebuilding its un-checkpointed equivalent: rank window joined
+    // to broadcast target ranks must plan as BroadcastHashJoin, never
+    // the BroadcastNestedLoopJoin the crossJoin(range(k)) spelling made
+    val out = Histogram.equiDepth(df, Seq("g"), "v", 4)
+    out.collect() // force the internal checkpoint + plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("equiDepthApprox equals the exact tier under the exactness " +
+      "contract (accuracy > n, power-of-two k), with no window over " +
+      "the fact table") {
+    // skewed + tied + negative values, non-divisible n/k, two groups
+    val rows = ((1 to 37).map(i => "a" -> (i % 7) * 1.5) ++
+      (1 to 11).map(i => "b" -> (-i * 0.3))).toDF("g", "v")
+    for (k <- Seq(2, 4, 8)) {
+      val exact = Histogram.equiDepth(rows, Seq("g"), "v", k)
+        .collect().map(_.toSeq).toSet
+      val approx = Histogram.equiDepthApprox(rows, Seq("g"), "v", k,
+        accuracy = 1 << 16)
+      assert(approx.collect().map(_.toSeq).toSet == exact, s"k=$k")
+      val plan = approx.queryExecution.executedPlan.toString
+      // the lag over the k-row boundary relation remains; what must NOT
+      // appear is a rank window (the per-group fact-table sort)
+      assert(!plan.contains("row_number"), s"k=$k:\n$plan")
+    }
+  }
 }

@@ -723,6 +723,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: matched subset equals the batch inner " +
+      "join; unconverted views emit null exactly once at watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val vRows = Seq((1L, t(10, 0)), (1L, t(10, 30)), (2L, t(10, 5)),
+      (3L, t(11, 0)))
+    val pRows = Seq((1L, t(10, 20), 5.0), (1L, t(10, 50), 7.0),
+      (2L, t(12, 0), 9.0), (4L, t(10, 10), 1.0))
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingJoin.attributedOrNull(
+      vMem.toDF().toDF("user_id", "view_ts"),
+      pMem.toDF().toDF("user_id", "purchase_ts", "value"),
+      window = "1 hour", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      vMem.addData(vRows(1), vRows(0)); pMem.addData(pRows(0))
+      q.processAllAvailable()
+      vMem.addData(vRows(2), vRows(3)); pMem.addData(pRows(1), pRows(2), pRows(3))
+      q.processAllAvailable()
+      // push BOTH watermarks far past every view's join range so
+      // unmatched view state expires and emits its null row (expiry
+      // needs a subsequent batch; nudge twice)
+      vMem.addData((99L, t(20, 0))); pMem.addData((99L, t(20, 0), 0.0))
+      q.processAllAvailable()
+      vMem.addData((99L, t(21, 0))); pMem.addData((99L, t(21, 0), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer").collect()
+        .filter(_.getLong(0) != 99L)
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      // matched subset == the batch INNER join
+      val matched = rows.collect {
+        case (u, vt, Some(pt), Some(v)) => (u, vt, pt, v)
+      }.toSet
+      val batch = StreamingJoin.attributedPairs(
+          vRows.toDF("user_id", "view_ts"),
+          pRows.toDF("user_id", "purchase_ts", "value"),
+          window = "1 hour", watermark = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(matched == batch, s"matched $matched vs batch $batch")
+      // expiry emission: the two unconverted views (user 2's purchase is
+      // outside its hour; user 3 never purchases) emit null EXACTLY once
+      val nulls = rows.collect { case (u, vt, None, None) => (u, vt) }
+      assert(nulls.toSet == Set((2L, t(10, 5)), (3L, t(11, 0))),
+        s"unexpected null emissions: ${nulls.toSeq}")
+      // no view appears both matched and null, and no duplicate nulls
+      assert(nulls.distinct.length == nulls.length)
+      val matchedViews = matched.map(p => (p._1, p._2))
+      assert(nulls.forall(n => !matchedViews.contains(n)), s"$nulls vs $matchedViews")
+    } finally q.stop()
+  }
+
   test("interval join drops beyond-watermark stragglers; batch diverges " +
       "(bounded-lateness scope pinned)") {
     implicit val sqlCtx = spark.sqlContext
