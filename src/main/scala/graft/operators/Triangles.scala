@@ -51,26 +51,28 @@ object Triangles {
     *               Pass it when the caller already knows the graph size
     *               (an ingest count, table statistics) to skip the sizing
     *               count job entirely; <= 0 means unknown, and the count
-    *               is taken from the persisted normalized edge relation —
-    *               a cached-scan count, NOT a second run of the
-    *               degree-join pipeline (the r7 auto-sizing first landed
-    *               as `oriented.count()`, which re-ran both degree joins
-    *               and cost 1.36x at sf0.1; folding the count onto the
-    *               cached edge relation reclaimed it).
+    *               is taken from the PERSISTED oriented relation
+    *               (|oriented| == |e| by construction) — the count action
+    *               materializes the cache every downstream consumer then
+    *               reuses, so it costs one pipeline run, not two. (The r8
+    *               spelling instead persisted the normalized edge
+    *               relation `e` and counted that; a same-JVM interleaved
+    *               A/B — TriAB — attributed a ~20% wall regression to
+    *               exactly that cache: building the columnar InMemoryRelation
+    *               for the full edge set costs more than the ReusedExchange
+    *               sharing it replaced. `e` stays UNpersisted; its distinct
+    *               exchange is shared across the degree/orientation
+    *               subtrees by plan-level exchange reuse.)
     * @return (node, n_triangles), one row per node in >= 1 triangle
     */
   def perNode(edges: DataFrame, uCol: String, vCol: String,
       bloomBits: Int = -1, bloomHashes: Int = 5,
       edgeCountHint: Long = -1L): DataFrame = {
-    // persisted: it feeds the degree aggregate (two scans via the union),
-    // the orientation join, and — in auto-sizing mode — the edge count,
-    // so the distinct exchange runs once instead of three times
     val e = edges
       .select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .persist()
 
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -119,10 +121,9 @@ object Triangles {
         // pass — prune off. The 100x probe is what exposed this policy:
         // the previous 16 MiB hard-off silently reverted a 1e8-edge graph
         // to the unpruned wedge shuffle, the operator's worst case,
-        // exactly when pruning matters most. |oriented| == |e| by
-        // construction, so the count comes from the cached edge relation
-        // (or the caller's hint) — never from re-running the degree joins.
-        val edgesN = if (edgeCountHint > 0) edgeCountHint else e.count()
+        // exactly when pruning matters most. The count materializes the
+        // persisted oriented relation, which every consumer below reuses.
+        val edgesN = if (edgeCountHint > 0) edgeCountHint else oriented.count()
         val target = edgesN * 10
         if (target <= maxBits)
           (math.max(1L << 20, java.lang.Long.highestOneBit(target - 1) << 1), true)
@@ -155,7 +156,6 @@ object Triangles {
     // leaking across invocations
     val out = result.localCheckpoint(true)
     oriented.unpersist()
-    e.unpersist()
     prunedWedges._2.foreach(_.destroy())
     out
   }

@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Multi-JVM validation runner: executes the heaviest registered queries —
@@ -118,12 +121,44 @@ object ClusterSmoke {
     withCp.getOrCreate()
   }
 
+  /** Per-query measurement: best-of-2 wall seconds of a noop-sink run
+    * plus task-metric shuffle-write and spill bytes from that best run —
+    * the serialization/broadcast cost local[N] can never show. */
+  final case class Perf(sec: Double, shuffleWrite: Long, spill: Long)
+
   private def runAll(spark: SparkSession, sfDir: String)
-      : Map[String, Either[String, Seq[String]]] = {
+      : Map[String, Either[String, (Seq[String], Perf)]] = {
     spark.sparkContext.setLogLevel("WARN")
+    val shufW = new AtomicLong; val spill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    // JVM/executor warmup so the first query doesn't absorb startup cost
+    spark.range(10000000L).repartition(32).selectExpr("sum(id)").collect()
     QueryNames.map { name =>
       val res =
-        try Right(canon(SparkEntry.queries(name)(spark, sfDir)))
+        try {
+          val rows = canon(SparkEntry.queries(name)(spark, sfDir))
+          // timed runs AFTER the correctness collect (plans warm):
+          // best-of-2 noop-sink wall time, metrics from the best run
+          val perf = (1 to 2).map { _ =>
+            Thread.sleep(300) // let the async listener bus drain
+            shufW.set(0); spill.set(0)
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300)
+            Perf(sec, shufW.get, spill.get)
+          }.minBy(_.sec)
+          Right((rows, perf))
+        }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       name -> res
@@ -155,9 +190,13 @@ object ClusterSmoke {
     var failed = 0
     QueryNames.foreach { name =>
       (clusterResults(name), localResults(name)) match {
-        case (Right(c), Right(l)) if c == l =>
+        case (Right((c, pc)), Right((l, pl))) if c == l =>
           println(s"[cluster-smoke] $name OK rows=${c.size}")
-        case (Right(c), Right(l)) =>
+          println(f"[cluster-smoke-perf] $name cluster=${pc.sec}%.2f " +
+            f"local=${pl.sec}%.2f ratio=${pc.sec / pl.sec}%.2f " +
+            s"shufw_c=${pc.shuffleWrite} shufw_l=${pl.shuffleWrite} " +
+            s"spill_c=${pc.spill} spill_l=${pl.spill}")
+        case (Right((c, _)), Right((l, _))) =>
           failed += 1
           val onlyC = c.diff(l).take(3)
           val onlyL = l.diff(c).take(3)
