@@ -90,7 +90,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"calibration_sec":{"pre":$calPre,"post":$calPost}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"calibration_sec":{"pre":$calPre,"post":$calPost}}"""
+    println(line)
+    // The stdout line is also persisted to a file: the driver's log tail
+    // cap truncated the r9 record mid-JSON (BENCH_r09.json parsed: null),
+    // losing the first ~75 per-query rows. The file is the durable,
+    // committable copy of the full 134-row record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

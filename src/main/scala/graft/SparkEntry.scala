@@ -2594,6 +2594,45 @@ object SparkEntry {
        |  AND p.purchase_ms BETWEEN c.click_ms - 7200000 AND c.click_ms + 7200000
        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Two-sided view-to-purchase attribution — the BATCH run of the
+    * left-outer streaming join (`streaming/StreamingJoin.attributedOrNull`,
+    * watermarks optimized away on batch inputs by
+    * EliminateEventTimeWatermark): every (view, purchase) pair of the
+    * same user with the purchase inside `(view_ts, view_ts + 1h]`, plus
+    * ONE null-attributed row per view with no in-window purchase. This
+    * puts the null-emission arithmetic — previously gated only by
+    * StreamingSpec's replay equivalence — under the DuckDB hash gate
+    * like every other operator: on a complete replay the streaming
+    * expiry-driven nulls must equal exactly this batch left outer. */
+  private def qAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsRaw(s, dir)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    streaming.StreamingJoin.attributedOrNull(views, purchases, "1 hour")
+      .select(col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("value_micros"))
+      .orderBy("user_id", "view_us", "purchase_us")
+  }
+
+  private val qAttributionOuterSql =
+    s"""WITH v AS (SELECT user_id, ts AS view_ts FROM events
+       |           WHERE event_type = 'view'),
+       |p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT v.user_id, epoch_us(v.view_ts) AS view_us,
+       |  epoch_us(p.purchase_ts) AS purchase_us,
+       |  CAST(floor(p.value * 1000000.0) AS BIGINT) AS value_micros
+       |FROM v LEFT JOIN p ON p.user_id = v.user_id
+       |  AND p.purchase_ts >= v.view_ts
+       |  AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+       |ORDER BY v.user_id, view_us, purchase_us""".stripMargin
+
   // ===================================================================
   // IVF-PQ (residual quantization)
   // ===================================================================
@@ -3284,21 +3323,46 @@ object SparkEntry {
     * bounds from merged percentile_approx partials instead of the
     * per-group rank sort — the few-groups/large-n scale path (5 event
     * types over 100 TB caps the exact form at 5 sort tasks; the sketch's
-    * parallelism follows the data). The gate pins `accuracy = 2^22 > n`
-    * and `k = 8` (power of two), where the GK sketch is provably exact
-    * at rank `ceil(i*n/k)` — so the oracle is the SAME SQL as
+    * parallelism follows the data). The gate requires `accuracy > n` per
+    * group and `k = 8` (power of two), where the GK sketch is provably
+    * exact at rank `ceil(i*n/k)` — so the oracle is the SAME SQL as
     * `q_value_histogram` and the two must agree row-for-row (the
-    * q_value_outliers_approx precedent). Production callers drop
-    * accuracy to bound sketch memory. */
-  private def qValueHistogramApprox(s: SparkSession, dir: String): DataFrame =
+    * q_value_outliers_approx precedent). The accuracy is DERIVED at gate
+    * time (next power of two above the max group count, floor 2^22) so
+    * an amplified corpus crossing 4.19M rows per event_type grows the
+    * pin instead of silently voiding the exactness contract and making
+    * the gate failure look like an operator bug. Production callers
+    * instead drop accuracy to bound sketch memory. */
+  private def qValueHistogramApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsBase(s, dir).select(col("event_type"), col("value"))
     operators.Histogram.equiDepthApprox(
-        eventsBase(s, dir).select(col("event_type"), col("value")),
-        Seq("event_type"), "value", k = 8, accuracy = 1 << 22)
+        base, Seq("event_type"), "value", k = 8,
+        accuracy = exactnessAccuracy(base, Seq("event_type"), "value"))
       .orderBy("event_type", "bucket")
+  }
+
+  /** Smallest power of two strictly above the max per-group non-null
+    * count, floored at 2^22 — the `accuracy > n` GK-exactness pin for
+    * the `_approx` gates, computed from the corpus so it holds at any
+    * amplification. One small count-aggregate pass (metadata-sized
+    * result); named assert so a pathological corpus fails by naming the
+    * pin rather than surfacing as a hash mismatch. */
+  private def exactnessAccuracy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): Int = {
+    val maxN = df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*).count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    require(maxN < (1L << 30),
+      s"GK exactness pin: max per-group n=$maxN needs accuracy > n " +
+        "beyond 2^30 — the exact-agreement gate no longer applies; " +
+        "use a bounded accuracy and a tolerance-based check instead")
+    math.max(1 << 22, java.lang.Long.highestOneBit(maxN) << 1).toInt
+  }
 
   private val qValueHistogramSql =
     s"""WITH v AS (SELECT event_type,
-       |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events),
+       |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events
+       |    WHERE value IS NOT NULL),
        |r AS (SELECT event_type, vm,
        |    row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
        |    COUNT(*) OVER (PARTITION BY event_type) AS n
@@ -3321,17 +3385,22 @@ object SparkEntry {
     * `percentile_approx` partials merged map-side (operators.Quantiles)
     * instead of a per-group global sort — the scale path for few-group
     * quantiles (5 event types over 100 TB caps the exact form's sort at 5
-    * tasks; the sketch's parallelism follows the data). The gate pins
-    * `accuracy = 2^22 > n`, where the GK sketch is provably exact at rank
-    * `ceil(p*n)` — so the oracle is the SAME exact-fence SQL as
-    * `q_value_outliers`, and the two queries must agree row-for-row.
-    * Production callers at 100 TB drop accuracy to bound sketch memory. */
-  private def qValueOutliersApprox(s: SparkSession, dir: String): DataFrame =
+    * tasks; the sketch's parallelism follows the data). The gate requires
+    * `accuracy > n` per group, where the GK sketch is provably exact at
+    * rank `ceil(p*n)` — so the oracle is the SAME exact-fence SQL as
+    * `q_value_outliers`, and the two queries must agree row-for-row. The
+    * accuracy is derived at gate time ([[exactnessAccuracy]]) so corpus
+    * amplification grows the pin instead of voiding it. Production
+    * callers at 100 TB drop accuracy to bound sketch memory. */
+  private def qValueOutliersApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsBase(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
     operators.Quantiles.iqrOutliers(
-        eventsBase(s, dir).select(col("event_id"), col("event_type"), col("value")),
-        Seq("event_type"), "value", accuracy = 1 << 22)
+        base, Seq("event_type"), "value",
+        accuracy = exactnessAccuracy(base, Seq("event_type"), "value"))
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
+  }
 
   private val qValueOutliersSql =
     s"""WITH ranked AS (
@@ -4528,6 +4597,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
+    "q_attribution_outer" -> (qAttributionOuter _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_profile_lineitem" -> (qProfileLineitem _),
     "q_funnel" -> (qFunnel _),
@@ -4665,6 +4735,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,
+    "q_attribution_outer" -> qAttributionOuterSql,
     "q_chunk_overlap" -> qChunkOverlapSql,
     "q_profile_lineitem" -> qProfileLineitemSql,
     "q_funnel" -> qFunnelSql,

@@ -42,7 +42,12 @@ object Histogram {
   private def quantized(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val vm = floor(col(valueCol) * lit(1000000.0)).cast("long")
-    df.select(groupCols.map(col) :+ vm.as("vm"): _*)
+    // NULL values are outside the histogram domain in BOTH tiers: the
+    // sketch tier's percentile_approx ignores them implicitly, so the
+    // exact tier must not count them in n or rank them (nulls sort first
+    // under row_number, shifting every boundary) — filter once here so n,
+    // ranks, and bucket counts are defined over the same value set.
+    df.select(groupCols.map(col) :+ vm.as("vm"): _*).where(col("vm").isNotNull)
   }
 
   /** Bucket counts from a `(groupCols..., bucket, hi_micros)` boundary

@@ -42,6 +42,17 @@ object ZoneMaps {
 
   val IndexDirName = "_graft_zonemaps"
 
+  /** Directory-schema memo for [[prunedScan]]: the schema of a parquet
+    * directory is stable across appends (same writer), so re-reading a
+    * footer per query is a pure planning tax — one footer read per path
+    * per process instead. [[writeIndex]]/[[updateIndex]] invalidate the
+    * entry, and a caller that rewrites the table out-of-band can call
+    * [[invalidateSchemaCache]] directly. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def invalidateSchemaCache(path: String): Unit = schemaCache.remove(path)
+
   /** Scheme-less path: `input_file_name()` renders `file:///p` while a
     * FileSystem listing renders `file:/p` — same file, two spellings. */
   private def norm(s: String): String =
@@ -75,9 +86,16 @@ object ZoneMaps {
 
   /** Build and persist the index beside the data (one small parquet). */
   def writeIndex(spark: SparkSession, path: String,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
     buildIndex(spark, path, cols).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$IndexDirName")
+    invalidateSchemaCache(path)
+  }
+
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$IndexDirName")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$IndexDirName")
@@ -95,13 +113,21 @@ object ZoneMaps {
     * through `collect()`, a driver bottleneck at 10^7 files). Only the
     * DELTA file list (the appended files to stat) and the directory
     * listing touch the driver — the same listing Spark's planner makes.
-    * The refreshed index is written to a `_tmp` sibling first and swapped
-    * in with delete+rename, so the write never overwrites its own input
-    * and index readers never see a half-written directory. */
+    * The refreshed index is written to a `_tmp` sibling and swapped in
+    * rename-first (live aside to `_old`, tmp to live, drop `_old`) — no
+    * window where BOTH the old and new index are deleted: a crash
+    * mid-swap leaves at worst a missing live dir, which every reader
+    * treats as "all files unindexed" (unpruned scan, still correct). A
+    * missing index (first call, or recovery from such a crash) degrades
+    * to the full [[writeIndex]] build. */
   def updateIndex(spark: SparkSession, path: String,
       cols: Seq[String]): Long = {
     import spark.implicits._
     val onDisk = listDataFiles(spark, path)
+    if (!indexExists(spark, path)) {
+      writeIndex(spark, path, cols)
+      return onDisk.length.toLong
+    }
     val have = readIndex(spark, path)
     val normU = udf(norm _)
     val listing = onDisk.toDF("disk_file")
@@ -125,12 +151,20 @@ object ZoneMaps {
       }
     val fsPath = new org.apache.hadoop.fs.Path(s"$path/$IndexDirName")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/${IndexDirName}_tmp")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/${IndexDirName}_old")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     updated.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
-    fs.delete(fsPath, true)
+    // rename-first swap: at every step either a live index or NO index
+    // exists — never a half-written one — and a missing index is the sound
+    // degraded state (all files scanned unindexed)
+    fs.delete(oldPath, true) // debris from a previous crashed swap
+    require(fs.rename(fsPath, oldPath),
+      s"zone-map index swap failed: $fsPath -> $oldPath")
     require(fs.rename(tmpPath, fsPath),
       s"zone-map index swap failed: $tmpPath -> $fsPath")
+    fs.delete(oldPath, true)
+    invalidateSchemaCache(path)
     newFiles.length.toLong
   }
 
@@ -144,33 +178,46 @@ object ZoneMaps {
     * dropped — null rows cannot satisfy a range predicate. */
   def candidateFiles(spark: SparkSession, path: String, c: String,
       lo: Option[Any], hi: Option[Any]): (Seq[String], Long) = {
+    import spark.implicits._
     val onDisk = listDataFiles(spark, path)
-    val onDiskNorm = onDisk.map(norm).toSet
-    val idx = readIndex(spark, path)
+    // no index (never built, or mid-swap crash window): every file is a
+    // candidate — degraded to the unpruned scan, never an error
+    if (!indexExists(spark, path)) return (onDisk, onDisk.length.toLong)
     val keep = Seq(
       lo.map(v => col(s"${c}_max") >= lit(v)),
       hi.map(v => col(s"${c}_min") <= lit(v))
     ).flatten.reduceOption(_ && _).getOrElse(lit(true))
     // all-null stats evaluate the range test to null — that file is
-    // droppable (null rows can't satisfy a range predicate), so null -> false
-    val rows = idx.select(col("file"),
-      coalesce(keep, lit(false)).as("keep")).collect()
-    val indexedNorm = rows.map(r => norm(r.getString(0))).toSet
-    val keptIndexed = rows
-      .filter(r => r.getBoolean(1) && onDiskNorm(norm(r.getString(0))))
-      .map(_.getString(0)).toSeq
-    val unindexed = onDisk.filterNot(f => indexedNorm(norm(f)))
+    // droppable (null rows can't satisfy a range predicate), so null -> false.
+    // The range test and the existence semi-join run DISTRIBUTED on the
+    // index relation; only the SURVIVING file names reach the driver —
+    // O(selectivity), not one row per indexed file. The driver already
+    // holds the directory listing (Spark's planner makes the same one).
+    val normU = udf(norm _)
+    val listing = onDisk.toDF("disk_file")
+      .withColumn("fn", normU(col("disk_file")))
+    val idx = readIndex(spark, path).withColumn("fn", normU(col("file")))
+    val keptIndexed = idx
+      .where(coalesce(keep, lit(false)))
+      .join(listing.select("fn"), Seq("fn"), "left_semi")
+      .select("file").as[String].collect().toSeq
+    // appended-after-refresh files: absent from the index, always candidates
+    val unindexed = listing
+      .join(idx.select("fn"), Seq("fn"), "left_anti")
+      .select("disk_file").as[String].collect().toSeq
     (keptIndexed ++ unindexed, onDisk.length.toLong)
   }
 
   /** Scan of `path` restricted to files that can hold `c` in `[lo, hi]`,
     * with the residual predicate applied — row-for-row equal to the
     * unpruned `read.where(...)` even when the index is stale (see
-    * [[candidateFiles]]). Schema is taken from the directory so a
+    * [[candidateFiles]]). Schema is taken from the directory (memoized
+    * per path — one footer read per process, not per query) so a
     * fully-pruned scan still returns the right (empty) shape. */
   def prunedScan(spark: SparkSession, path: String, c: String,
       lo: Option[Any], hi: Option[Any]): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
     val (files, _) = candidateFiles(spark, path, c, lo, hi)
     val base =
       if (files.isEmpty)
