@@ -2118,6 +2118,104 @@ object SparkEntry {
        |     - (${duckCycSum("frame_idx * fb")}) AS BIGINT) AS frame_checksum
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual hash per media payload through the REAL decoders
+    * (Multimodal.perceptualHashes): images dHash their parsed BMP
+    * raster (9x8 nearest-neighbor grid, gradient-sign bits), audio
+    * delta-hashes its parsed PCM samples, video dHashes its first
+    * decoded frame. The oracle re-derives every bit from the synthetic
+    * fill's byte arithmetic — a raster/stride/sample parsing bug on the
+    * Spark side flips bits and fails the hash. */
+  private def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    pipeline.Multimodal.perceptualHashes(s,
+        pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  /** Shared oracle arithmetic: the per-doc perceptual hash (`ph` CTE).
+    * Bit 63 cannot be built with a BIGINT shift in DuckDB (overflow
+    * guard), so bits accumulate in HUGEINT and wrap to signed 64-bit at
+    * the end — bitwise-or of distinct powers equals their sum. */
+  private val duckPhashCtes =
+    s"""bytes AS (
+       |  SELECT doc_id, GREATEST(1, length(text)) AS n,
+       |    CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+       |         ELSE list_transform(range(1, length(text) + 1),
+       |           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END AS bs
+       |  FROM documents),
+       |geom AS (
+       |  SELECT doc_id, n, bs,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    8 + n % 24 AS iw,
+       |    GREATEST(1, LEAST(40, n // (3 * (8 + n % 24)))) AS ih,
+       |    8 + n % 16 AS vw, 8 + (n * 3) % 16 AS vh
+       |  FROM bytes),
+       |rast AS (SELECT doc_id, n, bs, iw AS w, ih AS h FROM geom
+       |         WHERE kind = 'image'
+       |         UNION ALL
+       |         SELECT doc_id, n, bs, vw AS w, vh AS h FROM geom
+       |         WHERE kind = 'video'),
+       |dbits AS (SELECT doc_id, n, bs, CAST(y * 8 + x AS INT) AS k,
+       |    ((y * h) // 8) * w + ((x * w) // 9) AS pa,
+       |    ((y * h) // 8) * w + (((x + 1) * w) // 9) AS pb
+       |  FROM rast, (SELECT unnest(range(8)) AS y) ys,
+       |       (SELECT unnest(range(8)) AS x) xs),
+       |dh AS (SELECT doc_id, SUM(CASE WHEN
+       |      bs[1 + ((3*pb) % n)] + bs[1 + ((3*pb+1) % n)] + bs[1 + ((3*pb+2) % n)]
+       |    > bs[1 + ((3*pa) % n)] + bs[1 + ((3*pa+1) % n)] + bs[1 + ((3*pa+2) % n)]
+       |    THEN CAST(1 AS HUGEINT) << k ELSE 0 END) AS hu
+       |  FROM dbits GROUP BY doc_id),
+       |au AS (SELECT doc_id, SUM(CASE WHEN
+       |      bs[1 + (((i + 1) * n) // 65)] > bs[1 + ((i * n) // 65)]
+       |    THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE 0 END) AS hu
+       |  FROM geom, (SELECT unnest(range(64)) AS i) ii
+       |  WHERE kind = 'audio' GROUP BY doc_id),
+       |ph AS (SELECT g.doc_id, g.kind,
+       |    CAST(CASE WHEN u.hu >= 9223372036854775808
+       |         THEN u.hu - 18446744073709551616 ELSE u.hu END AS BIGINT) AS phash
+       |  FROM geom g JOIN (SELECT * FROM dh UNION ALL SELECT * FROM au) u
+       |    ON u.doc_id = g.doc_id)""".stripMargin
+
+  private val multimodalPhashSql =
+    s"""WITH $duckPhashCtes
+       |SELECT doc_id, kind, phash FROM ph ORDER BY doc_id""".stripMargin
+
+  /** Perceptual near-dup pairs: banded hamming pairing
+    * (Dedup.bandedHammingPairs, 4x16-bit bands — pigeonhole-exact for
+    * hamming <= 3) over the perceptual hashes, partitioned by media
+    * kind so modalities never cross-pair. Exact duplicate documents
+    * produce byte-identical payloads and hamming-0 pairs; near-dup
+    * rasters surface at small positive distances. The oracle replays
+    * hash, bands, bucket cap, and verification. */
+  private def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.bandedHammingPairs(
+        pipeline.Multimodal.perceptualHashes(s,
+            pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
+          .toDF()
+          .select(col("kind"), col("doc_id"), col("phash").as("sig")),
+        maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
+        partitionCols = Seq("kind"))
+      .orderBy("kind", "doc_a", "doc_b")
+
+  private val multimodalPhashPairsSql =
+    s"""WITH $duckPhashCtes,
+       |banded AS (SELECT doc_id, kind, phash, b,
+       |    (phash >> CAST(b * 16 AS INT)) & 65535 AS key
+       |  FROM ph, (SELECT unnest(range(4)) AS b) bands),
+       |bsize AS (SELECT kind, b, key FROM banded GROUP BY 1, 2, 3
+       |          HAVING COUNT(*) BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT a.kind AS kind, a.doc_id AS doc_a,
+       |                a.phash AS pa, c.doc_id AS doc_b, c.phash AS pb
+       |         FROM banded a
+       |         JOIN bsize bs ON a.kind = bs.kind AND a.b = bs.b
+       |           AND a.key = bs.key
+       |         JOIN banded c ON a.kind = c.kind AND a.b = c.b
+       |           AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT kind, doc_a, doc_b,
+       |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+       |ORDER BY kind, doc_a, doc_b""".stripMargin
+
   // ===================================================================
   // Corpus curation: PII, quality rules, boilerplate blocks, packing,
   // incremental dedup
@@ -4581,6 +4679,8 @@ object SparkEntry {
     "q_proto_rank" -> (qProtoRank _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_phash" -> (multimodalPhash _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
     "dedup_blocks" -> (dedupBlocks _),
@@ -4719,6 +4819,8 @@ object SparkEntry {
     "q_proto_rank" -> qProtoRankSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
     "dedup_blocks" -> dedupBlocksSql,

@@ -580,30 +580,61 @@ object Dedup {
     val sc = docs.sparkSession.sparkContext
     val dropAcc = droppedBuckets.getOrElse(
       sc.longAccumulator("graft.simhash.dropped_buckets"))
-    val dropDocsAcc = sc.longAccumulator("graft.simhash.dropped_docs")
-    val sims = simhash(docs)
+    bandedHammingPairs(simhash(docs).withColumnRenamed("simhash", "sig"),
+      maxHamming, bands, bandBits, maxBucket, Nil, Some(dropAcc))
+  }
+
+  /** Banded hamming-distance pairing over precomputed bit signatures —
+    * the candidate-generation core shared by [[simhashPairs]] (60-bit
+    * text simhash) and the perceptual-hash media pairs (64-bit
+    * dHash/waveform hash, `Multimodal.perceptualHashes`).
+    *
+    * `sigs` is `(partitionCols..., doc_id, sig)`; pairs are generated
+    * only within equal `partitionCols` values (e.g. media kind — an
+    * image dHash and an audio waveform hash are different modalities
+    * and must never pair, even on a bit collision). By pigeonhole, any
+    * pair within hamming distance `bands - 1` shares at least one
+    * identical band, so banding itself loses nothing at
+    * `maxHamming <= bands - 1`; recall is exact up to the `maxBucket`
+    * cap (degenerate buckets dropped whole, counted in the
+    * accumulators — the same guard as the MinHash path). Verification
+    * is the codegen'd `bit_count(xor)` builtin — no UDF. `shiftright`
+    * is arithmetic, so the per-band mask also strips the sign
+    * extension a negative 64-bit signature would smear. */
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, bandBits: Int = 16, maxBucket: Int = 64,
+      partitionCols: Seq[String] = Nil,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val sc = sigs.sparkSession.sparkContext
+    val dropAcc = droppedBuckets.getOrElse(
+      sc.longAccumulator("graft.hamming.dropped_buckets"))
+    val dropDocsAcc = sc.longAccumulator("graft.hamming.dropped_docs")
     val mask = (1L << bandBits) - 1
-    val banded = sims.select(col("doc_id"), col("simhash"),
+    val pcols = partitionCols.map(col)
+    val banded = sigs.select(pcols ++ Seq(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk")): _*)
+      .select(pcols ++ Seq(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key")): _*)
     val buckets = capBuckets(
-      banded.groupBy("band", "key")
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids")),
+      banded.groupBy((partitionCols ++ Seq("band", "key")).map(col): _*)
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids")),
       maxBucket, dropAcc, dropDocsAcc)
     val cand = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
-        explode(col("ids")).as("b"))
-      .select(col("doc_a"), col("sim_a"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .select(pcols ++ Seq(explode(col("ids")).as("a"), col("ids")): _*)
+      .select(pcols ++ Seq(col("a.doc_id").as("doc_a"),
+        col("a.sig").as("sig_a"), explode(col("ids")).as("b")): _*)
+      .select(pcols ++ Seq(col("doc_a"), col("sig_a"),
+        col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b")): _*)
       .where(col("doc_a") < col("doc_b"))
       .distinct()
     cand
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .select(pcols ++ Seq(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming")): _*)
       .where(col("hamming") <= maxHamming)
   }
 

@@ -340,6 +340,85 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(doc_id: Long, kind: String, phash: Long)
+
+  /** Grayscale proxy of pixel `pix` (row-major index) in an RGB byte
+    * array starting at `base`: the channel sum (0..765) — monotone in
+    * luminance for the comparisons dHash makes, with no division to
+    * disagree about across engines. */
+  private def graySum(b: Array[Byte], base: Int, pix: Int): Int = {
+    val o = base + pix * 3
+    (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+  }
+
+  /** 64-bit perceptual difference hash (dHash) of an RGB raster: sample
+    * a 9x8 grid with the same floor-index nearest-neighbor mapping as
+    * [[resampleNearest]] (sx = x*w/9, sy = y*h/8), and set bit `y*8+x`
+    * iff the sampled gray value brightens left-to-right
+    * (g(x+1,y) > g(x,y)). Row-difference signs survive uniform
+    * brightness shifts and re-encoding — the property that makes dHash
+    * a near-dup signal rather than a checksum. Pure integer
+    * arithmetic, so the oracle re-derives every bit from the synthetic
+    * fill; MultimodalSpec pins invariance under the BMP top-down /
+    * bottom-up storage variants (same raster, same hash). */
+  def dHash(rgb: Array[Byte], base: Int, w: Int, h: Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var x = 0
+      while (x < 8) {
+        val ga = graySum(rgb, base, sy * w + (x.toLong * w / 9).toInt)
+        val gb = graySum(rgb, base, sy * w + ((x + 1).toLong * w / 9).toInt)
+        if (gb > ga) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit waveform delta hash for PCM audio: nearest-neighbor
+    * downsample to 65 points (sample index i*n/65, floor) and set bit i
+    * iff the waveform rises between consecutive points — the audio
+    * analogue of [[dHash]]'s gradient-sign signature. */
+  def waveformHash(samples: Array[Short]): Long = {
+    val n = samples.length
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val a = samples((i.toLong * n / 65).toInt)
+      val b = samples(((i + 1).toLong * n / 65).toInt)
+      if (b > a) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash per media payload, through the REAL decoders:
+    * images dHash their parsed BMP raster, audio delta-hashes its
+    * parsed PCM samples, video dHashes its FIRST decoded frame (the
+    * thumbnail convention). One decode+hash pass per partition; feeds
+    * `Dedup.bandedHammingPairs` for banded near-dup pairing. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val h = m.kind match {
+          case "image" =>
+            val img = Codecs.decodeBmp(m.payload)
+            dHash(img.pixels, 0, img.width, img.height)
+          case "audio" =>
+            waveformHash(Codecs.decodeWav(m.payload).samples)
+          case _ =>
+            val v = Codecs.decodeGvidHeader(m.payload)
+            dHash(m.payload, Codecs.GvidHeaderLen, v.width, v.height)
+        }
+        PHashRow(m.doc_id, m.kind, h)
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: parse the GVF1 header, emit one row
     * per frame with its parsed byte offset and decoded-frame checksum — the
     * 1->N expansion shape a real frame sampler has, as a flatMap per

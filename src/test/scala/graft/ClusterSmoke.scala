@@ -90,7 +90,10 @@ object ClusterSmoke {
     "q_zonemap_hilbert",
     "dedup_snm_pairs",
     // histogram: executor-held localCheckpoint blocks feed two consumers
-    "q_value_histogram")
+    "q_value_histogram",
+    // round-10: typed-Dataset codec decode + banded hamming pairing in
+    // worker JVMs (the perceptual-hash media near-dup path)
+    "multimodal_phash_pairs")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
@@ -126,7 +129,17 @@ object ClusterSmoke {
     * the serialization/broadcast cost local[N] can never show. */
   final case class Perf(sec: Double, shuffleWrite: Long, spill: Long)
 
-  private def runAll(spark: SparkSession, sfDir: String)
+  /** The multi-JVM perf pin: cluster/local wall ratio must stay <= 2x.
+    * Sub-[[GateFloorSec]] cluster rows are exempt — at that size the
+    * ratio measures fixed per-job RPC/scheduling overhead, not
+    * serialization (the documented placement_choose case: 2.03x on
+    * 0.24 s over 23 KB of shuffle). Queries above the floor get a third
+    * timed run so one noisy iteration can't fail the gate. */
+  val GateMaxRatio = 2.0
+  val GateFloorSec = 0.75
+
+  private def runAll(spark: SparkSession, sfDir: String,
+      extraRunIfSlow: Boolean = false)
       : Map[String, Either[String, (Seq[String], Perf)]] = {
     spark.sparkContext.setLogLevel("WARN")
     val shufW = new AtomicLong; val spill = new AtomicLong
@@ -147,7 +160,7 @@ object ClusterSmoke {
           val rows = canon(SparkEntry.queries(name)(spark, sfDir))
           // timed runs AFTER the correctness collect (plans warm):
           // best-of-2 noop-sink wall time, metrics from the best run
-          val perf = (1 to 2).map { _ =>
+          def timed(): Perf = {
             Thread.sleep(300) // let the async listener bus drain
             shufW.set(0); spill.set(0)
             val t0 = System.nanoTime()
@@ -156,7 +169,11 @@ object ClusterSmoke {
             val sec = (System.nanoTime() - t0) / 1e9
             Thread.sleep(300)
             Perf(sec, shufW.get, spill.get)
-          }.minBy(_.sec)
+          }
+          var perf = (1 to 2).map(_ => timed()).minBy(_.sec)
+          // gate-subject rows get one more sample (noise insurance)
+          if (extraRunIfSlow && perf.sec >= GateFloorSec)
+            perf = Seq(perf, timed()).minBy(_.sec)
           Right((rows, perf))
         }
         catch { case e: Throwable =>
@@ -177,7 +194,7 @@ object ClusterSmoke {
 
     val t0 = System.nanoTime()
     val cluster = session("local-cluster[2,16,4096]", repoClasses)
-    val clusterResults = runAll(cluster, sfDir)
+    val clusterResults = runAll(cluster, sfDir, extraRunIfSlow = true)
     cluster.stop()
     val tCluster = (System.nanoTime() - t0) / 1e9
 
@@ -188,6 +205,7 @@ object ClusterSmoke {
     val tLocal = (System.nanoTime() - t1) / 1e9
 
     var failed = 0
+    var perfFailed = 0
     QueryNames.foreach { name =>
       (clusterResults(name), localResults(name)) match {
         case (Right((c, pc)), Right((l, pl))) if c == l =>
@@ -196,6 +214,14 @@ object ClusterSmoke {
             f"local=${pl.sec}%.2f ratio=${pc.sec / pl.sec}%.2f " +
             s"shufw_c=${pc.shuffleWrite} shufw_l=${pl.shuffleWrite} " +
             s"spill_c=${pc.spill} spill_l=${pl.spill}")
+          if (pc.sec >= GateFloorSec && pc.sec / pl.sec > GateMaxRatio) {
+            perfFailed += 1
+            println(f"[cluster-smoke-gate] $name FAIL ratio=" +
+              f"${pc.sec / pl.sec}%.2f > $GateMaxRatio%.1f at " +
+              f"cluster=${pc.sec}%.2f s — serialization regression " +
+              "(fixed-overhead carve-out applies only below " +
+              f"$GateFloorSec%.2f s)")
+          }
         case (Right((c, _)), Right((l, _))) =>
           failed += 1
           val onlyC = c.diff(l).take(3)
@@ -210,9 +236,9 @@ object ClusterSmoke {
           println(s"[cluster-smoke] $name ERROR(local) $e")
       }
     }
-    println(f"[cluster-smoke] ${if (failed == 0) "PASS" else "FAIL"} " +
-      f"queries=${QueryNames.size} failed=$failed " +
+    println(f"[cluster-smoke] ${if (failed + perfFailed == 0) "PASS" else "FAIL"} " +
+      f"queries=${QueryNames.size} failed=$failed perfFailed=$perfFailed " +
       f"clusterSec=$tCluster%.1f localSec=$tLocal%.1f sf=$sfDir")
-    if (failed > 0) sys.exit(1)
+    if (failed + perfFailed > 0) sys.exit(1)
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.pipeline.Multimodal
 import graft.pipeline.Multimodal.Codecs
 
@@ -135,6 +137,70 @@ class MultimodalSpec extends AnyFunSuite {
     val model = (for (y <- 0 until rh0.toInt; x <- 0 until rw0.toInt; c <- 0 until 3)
       yield src(((y * 1 / rh0.toInt) * 11 + x * 11 / rw0.toInt) * 3 + c).toLong).sum
     assert(f0.resized_checksum == model)
+  }
+
+  test("dHash is invariant under BMP storage variants and tolerant of " +
+      "small perturbations; distinct rasters differ") {
+    val w = 24; val h = 16
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * j * 31 + j * 7 + 3) % 256).toByte)
+    val base = Multimodal.dHash(rgb, 0, w, h)
+    // same raster, both physical BMP storages -> decoded pixels identical
+    // -> same hash (a row-order or stride bug would flip rows and bits)
+    val bu = Codecs.decodeBmp(Codecs.encodeBmp24(w, h, rgb, topDown = false))
+    val td = Codecs.decodeBmp(Codecs.encodeBmp24(w, h, rgb, topDown = true))
+    assert(Multimodal.dHash(bu.pixels, 0, w, h) == base)
+    assert(Multimodal.dHash(td.pixels, 0, w, h) == base)
+    // perceptual, not a checksum: a one-pixel change off the sampling grid
+    // leaves the hash untouched; a uniform brightness shift (+10 on every
+    // channel, clamped-free range) preserves all gradient signs
+    val oneOff = rgb.clone(); oneOff((5 * w + 5) * 3) = (oneOff((5 * w + 5) * 3) + 1).toByte
+    val bright = rgb.map(b => math.min(245, b & 0xff).toByte).map(b => (b + 10).toByte)
+    val dimmed = rgb.map(b => math.min(245, b & 0xff).toByte)
+    assert(java.lang.Long.bitCount(Multimodal.dHash(oneOff, 0, w, h) ^ base) <= 2)
+    assert(Multimodal.dHash(bright, 0, w, h) == Multimodal.dHash(dimmed, 0, w, h))
+    // a genuinely different raster lands far away
+    val other = Array.tabulate(w * h * 3)(j => ((j * 131 + 17) % 256).toByte)
+    assert(java.lang.Long.bitCount(Multimodal.dHash(other, 0, w, h) ^ base) > 8)
+  }
+
+  test("waveform hash matches an independent per-bit model and survives " +
+      "amplitude scaling") {
+    val n = 997
+    val s = Array.tabulate(n)(i =>
+      (2000 * math.sin(i / 7.0) + 500 * math.sin(i / 3.0)).toShort)
+    val got = Multimodal.waveformHash(s)
+    var want = 0L
+    for (i <- 0 until 64)
+      if (s(((i + 1).toLong * n / 65).toInt) > s((i.toLong * n / 65).toInt))
+        want |= 1L << i
+    assert(got == want)
+    // delta signs survive positive amplitude scaling (half volume)
+    assert(Multimodal.waveformHash(s.map(v => (v / 2).toShort)) == got)
+  }
+
+  test("perceptual pairs: exact-duplicate payloads pair at hamming 0; " +
+      "kinds never cross-pair") {
+    // doc ids chosen so 9/12 are images (id % 3 == 0) with identical
+    // text -> byte-identical payloads; 10/13 are audio with unrelated text
+    val dup = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog again and again", "s", "en"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again", "s", "en"),
+      (10L, "completely different content that shares nothing at all here", "s", "en"),
+      (13L, "totally other words with no overlap whatsoever in any form!!", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val hashes = Multimodal.perceptualHashes(spark, Multimodal.mediaTable(dup))
+      .toDF().select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    val pairs = graft.pipeline.Dedup.bandedHammingPairs(
+      hashes, maxHamming = 3, bands = 4, bandBits = 16,
+      partitionCols = Seq("kind")).collect()
+    // 9/12 share a kind (both doc_id % 3 == 0 -> image) and identical text
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 9L &&
+      r.getAs[Long]("doc_b") == 12L && r.getAs[Long]("hamming") == 0L))
+    // no pair may span two kinds
+    val kindOf = Multimodal.perceptualHashes(spark, Multimodal.mediaTable(dup))
+      .collect().map(p => p.doc_id -> p.kind).toMap
+    assert(pairs.forall(r =>
+      kindOf(r.getAs[Long]("doc_a")) == kindOf(r.getAs[Long]("doc_b"))))
   }
 
   test("frame sampling parses the GVF1 container with per-frame checksums") {
