@@ -30,7 +30,10 @@ object QBench {
       }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
-    args.foreach { name =>
+    // no args = the whole registered suite, name-sorted (sweep mode)
+    val names = if (args.nonEmpty) args.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
       (1 to 3).foreach { i =>
         // listener events are delivered async: give the bus a beat to
         // drain before snapshotting, so spill attributes to the right run

@@ -172,6 +172,76 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(box == 32L * 32L)
   }
 
+  test("candidateFiles runs the range test distributed: every driver " +
+      "collect goes through the filter + existence join, never a bare " +
+      "index scan") {
+    written
+    val plans = scala.collection.mutable.Buffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (files, total) = ZoneMaps.candidateFiles(spark, dir, "v",
+        Some(3990L), None)
+      assert(total == 4 && files.length == 1)
+      // listener delivery is async
+      var waited = 0
+      def mine = plans.synchronized {
+        plans.filter(_.contains(ZoneMaps.IndexDirName)).toList }
+      while (mine.size < 2 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+      }
+      val indexPlans = mine
+      assert(indexPlans.size >= 2, s"expected the survivor + delta " +
+        s"collects over the index, saw ${indexPlans.size}")
+      // the survivor collect must filter + semi-join; the delta collect
+      // must anti-join — a reintroduced full-index collect (bare index
+      // scan straight to the driver, the r9-flagged shape) has neither
+      assert(indexPlans.forall(p =>
+        p.contains("LeftSemi") || p.contains("LeftAnti")),
+        s"an index collect bypassed the joins:\n${indexPlans.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("missing index degrades to the unpruned scan and updateIndex " +
+      "rebuilds from scratch (crash-window recovery)") {
+    val d6 = "/tmp/graft_test_zonemaps_missing"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d6))
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(d6)
+    // no index ever built: all files are candidates, results exact
+    val (files0, total0) = ZoneMaps.candidateFiles(spark, d6, "v",
+      Some(990L), None)
+    assert(total0 == 2 && files0.length == 2)
+    assert(ZoneMaps.prunedScan(spark, d6, "v", Some(990L), None)
+      .count() == 10L)
+    // updateIndex on a missing index = full build, not an error
+    assert(ZoneMaps.updateIndex(spark, d6, Seq("v")) == 2L)
+    assert(ZoneMaps.candidateFiles(spark, d6, "v", Some(990L), None)
+      ._1.length == 1)
+    // simulate a crash inside the swap window: live dir gone, only the
+    // _old debris left — readers degrade, the next refresh recovers
+    val live = new java.io.File(d6, ZoneMaps.IndexDirName)
+    val old = new java.io.File(d6, ZoneMaps.IndexDirName + "_old")
+    assert(live.renameTo(old))
+    val (filesC, totalC) = ZoneMaps.candidateFiles(spark, d6, "v",
+      Some(990L), None)
+    assert(totalC == 2 && filesC.length == 2, "crash window must degrade, not error")
+    assert(ZoneMaps.prunedScan(spark, d6, "v", Some(990L), None)
+      .count() == 10L)
+    assert(ZoneMaps.updateIndex(spark, d6, Seq("v")) == 2L)
+    assert(ZoneMaps.candidateFiles(spark, d6, "v", Some(990L), None)
+      ._1.length == 1)
+  }
+
   test("all-null stats drop the file; bound-less scan keeps everything") {
     val d2 = "/tmp/graft_test_zonemaps_null"
     (1L to 10L).map(i => (i, None: Option[Long])).toDF("id", "v")
