@@ -189,23 +189,24 @@ object ZoneMaps {
     ).flatten.reduceOption(_ && _).getOrElse(lit(true))
     // all-null stats evaluate the range test to null — that file is
     // droppable (null rows can't satisfy a range predicate), so null -> false.
-    // The range test and the existence semi-join run DISTRIBUTED on the
-    // index relation; only the SURVIVING file names reach the driver —
-    // O(selectivity), not one row per indexed file. The driver already
-    // holds the directory listing (Spark's planner makes the same one).
+    // The range test runs DISTRIBUTED on the index relation in ONE job:
+    // the listing left-outer-joins the filtered index, keeping files the
+    // index clears (keep) plus files the index has never seen (no match
+    // — appended after the last refresh, always candidates); dead index
+    // rows never match the listing and drop out. Only the SURVIVING file
+    // names reach the driver — O(selectivity), not one row per indexed
+    // file. The driver already holds the directory listing (Spark's
+    // planner makes the same one before every scan).
     val normU = udf(norm _)
     val listing = onDisk.toDF("disk_file")
       .withColumn("fn", normU(col("disk_file")))
-    val idx = readIndex(spark, path).withColumn("fn", normU(col("file")))
-    val keptIndexed = idx
-      .where(coalesce(keep, lit(false)))
-      .join(listing.select("fn"), Seq("fn"), "left_semi")
-      .select("file").as[String].collect().toSeq
-    // appended-after-refresh files: absent from the index, always candidates
-    val unindexed = listing
-      .join(idx.select("fn"), Seq("fn"), "left_anti")
+    val idx = readIndex(spark, path)
+      .select(normU(col("file")).as("fn"),
+        coalesce(keep, lit(false)).as("keep"))
+    val files = listing.join(idx, Seq("fn"), "left_outer")
+      .where(col("keep").isNull || col("keep"))
       .select("disk_file").as[String].collect().toSeq
-    (keptIndexed ++ unindexed, onDisk.length.toLong)
+    (files, onDisk.length.toLong)
   }
 
   /** Scan of `path` restricted to files that can hold `c` in `[lo, hi]`,

@@ -195,18 +195,18 @@ class ZoneMapsSpec extends AnyFunSuite {
       var waited = 0
       def mine = plans.synchronized {
         plans.filter(_.contains(ZoneMaps.IndexDirName)).toList }
-      while (mine.size < 2 && waited < 10000) {
+      while (mine.isEmpty && waited < 10000) {
         Thread.sleep(200); waited += 200
       }
       val indexPlans = mine
-      assert(indexPlans.size >= 2, s"expected the survivor + delta " +
-        s"collects over the index, saw ${indexPlans.size}")
-      // the survivor collect must filter + semi-join; the delta collect
-      // must anti-join — a reintroduced full-index collect (bare index
-      // scan straight to the driver, the r9-flagged shape) has neither
-      assert(indexPlans.forall(p =>
-        p.contains("LeftSemi") || p.contains("LeftAnti")),
-        s"an index collect bypassed the joins:\n${indexPlans.mkString("\n---\n")}")
+      assert(indexPlans.nonEmpty, "expected the single candidate collect " +
+        "over the index")
+      // the one collect must join the index against the listing (range
+      // filter + existence in a single job) — a reintroduced full-index
+      // collect (bare index scan straight to the driver, the r9-flagged
+      // shape) has no join at all
+      assert(indexPlans.forall(_.contains("Join")),
+        s"an index collect bypassed the join:\n${indexPlans.mkString("\n---\n")}")
     } finally spark.listenerManager.unregister(listener)
   }
 
