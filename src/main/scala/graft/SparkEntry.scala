@@ -2131,17 +2131,18 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
-  /** Shared oracle arithmetic: the per-doc perceptual hash (`ph` CTE).
-    * Bit 63 cannot be built with a BIGINT shift in DuckDB (overflow
-    * guard), so bits accumulate in HUGEINT and wrap to signed 64-bit at
-    * the end — bitwise-or of distinct powers equals their sum. */
-  private val duckPhashCtes =
+  /** Shared oracle arithmetic: the per-doc perceptual hash (`ph` CTE)
+    * over the doc relation `src` (doc_id, text). Bit 63 cannot be
+    * built with a BIGINT shift in DuckDB (overflow guard), so bits
+    * accumulate in HUGEINT and wrap to signed 64-bit at the end —
+    * bitwise-or of distinct powers equals their sum. */
+  private def duckPhashCtes(src: String): String =
     s"""bytes AS (
        |  SELECT doc_id, GREATEST(1, length(text)) AS n,
        |    CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
        |         ELSE list_transform(range(1, length(text) + 1),
        |           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END AS bs
-       |  FROM documents),
+       |  FROM $src),
        |geom AS (
        |  SELECT doc_id, n, bs,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -2177,20 +2178,39 @@ object SparkEntry {
        |    ON u.doc_id = g.doc_id)""".stripMargin
 
   private val multimodalPhashSql =
-    s"""WITH $duckPhashCtes
+    s"""WITH ${duckPhashCtes("documents")}
        |SELECT doc_id, kind, phash FROM ph ORDER BY doc_id""".stripMargin
+
+  /** Re-crawl fixture for the perceptual pairs gate: every 37th
+    * document re-appears under a shifted id (+3e9, divisible by 3 so
+    * the media kind is preserved), half byte-identical (hamming-0
+    * pairs guaranteed) and half with the leading byte case-flipped —
+    * a single-byte payload perturbation whose hash distance the
+    * oracle re-derives exactly. Without planting, the synthetic
+    * corpus yields almost no within-hamming-3 media pairs and the
+    * gate would check mostly-empty output. */
+  private def mediaRecrawl(docs: DataFrame): DataFrame = {
+    val dup = docs.where(col("doc_id") % 37 === 0)
+      .withColumn("text", when(col("doc_id") % 74 === 0,
+        concat(upper(substring(col("text"), 1, 1)), expr("substring(text, 2)")))
+        .otherwise(col("text")))
+      .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+    docs.unionByName(dup)
+  }
 
   /** Perceptual near-dup pairs: banded hamming pairing
     * (Dedup.bandedHammingPairs, 4x16-bit bands — pigeonhole-exact for
-    * hamming <= 3) over the perceptual hashes, partitioned by media
-    * kind so modalities never cross-pair. Exact duplicate documents
-    * produce byte-identical payloads and hamming-0 pairs; near-dup
-    * rasters surface at small positive distances. The oracle replays
-    * hash, bands, bucket cap, and verification. */
+    * hamming <= 3) over the perceptual hashes of the re-crawl corpus,
+    * partitioned by media kind so modalities never cross-pair. Exact
+    * duplicate documents produce byte-identical payloads and hamming-0
+    * pairs; the perturbed re-crawls surface at small positive
+    * distances. The oracle replays hash, bands, bucket cap, and
+    * verification. */
   private def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.bandedHammingPairs(
         pipeline.Multimodal.perceptualHashes(s,
-            pipeline.Multimodal.mediaTable(Tables.documents(s, dir)))
+            pipeline.Multimodal.mediaTable(
+              mediaRecrawl(Tables.documents(s, dir))))
           .toDF()
           .select(col("kind"), col("doc_id"), col("phash").as("sig")),
         maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
@@ -2198,7 +2218,15 @@ object SparkEntry {
       .orderBy("kind", "doc_a", "doc_b")
 
   private val multimodalPhashPairsSql =
-    s"""WITH $duckPhashCtes,
+    s"""WITH docs_rc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000000,
+       |    CASE WHEN doc_id % 74 = 0
+       |         THEN upper(substr(text, 1, 1)) || substr(text, 2)
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |${duckPhashCtes("docs_rc")},
        |banded AS (SELECT doc_id, kind, phash, b,
        |    (phash >> CAST(b * 16 AS INT)) & 65535 AS key
        |  FROM ph, (SELECT unnest(range(4)) AS b) bands),
