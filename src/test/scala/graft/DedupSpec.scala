@@ -371,4 +371,30 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(w3.contains((1L, 3L)), w3)
   }
+
+  test("banded hamming pairs equal brute force at hamming <= bands-1 " +
+      "when uncapped (pigeonhole exactness, seeded random sigs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 120 random 64-bit sigs + planted near-dups at 0..5 bit flips:
+    // flips <= 3 MUST be recalled (pigeonhole over 4 bands); 4-5 flip
+    // plants land in brute iff the flips collide back under 4 — the
+    // equality check covers both directions (no false pairs either)
+    val base = Seq.fill(120)(rnd.nextLong())
+    val planted = base.zipWithIndex.collect { case (s, i) if i % 4 == 0 =>
+      (0 until i % 6).foldLeft(s)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+    }
+    val sigs = (base ++ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = Dedup.bandedHammingPairs(sigs.toDF("doc_id", "sig"),
+        maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 1000000)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(brute.nonEmpty && got == brute,
+      s"banded=${got.size} brute=${brute.size}")
+  }
 }
