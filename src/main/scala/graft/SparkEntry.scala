@@ -2217,6 +2217,76 @@ object SparkEntry {
         partitionCols = Seq("kind"))
       .orderBy("kind", "doc_a", "doc_b")
 
+  /** Incremental perceptual admission: the re-crawled media (the
+    * +3e9-id copies of [[mediaRecrawl]]) checked against the ORIGINAL
+    * corpus as the standing ledger (Dedup.incrementalHammingDedup) —
+    * the ingest-time question "is this newly crawled image/audio/video
+    * perceptually near-identical to anything the corpus already
+    * holds?". Exact re-crawls resolve near_dup at hamming 0; the
+    * perturbed half resolves near_dup at its true distance or
+    * admitted when the single-byte flip moved the hash past 3 bits —
+    * all oracle-re-derived. Ledger work is bounded by the buckets the
+    * batch touches (broadcast batch-key semi-join before the wide
+    * exchange), so admission cost tracks the re-crawl batch, not the
+    * corpus. */
+  private def multimodalPhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hashes = pipeline.Multimodal.perceptualHashes(s,
+        pipeline.Multimodal.mediaTable(
+          mediaRecrawl(Tables.documents(s, dir))))
+      .toDF()
+      .select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    pipeline.Dedup.incrementalHammingDedup(
+        hashes.where(col("doc_id") >= 3000000000L),
+        hashes.where(col("doc_id") < 3000000000L),
+        maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
+        partitionCols = Seq("kind"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalPhashIncrementalSql =
+    s"""WITH docs_rc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000000,
+       |    CASE WHEN doc_id % 74 = 0
+       |         THEN upper(substr(text, 1, 1)) || substr(text, 2)
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |${duckPhashCtes("docs_rc")},
+       |bat AS (SELECT * FROM ph WHERE doc_id >= 3000000000),
+       |led AS (SELECT * FROM ph WHERE doc_id < 3000000000),
+       |bb AS (SELECT doc_id, kind, phash, b,
+       |    (phash >> CAST(b * 16 AS INT)) & 65535 AS key
+       |  FROM bat, (SELECT unnest(range(4)) AS b) bands),
+       |lb AS (SELECT doc_id, kind, phash, b,
+       |    (phash >> CAST(b * 16 AS INT)) & 65535 AS key
+       |  FROM led, (SELECT unnest(range(4)) AS b) bands),
+       |bkeys AS (SELECT DISTINCT kind, b, key FROM bb),
+       |lbuck AS (SELECT lb.kind, lb.b, lb.key FROM lb
+       |          JOIN bkeys USING (kind, b, key)
+       |          GROUP BY 1, 2, 3 HAVING COUNT(*) BETWEEN 1 AND 64),
+       |cand AS (SELECT DISTINCT bb.kind, bb.doc_id AS doc_a, bb.phash AS pa,
+       |                lb.doc_id AS doc_b, lb.phash AS pb
+       |         FROM bb
+       |         JOIN lbuck ON lbuck.kind = bb.kind AND lbuck.b = bb.b
+       |           AND lbuck.key = bb.key
+       |         JOIN lb ON lb.kind = bb.kind AND lb.b = bb.b
+       |           AND lb.key = bb.key),
+       |mt AS (SELECT kind, doc_a, doc_b,
+       |         CAST(bit_count(xor(pa, pb)) AS BIGINT) AS h
+       |       FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
+       |best AS (SELECT kind, doc_a, doc_b, h FROM (
+       |           SELECT mt.*, row_number() OVER (
+       |             PARTITION BY kind, doc_a ORDER BY h, doc_b) AS rn FROM mt)
+       |         WHERE rn = 1)
+       |SELECT b.kind, b.doc_id,
+       |  CASE WHEN best.doc_b IS NOT NULL THEN 'near_dup'
+       |       ELSE 'admitted' END AS verdict,
+       |  best.doc_b AS near_dup_of, best.h AS hamming
+       |FROM bat b LEFT JOIN best
+       |  ON best.kind = b.kind AND best.doc_a = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   private val multimodalPhashPairsSql =
     s"""WITH docs_rc AS (
        |  SELECT doc_id, text FROM documents
@@ -4709,6 +4779,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
+    "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
     "dedup_blocks" -> (dedupBlocks _),
@@ -4849,6 +4920,7 @@ object SparkEntry {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
+    "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
     "dedup_blocks" -> dedupBlocksSql,

@@ -638,6 +638,75 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental hamming admission over precomputed bit signatures:
+    * each BATCH row checked for ledger signatures within `maxHamming`
+    * — the signature-space twin of [[incrementalNearDup]]'s
+    * MinHash admission, used by the perceptual-hash media path (a
+    * re-crawl admitted only if no standing media is perceptually
+    * near-identical) and equally applicable to simhash.
+    *
+    * Scale shape (the same inversion as every incremental operator
+    * here): the LEDGER never moves whole. Its banded keys semi-join
+    * the batch's distinct `(partitionCols, band, key)` set (broadcast,
+    * workload-sized) before any wide exchange, so ledger work tracks
+    * the buckets the batch touches — not the standing corpus. Bucket
+    * caps drop degenerate buckets whole into the accumulators
+    * (prune-invariant, the [[incrementalNearDup]] argument). Verdict
+    * per batch row: best match = minimum hamming, ties to the
+    * smallest ledger id; rows with no in-distance match are
+    * `admitted`. */
+  def incrementalHammingDedup(batch: DataFrame, ledger: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4, bandBits: Int = 16,
+      maxBucket: Int = 64, partitionCols: Seq[String] = Nil,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.incr_hamming.dropped_buckets"))
+    val dropDocsAcc =
+      spark.sparkContext.longAccumulator("graft.incr_hamming.dropped_docs")
+    val mask = (1L << bandBits) - 1
+    val pcols = partitionCols.map(col)
+    val keyCols = partitionCols ++ Seq("band", "key")
+    def banded(df: DataFrame): DataFrame =
+      df.select(pcols ++ Seq(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk")): _*)
+        .select(pcols ++ Seq(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key")): _*)
+    val bBanded = banded(batch)
+    val lBuckets = capBuckets(
+      banded(ledger)
+        .join(broadcast(bBanded.select(keyCols.map(col): _*).distinct()),
+          keyCols)
+        .groupBy(keyCols.map(col): _*)
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids")),
+      maxBucket, dropAcc, dropDocsAcc, minSize = 1)
+    val cand = bBanded.join(lBuckets, keyCols)
+      .select(pcols ++ Seq(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        explode(col("ids")).as("b")): _*)
+      .select(pcols ++ Seq(col("doc_a"), col("sig_a"),
+        col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b")): _*)
+      .distinct()
+    val best = cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(pcols :+ col("doc_a").as("doc_id"): _*)
+      // lexicographic struct min: lowest hamming, then smallest ledger id
+      .agg(min(struct(col("hamming"), col("doc_b"))).as("m"))
+      .select(pcols ++ Seq(col("doc_id"), col("m.doc_b").as("near_dup_of"),
+        col("m.hamming").as("hamming")): _*)
+    batch.select(pcols :+ col("doc_id"): _*)
+      .join(best, partitionCols :+ "doc_id", "left")
+      .select(pcols ++ Seq(col("doc_id"),
+        when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")).as("verdict"),
+        col("near_dup_of"), col("hamming")): _*)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word w-shingles with *any* benchmark document —
     * the standard test-set-leakage check a training pipeline runs before

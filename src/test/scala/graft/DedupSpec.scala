@@ -397,4 +397,31 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty && got == brute,
       s"banded=${got.size} brute=${brute.size}")
   }
+
+  test("incremental hamming admission: exact and near matches resolve " +
+      "near_dup with min-hamming/min-id best; far rows admit") {
+    import spark.implicits._
+    val s0 = 0x0123456789abcdefL
+    val ledger = Seq(
+      (10L, s0),             // exact match target
+      (11L, s0 ^ 1L),        // hamming 1 from s0 — must NOT outrank exact
+      (12L, s0 ^ 0x7L),      // hamming 3 target for batch doc 2
+      (13L, s0 ^ 0x7L),      // same sig, larger id — tie goes to 12
+      (14L, 0x7777000011112222L))
+    val batch = Seq(
+      (1L, s0),              // exact -> near_dup of 10 at hamming 0
+      (2L, s0 ^ 0x7L),       // -> 12 (tie with 13 broken by id)
+      (3L, ~s0))             // far from everything -> admitted
+    val out = Dedup.incrementalHammingDedup(
+        batch.toDF("doc_id", "sig"), ledger.toDF("doc_id", "sig"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(1L) == (("near_dup", Some(10L), Some(0L))))
+    assert(out(2L) == (("near_dup", Some(12L), Some(0L))))
+    assert(out(3L) == (("admitted", None, None)))
+  }
 }
