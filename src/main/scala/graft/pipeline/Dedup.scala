@@ -707,6 +707,50 @@ object Dedup {
         col("near_dup_of"), col("hamming")): _*)
   }
 
+  /** Prebuilt banded hamming ledger index for repeated signature
+    * admission — the [[NearDupIndex]] analogue for bit signatures
+    * ([[incrementalHammingDedup]]'s standing side, and the static
+    * relation `streaming.StreamingMediaDedup` joins every
+    * micro-batch). `buckets` holds capped
+    * `bkey -> [(doc_id, sig)]` postings with the partition columns and
+    * band index FUSED into one string key (`kind:band:key`), so the
+    * stream-static join is a single-column equi-join. Persisted at
+    * build (reused per admission batch); call [[release]] when done. */
+  final case class HammingIndex(buckets: DataFrame, maxHamming: Int,
+                                bands: Int, bandBits: Int) {
+    def release(): Unit = { buckets.unpersist() }
+  }
+
+  /** Build a [[HammingIndex]] from ledger signatures
+    * `(partitionCols..., doc_id, sig)`. Caps are applied at build time —
+    * equivalent to per-batch capping, because pruning by a batch's keys
+    * selects whole buckets (the [[buildNearDupIndex]] argument). */
+  def buildHammingIndex(ledger: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, bandBits: Int = 16, maxBucket: Int = 64,
+      partitionCols: Seq[String] = Nil,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : HammingIndex = {
+    val spark = ledger.sparkSession
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.hamming_index.dropped_buckets"))
+    val dropDocsAcc =
+      spark.sparkContext.longAccumulator("graft.hamming_index.dropped_docs")
+    val mask = (1L << bandBits) - 1
+    val pcols = partitionCols.map(col)
+    val banded = ledger.select(pcols ++ Seq(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk")): _*)
+    val buckets = capBuckets(
+      banded
+        .groupBy(concat_ws(":",
+          pcols ++ Seq(col("bk.band"), col("bk.key")): _*).as("bkey"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids")),
+      maxBucket, dropAcc, dropDocsAcc, minSize = 1).persist()
+    HammingIndex(buckets, maxHamming, bands, bandBits)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word w-shingles with *any* benchmark document —
     * the standard test-set-leakage check a training pipeline runs before

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.pipeline.{Dedup, Multimodal}
+
+/** Streaming perceptual media admission: each media payload of an
+  * ingest stream (the `mediaTable` schema — doc_id, kind, payload,
+  * source, lang) is decoded, perceptually hashed, and checked against a
+  * STATIC prebuilt hamming ledger index ([[Dedup.buildHammingIndex]]
+  * over `Multimodal.perceptualHashes` of the standing corpus) — the
+  * streaming shape of [[Dedup.incrementalHammingDedup]], emitting the
+  * same `(doc_id, kind, verdict, near_dup_of, hamming)` verdicts.
+  *
+  * The pipeline is stateless per document, the
+  * [[StreamingNearDup]] design carried over to signature space:
+  * decode+dHash is a narrow per-row pass (the real BMP/WAV/GVF1
+  * parsers inside the stream), band keys explode to a stream-static
+  * left join against the persisted index postings (partition column,
+  * band and key fused into one string join key), and the best-match
+  * reduction runs in a `flatMapGroupsWithState` that never stores
+  * state — every candidate row of a document derives from that
+  * document's single input row, so the group is always complete within
+  * its micro-batch. Zero state growth, no watermark, and
+  * streaming == batch verdicts on ANY replay split (StreamingSpec
+  * gates equivalence against `Dedup.incrementalHammingDedup` on the
+  * same fixture, including a mid-stream split).
+  *
+  * A ledger signature reachable through k shared bands is scored k
+  * times (≤ bands) instead of paying a distinct() exchange inside the
+  * micro-batch; the min-reduction absorbs the duplicates — the same
+  * narrow-recompute-beats-shuffle trade as the MinHash path. */
+object StreamingMediaDedup {
+
+  final case class MediaVerdict(doc_id: Long, kind: String, verdict: String,
+                                near_dup_of: Option[Long], hamming: Option[Long])
+
+  def verdicts(spark: SparkSession, stream: DataFrame,
+               index: Dedup.HammingIndex): Dataset[MediaVerdict] = {
+    import spark.implicits._
+    val mask = (1L << index.bandBits) - 1
+    val hashed = Multimodal.perceptualHashes(spark, stream).toDF()
+    val keyed = hashed.select(col("doc_id"), col("kind"), col("phash"),
+      explode(array((0 until index.bands).map { b =>
+        concat_ws(":", col("kind"), lit(b),
+          shiftright(col("phash"), b * index.bandBits).bitwiseAND(lit(mask)))
+      }: _*)).as("bkey"))
+    val scored = keyed
+      .join(index.buckets, Seq("bkey"), "left_outer")
+      .select(col("doc_id"), col("kind"), col("phash"),
+        explode_outer(col("ids")).as("b"))
+      .select(col("doc_id"), col("kind"), col("phash"),
+        col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b"))
+    val maxH = index.maxHamming
+    scored.as[(Long, String, Long, Option[Long], Option[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, MediaVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, Option[Long], Option[Long])],
+         _: GroupState[Boolean]) =>
+          // no state is ever stored: the group is complete in-batch
+          var bestH = Long.MaxValue
+          var bestId = Long.MaxValue
+          rows.foreach {
+            case (_, _, ph, Some(docB), Some(sigB)) =>
+              val h = java.lang.Long.bitCount(ph ^ sigB).toLong
+              if (h <= maxH &&
+                  (h < bestH || (h == bestH && docB < bestId))) {
+                bestH = h; bestId = docB
+              }
+            case _ => ()
+          }
+          if (bestH <= maxH)
+            Iterator.single(MediaVerdict(key._1, key._2, "near_dup",
+              Some(bestId), Some(bestH)))
+          else
+            Iterator.single(MediaVerdict(key._1, key._2, "admitted",
+              None, None))
+      }
+  }
+}

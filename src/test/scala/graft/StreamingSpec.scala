@@ -150,6 +150,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.release() }
   }
 
+  test("streaming media admission equals the batch incremental hamming " +
+      "verdicts on split replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Multimodal}
+    import org.apache.spark.sql.functions.col
+    // originals cover all three kinds (id % 3); re-crawls use +900 ids
+    // (divisible by 3, kind preserved): one exact payload dup, one
+    // single-byte perturbation, one unrelated
+    val originals = Seq(
+      (0L, "aaaa bbbb cccc dddd"), (1L, "hello world sample audio text"),
+      (2L, "video content words here"), (3L, "unrelated other text block"),
+      (4L, "another audio document"), (5L, "yet another video file"))
+      .map { case (i, t) => (i, t, "s", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    val recrawl = Seq(
+      (900L, "aaaa bbbb cccc dddd"),
+      (901L, "Hello world sample audio text"),
+      (902L, "completely different words entirely new"))
+      .map { case (i, t) => (i, t, "s", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    def sigs(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualHashes(spark, Multimodal.mediaTable(docs)).toDF()
+        .select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    val expected = Dedup.incrementalHammingDedup(
+        sigs(recrawl), sigs(originals), partitionCols = Seq("kind"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+        r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long])))
+      .toSet
+    // the fixture must exercise both verdicts or it proves nothing
+    assert(expected.exists(_._3 == "near_dup") &&
+      expected.exists(_._3 == "admitted"), expected)
+
+    val index = Dedup.buildHammingIndex(sigs(originals),
+      partitionCols = Seq("kind"))
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = graft.streaming.StreamingMediaDedup.verdicts(spark,
+        mem.toDF(), index)
+      .writeStream.format("memory").queryName("media_admission")
+      .outputMode("append").start()
+    try {
+      val rows = Multimodal.mediaTable(recrawl)
+        .as[Multimodal.MediaRow].collect().sortBy(_.doc_id)
+      mem.addData(rows.take(1).toSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(1).toSeq: _*); q.processAllAvailable()
+      val got = spark.table("media_admission").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+          r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally { q.stop(); index.release() }
+  }
+
   test("streaming near-dup verdicts stay continuous across a mid-stream " +
     "ledger index refresh") {
     implicit val sqlCtx = spark.sqlContext
