@@ -1893,9 +1893,17 @@ object SparkEntry {
   /** Banded-SRP near-dup. Hyperplanes are md5-derived literals and the
     * accept rule is exact integer arithmetic, so the oracle reproduces
     * band bucketing and verification exactly; recall additionally asserted
-    * in SimilaritySpec. */
+    * in SimilaritySpec. The banding geometry is PINNED
+    * (`planesPerBand = planesFor(500)` — what auto-sizing yields on the
+    * sf0.01 gate corpus) so the gate is sf-INVARIANT: the oracle bakes
+    * the plane literals, and an unpinned call would silently re-size at
+    * a larger sf and diverge (seen in the r10 sf0.1 selfcheck before the
+    * pin). Auto-sizing itself stays covered by SimilaritySpec. The pin
+    * cascades to embedding_clusters and q_hard_negatives, which build on
+    * this pair relation. */
   private def embeddingNeardupLsh(s: SparkSession, dir: String): DataFrame =
-    pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
+    pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64,
+        tauPct = 40, planesPerBand = pipeline.Similarity.planesFor(500L))
       .orderBy("vec_a", "vec_b")
 
   private val embeddingNeardupLshSql = {
@@ -1936,7 +1944,8 @@ object SparkEntry {
     * different edge relation (semantic near-dups instead of lexical). */
   private def embeddingClusters(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.resolveClusters(
-        pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64, tauPct = 40)
+        pipeline.Similarity.lshNearDup(Tables.embeddings(s, dir), dim = 64,
+        tauPct = 40, planesPerBand = pipeline.Similarity.planesFor(500L))
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
@@ -4295,7 +4304,8 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cands = pipeline.Ivf.searchTopK(emb,
       col("vec_id") % 50 === 0 && col("vec_id") < 2000)
-    val pos = pipeline.Similarity.lshNearDup(emb, dim = 64, tauPct = 40)
+    val pos = pipeline.Similarity.lshNearDup(emb, dim = 64, tauPct = 40,
+      planesPerBand = pipeline.Similarity.planesFor(500L))
     val sym = pos.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
       .union(pos.select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
     pipeline.Eval.hardNegatives(cands, sym, k = 3)
