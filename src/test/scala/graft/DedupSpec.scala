@@ -424,4 +424,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == (("near_dup", Some(12L), Some(0L))))
     assert(out(3L) == (("admitted", None, None)))
   }
+
+  test("incremental hamming admission equals the brute-force model on " +
+      "seeded random corpora (uncapped)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // ledger of 80 sigs; batch of 40: half perturbed ledger entries
+    // (0..6 bit flips), half fresh randoms
+    val ledger = (0 until 80).map(i => (i.toLong, rnd.nextLong()))
+    val batch = (0 until 40).map { i =>
+      val sig =
+        if (i % 2 == 0) {
+          val (_, s) = ledger(rnd.nextInt(ledger.size))
+          (0 until i % 7).foldLeft(s)((a, _) => a ^ (1L << rnd.nextInt(64)))
+        } else rnd.nextLong()
+      (1000L + i, sig)
+    }
+    val got = Dedup.incrementalHammingDedup(
+        batch.toDF("doc_id", "sig"), ledger.toDF("doc_id", "sig"),
+        maxBucket = 1000000)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long]))))
+      .toMap
+    val model = batch.map { case (id, sig) =>
+      val matches = ledger
+        .map { case (lid, ls) => (java.lang.Long.bitCount(sig ^ ls).toLong, lid) }
+        .filter(_._1 <= 3L)
+      id -> (if (matches.isEmpty) ("admitted", None, None)
+             else {
+               val (h, lid) = matches.min
+               ("near_dup", Some(lid), Some(h))
+             })
+    }.toMap
+    assert(got == model)
+    assert(model.values.count(_._1 == "near_dup") >= 10,
+      "fixture must plant enough in-distance matches to be meaningful")
+  }
 }
