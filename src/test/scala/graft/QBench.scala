@@ -35,6 +35,13 @@ object QBench {
                 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       (1 to 3).foreach { i =>
+        // Same per-run isolation as graft.Bench: drop caches persisted by
+        // the previous run. Without this, operators that persist() big
+        // intermediates re-persist a fresh copy each run and storage
+        // memory ratchets into eviction thrash — the 100x probe measured
+        // q_value_histogram_approx at 9/17/28 s across three runs from
+        // this alone (run1 was the honest number).
+        spark.catalog.clearCache()
         // listener events are delivered async: give the bus a beat to
         // drain before snapshotting, so spill attributes to the right run
         Thread.sleep(300)
