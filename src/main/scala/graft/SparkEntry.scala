@@ -3543,6 +3543,35 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** The PRODUCTION sketch configuration under an exact rank-contract
+    * gate (Quantiles.boundedQuantileCheck): quartiles + p90 of event
+    * values per type at a FIXED accuracy=1000 — the bounded-memory
+    * setting a 100 TB caller would actually use (the `_approx` gates'
+    * derived `accuracy > n` exactness pin inverts at scale: the 100x
+    * probe measured the pinned sketch SLOWER than the exact sort tier).
+    * The sketch's answer is not SQL-reproducible, but its GK guarantee
+    * is: the claimed value's exact corpus rank must fall within
+    * `n/accuracy + 1` of `ceil(p*n)`. The operator re-derives that rank
+    * with one broadcast-join counting pass, and the oracle pins
+    * `ok = true` with n/tol recomputed from the corpus — a sketch-merge
+    * regression flips `ok` and fails the hash, at ANY corpus size (no
+    * per-sf pin to maintain). */
+  private def qValueHistogramBounded(s: SparkSession, dir: String): DataFrame =
+    operators.Quantiles.boundedQuantileCheck(
+        eventsBase(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", Seq(0.25, 0.5, 0.75, 0.9),
+        accuracy = 1000)
+      .orderBy("event_type", "p_micros")
+
+  private val qValueHistogramBoundedSql =
+    s"""WITH g AS (SELECT event_type, COUNT(value) AS n FROM events
+       |    WHERE value IS NOT NULL GROUP BY 1),
+       |p AS (SELECT * FROM (VALUES (250000), (500000), (750000),
+       |    (900000)) AS t(p_micros))
+       |SELECT event_type, CAST(p_micros AS BIGINT) AS p_micros, n,
+       |  n // 1000 + 1 AS tol, TRUE AS ok
+       |FROM g CROSS JOIN p ORDER BY event_type, p_micros""".stripMargin
+
   /** Smallest power of two strictly above the max per-group non-null
     * count, floored at 2^22 — the `accuracy > n` GK-exactness pin for
     * the `_approx` gates, computed from the corpus so it holds at any
@@ -4841,6 +4870,7 @@ object SparkEntry {
     "q_value_outliers" -> (qValueOutliers _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_value_histogram_approx" -> (qValueHistogramApprox _),
+    "q_value_histogram_bounded" -> (qValueHistogramBounded _),
     "q_value_outliers_approx" -> (qValueOutliersApprox _),
     "q_constraints_orders" -> (qConstraintsOrders _),
     "q_skew_report" -> (qSkewReport _),
@@ -4982,6 +5012,7 @@ object SparkEntry {
     "q_value_outliers" -> qValueOutliersSql,
     "q_value_histogram" -> qValueHistogramSql,
     "q_value_histogram_approx" -> qValueHistogramSql,
+    "q_value_histogram_bounded" -> qValueHistogramBoundedSql,
     "q_value_outliers_approx" -> qValueOutliersSql,
     "q_constraints_orders" -> qConstraintsOrdersSql,
     "q_skew_report" -> qSkewReportSql,

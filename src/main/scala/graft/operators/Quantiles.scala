@@ -39,6 +39,74 @@ object Quantiles {
     agg.select(groupCols.map(col) ++ (col("n") +: qCols): _*)
   }
 
+  /** Production-path tolerance gate for BOUNDED-accuracy sketches.
+    *
+    * The `accuracy > n` exactness pin used by the `_approx` oracle gates
+    * is a correctness device, not the production configuration — at 100x
+    * it makes the sketch retain every sample and the "approx" tier
+    * slower than the exact one (PLANS.md round-10 100x probe). The
+    * production path is a FIXED small accuracy, whose answer is not
+    * SQL-reproducible — but its rank CONTRACT is checkable exactly: GK
+    * guarantees the returned value's rank is within `eps * n` of the
+    * target rank (`eps = 1/accuracy`, Greenwald & Khanna SIGMOD 2001).
+    *
+    * This operator runs the bounded sketch, then VERIFIES the contract
+    * against the corpus: one broadcast join of the (groups x ps)-sized
+    * claims relation back onto the fact table and a single counting
+    * aggregate recover each claimed value's exact rank interval
+    * `[below+1, at_or_below]`; the claim passes iff that interval
+    * intersects `[t - tol, t + tol]` for target rank `t = ceil(p * n)`
+    * and `tol = n div accuracy + 1` (the +1 absorbs the rank-convention
+    * rounding at either end). Output per (group, p): `n, tol, ok` — all
+    * BIGINT/boolean, so the gate's oracle can re-derive n and tol from
+    * the corpus and pin `ok = true`; a sketch-merge bug surfaces as a
+    * flipped `ok`, not a hash-drifting DOUBLE.
+    *
+    * Scale shape: the sketch pass is the map-side-merge aggregate
+    * (bounded O(accuracy) state), the verification pass is one broadcast
+    * join + one combine-heavy aggregate over the fact table — two linear
+    * passes, no sort, no wide shuffle beyond the group aggregates. */
+  def boundedQuantileCheck(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, ps: Seq[Double],
+                           accuracy: Int): DataFrame = {
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"percentiles in (0,1]: $ps")
+    val base = df.where(col(valueCol).isNotNull)
+    val q = approxQuantiles(base, groupCols, valueCol, ps, accuracy)
+    // unpivot the claims: one row per (group, p_micros, claimed)
+    val pStructs = ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(math.round(p * 1000000)).as("p_micros"),
+        col(s"q_$i").as("claimed"))
+    }
+    val claims = q.select(
+      groupCols.map(col) :+ explode(array(pStructs: _*)).as("c"): _*)
+      .select(groupCols.map(col) ++ Seq(col("c.p_micros"),
+        col("c.claimed")): _*)
+    rankContractCheck(base, claims, groupCols, valueCol, accuracy)
+  }
+
+  /** The verification half of [[boundedQuantileCheck]], factored so a
+    * poisoned claims relation can prove the gate FAILS (QuantilesSpec):
+    * given `claims(groupCols*, p_micros, claimed)`, recover each claimed
+    * value's exact rank interval from `base` and test the GK contract.
+    * `n` is re-counted here from `base` (never trusted from the sketch
+    * side), so a sketch that miscounts is caught too. */
+  def rankContractCheck(base: DataFrame, claims: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        accuracy: Int): DataFrame = {
+    // exact rank interval of each claimed value: one counting pass
+    val ranked = base.join(broadcast(claims), groupCols)
+      .groupBy((groupCols.map(col) :+ col("p_micros")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("claimed"), 1L).otherwise(0L)).as("below"),
+        sum(when(col(valueCol) <= col("claimed"), 1L).otherwise(0L)).as("at_or_below"))
+    val t = expr("(p_micros * n + 999999) div 1000000")
+    val tol = expr(s"n div ${accuracy.toLong} + 1")
+    ranked.select(
+      groupCols.map(col) ++ Seq(col("p_micros"), col("n"), tol.as("tol"),
+        ((col("below") + 1L <= t + tol) && (col("at_or_below") >= t - tol))
+          .as("ok")): _*)
+  }
+
   /** Tukey IQR upper fences per group from sketched quartiles:
     * `groupCols*, hi` with `hi = q3 + 1.5 * (q3 - q1)` — the same IEEE
     * expression, in the same order, as the exact-fence queries, so equal

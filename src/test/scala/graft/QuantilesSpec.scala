@@ -74,6 +74,37 @@ class QuantilesSpec extends AnyFunSuite {
     assert(approx.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
   }
 
+  test("bounded-accuracy sketch satisfies the GK rank contract (accuracy=200)") {
+    val df = fixture.cache()
+    val out = Quantiles.boundedQuantileCheck(df, Seq("g"), "v",
+        Seq(0.25, 0.5, 0.75, 0.9), accuracy = 200)
+      .orderBy("g", "p_micros").collect()
+    assert(out.length == 8) // 2 groups x 4 percentiles
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == 30000L)
+      assert(r.getAs[Long]("tol") == 151L) // 30000 div 200 + 1
+      assert(r.getAs[Boolean]("ok"),
+        s"contract broken at ${r.getAs[String]("g")}/${r.getAs[Long]("p_micros")}")
+    }
+    df.unpersist()
+  }
+
+  test("rankContractCheck flips ok on an out-of-tolerance claim") {
+    val df = fixture.cache()
+    // poisoned median claim for group a: a value above the entire corpus;
+    // honest median claim for group b (true rank-15000 value)
+    val trueMedianB = df.where(col("g") === "b")
+      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy(col("v"), col("row_id"))))
+      .where(col("rk") === 15000).select("v").as[Double].head()
+    val claims = Seq(("a", 500000L, 999999.0), ("b", 500000L, trueMedianB))
+      .toDF("g", "p_micros", "claimed")
+    val out = Quantiles.rankContractCheck(df, claims, Seq("g"), "v", accuracy = 200)
+      .orderBy("g").collect()
+    assert(!out(0).getAs[Boolean]("ok"), "poisoned claim must fail the gate")
+    assert(out(1).getAs[Boolean]("ok"), "true rank statistic must pass")
+    df.unpersist()
+  }
+
   test("plan shape: sketch aggregate, no window sort, broadcast fence join") {
     val plan = Quantiles.iqrOutliers(fixture, Seq("g"), "v", accuracy = 4096)
       .queryExecution.executedPlan.toString
