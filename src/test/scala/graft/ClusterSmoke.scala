@@ -93,7 +93,12 @@ object ClusterSmoke {
     "q_value_histogram",
     // round-10: typed-Dataset codec decode + banded hamming pairing in
     // worker JVMs (the perceptual-hash media near-dup path)
-    "multimodal_phash_pairs")
+    "multimodal_phash_pairs",
+    // bounded-accuracy GK sketch: ApproximatePercentile partial buffers
+    // serialize executor->executor for the merge (local[N] never
+    // exercises that path), then the broadcast claims join runs the
+    // counting pass in worker JVMs
+    "q_value_histogram_bounded")
 
   /** Canonical row-set form: every cell rendered to a stable string
     * (binary cells by content), rows sorted — order-insensitive equality,
