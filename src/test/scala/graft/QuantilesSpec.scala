@@ -105,6 +105,22 @@ class QuantilesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("rank contract holds across seeded corpora, accuracies, and tie density") {
+    // tie-heavy distributions are the GK edge: many equal values make the
+    // claimed value's rank an INTERVAL, which is exactly what the check's
+    // [below+1, at_or_below] arithmetic must handle
+    for (seed <- 1 to 5; accuracy <- Seq(50, 500)) {
+      val mod = Seq(7, 997, 13, 31, 211)(seed - 1) // tie density per seed
+      val df = spark.range(0, 2000L + 1200L * seed).selectExpr(
+        s"CAST(id % ${1 + seed} AS STRING) AS g",
+        s"CAST((1103515245 * (id + $seed) + 12345) % $mod AS DOUBLE) AS v")
+      val bad = Quantiles.boundedQuantileCheck(df, Seq("g"), "v",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0), accuracy)
+        .where(!col("ok")).count()
+      assert(bad == 0L, s"seed=$seed accuracy=$accuracy mod=$mod: $bad broken claims")
+    }
+  }
+
   test("plan shape: sketch aggregate, no window sort, broadcast fence join") {
     val plan = Quantiles.iqrOutliers(fixture, Seq("g"), "v", accuracy = 4096)
       .queryExecution.executedPlan.toString
