@@ -3586,7 +3586,8 @@ object SparkEntry {
     require(maxN < (1L << 30),
       s"GK exactness pin: max per-group n=$maxN needs accuracy > n " +
         "beyond 2^30 — the exact-agreement gate no longer applies; " +
-        "use a bounded accuracy and a tolerance-based check instead")
+        "use Quantiles.boundedQuantileCheck (the q_value_histogram_bounded " +
+        "production-path gate) instead")
     math.max(1 << 22, java.lang.Long.highestOneBit(maxN) << 1).toInt
   }
 
