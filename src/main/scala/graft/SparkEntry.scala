@@ -3462,6 +3462,78 @@ object SparkEntry {
        |  OR v1.text IS DISTINCT FROM v2.text OR v1.lang IS DISTINCT FROM v2.lang)
        |ORDER BY doc_id""".stripMargin
 
+  /** CDC apply (operators.Upsert): fold a versioned upsert/delete change
+    * batch into the customer snapshot, last-writer-wins per key. The
+    * batch is derived arithmetically from the corpus so the oracle can
+    * replay it: v1 upserts every %5 key (payload mutation), a v2
+    * takedown deletes every %7 key, a v3 re-upsert resurrects every %35
+    * key (proving LWW beats the delete, not branch order), and %97 keys
+    * insert under fresh ids. Account balances travel as BIGINT micros so
+    * no DOUBLE crosses the compare boundary. */
+  private def qApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      expr("CAST(floor(c_acctbal * 1000000.0) AS BIGINT)").as("acct_micros"),
+      col("c_mktsegment"))
+    val payload = Seq("c_name", "c_nationkey", "acct_micros", "c_mktsegment")
+    val up1 = c.where(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), concat(lit("u1:"), col("c_name")).as("c_name"),
+        col("c_nationkey"), (col("acct_micros") + 1111111L).as("acct_micros"),
+        col("c_mktsegment"), lit("upsert").as("op"), lit(1L).as("v"))
+    val del2 = c.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("long").as("acct_micros"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit("delete").as("op"), lit(2L).as("v"))
+    val up3 = c.where(col("c_custkey") % 35 === 0)
+      .select(col("c_custkey"), concat(lit("u3:"), col("c_name")).as("c_name"),
+        col("c_nationkey"), (col("acct_micros") + 5L).as("acct_micros"),
+        col("c_mktsegment"), lit("upsert").as("op"), lit(3L).as("v"))
+    val ins = c.where(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("new:"), col("c_name")).as("c_name"),
+        col("c_nationkey"), lit(42000000L).as("acct_micros"),
+        col("c_mktsegment"), lit("upsert").as("op"), lit(1L).as("v"))
+    val changes = up1.unionByName(del2).unionByName(up3).unionByName(ins)
+    operators.Upsert.applyChanges(c, changes, Seq("c_custkey"), payload,
+        opCol = "op", versionCol = "v")
+      .orderBy("c_custkey")
+  }
+
+  private val qApplyChangesSql =
+    s"""WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+       |    CAST(floor(c_acctbal * 1000000.0) AS BIGINT) AS acct_micros,
+       |    c_mktsegment FROM customer),
+       |ch AS (
+       |  SELECT c_custkey, 'u1:' || c_name AS c_name, c_nationkey,
+       |    acct_micros + 1111111 AS acct_micros, c_mktsegment,
+       |    'upsert' AS op, 1 AS v FROM c WHERE c_custkey % 5 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, NULL, NULL, NULL, NULL, 'delete', 2
+       |  FROM c WHERE c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, 'u3:' || c_name, c_nationkey, acct_micros + 5,
+       |    c_mktsegment, 'upsert', 3 FROM c WHERE c_custkey % 35 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 10000000, 'new:' || c_name, c_nationkey,
+       |    42000000, c_mktsegment, 'upsert', 1
+       |  FROM c WHERE c_custkey % 97 = 0),
+       |w AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
+       |    PARTITION BY c_custkey ORDER BY v DESC) AS rk FROM ch)
+       |  WHERE rk = 1)
+       |SELECT COALESCE(c.c_custkey, w.c_custkey) AS c_custkey,
+       |  CASE WHEN w.op = 'upsert' THEN w.c_name ELSE c.c_name END AS c_name,
+       |  CASE WHEN w.op = 'upsert' THEN w.c_nationkey
+       |       ELSE c.c_nationkey END AS c_nationkey,
+       |  CASE WHEN w.op = 'upsert' THEN w.acct_micros
+       |       ELSE c.acct_micros END AS acct_micros,
+       |  CASE WHEN w.op = 'upsert' THEN w.c_mktsegment
+       |       ELSE c.c_mktsegment END AS c_mktsegment
+       |FROM c FULL OUTER JOIN w ON c.c_custkey = w.c_custkey
+       |WHERE w.op IS NULL OR w.op <> 'delete'
+       |ORDER BY c_custkey""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences:
     * consecutive (from, to) pairs by event_id order, counts and exact
     * integer-micros conditional probabilities. One window shuffle. */
@@ -4867,6 +4939,7 @@ object SparkEntry {
     "q_fuzzy_part_names" -> (qFuzzyPartNames _),
     "q_retention" -> (qRetention _),
     "q_table_diff" -> (qTableDiff _),
+    "q_apply_changes" -> (qApplyChanges _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
     "q_value_histogram" -> (qValueHistogram _),
@@ -5009,6 +5082,7 @@ object SparkEntry {
     "q_fuzzy_part_names" -> qFuzzyPartNamesSql,
     "q_retention" -> qRetentionSql,
     "q_table_diff" -> qTableDiffSql,
+    "q_apply_changes" -> qApplyChangesSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
     "q_value_histogram" -> qValueHistogramSql,
