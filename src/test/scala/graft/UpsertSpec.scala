@@ -73,6 +73,30 @@ class UpsertSpec extends AnyFunSuite {
     assert(once == model.toMap)
   }
 
+  test("bucketed base folds without shuffling the snapshot side") {
+    import graft.sources.Bucketed
+    val dir = "/tmp/graft_test_upsert_bucketed"
+    val base = snap((1L to 1000L).map(k => (k, s"n$k", k * 10)): _*)
+    Bucketed.writeBucketed(spark, base, "ups_base", dir, "k", 4)
+    val ch = batch((1L to 200L).map(k =>
+      if (k % 3 == 0) (k, "x", 0L, "delete", k)
+      else (k, s"u$k", k * 100, "upsert", k)): _*)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val bucketed = apply1(spark.table("ups_base"), ch)
+      val plain = apply1(base, ch)
+      // the delta side still shuffles (winner window + join alignment);
+      // the snapshot side must ride its stored bucketing
+      assert(exchanges(bucketed) < exchanges(plain),
+        "bucketed base must remove the snapshot-side exchange")
+      assert(asMap(bucketed) == asMap(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan shape: the window runs over the delta only; one full-outer fold") {
     val base = snap((1L, "a", 10L))
     val ch = batch((1L, "a1", 11L, "upsert", 1L))
