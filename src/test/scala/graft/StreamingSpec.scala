@@ -864,4 +864,41 @@ class StreamingSpec extends AnyFunSuite {
         .exists(_.getLong(0) == 1L))
     } finally q.stop()
   }
+
+  test("streaming snapshot maintenance converges to the batch CDC fold " +
+      "under out-of-order cross-batch arrival") {
+    import graft.streaming.StreamingUpsert
+    import graft.streaming.StreamingUpsert.{Change, Update}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    // 300 changes over 80 keys, globally unique versions, ~1/4 deletes
+    val log = (0 until 300).map { v =>
+      val k = rnd.nextInt(80).toLong
+      if (rnd.nextInt(4) == 0) Change(k, v.toLong, "delete", "")
+      else Change(k, v.toLong, "upsert", s"p$v")
+    }
+    // arrival order decoupled from version order, split across 3 batches
+    val arrival = rnd.shuffle(log)
+    val mem = MemoryStream[Change]
+    val q = StreamingUpsert.maintain(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ups_stream")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(100).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      // materialize: per key, the highest-version changelog row
+      val got = spark.table("ups_stream").as[Update].collect()
+        .groupBy(_.k).map { case (k, us) => us.maxBy(_.v) }
+        .filter(_.present).map(u => u.k -> u.payload).toMap
+      val base = spark.emptyDataset[(Long, String)].toDF("k", "payload")
+      val expected = graft.operators.Upsert.applyChanges(
+          base, log.toDF("k", "v", "op", "payload"),
+          Seq("k"), Seq("payload"), "op", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected)
+      assert(expected.nonEmpty && expected.size < 80,
+        "fixture must exercise both surviving and deleted keys")
+    } finally q.stop()
+  }
 }
