@@ -2215,7 +2215,7 @@ object SparkEntry {
     * pairs; the perturbed re-crawls surface at small positive
     * distances. The oracle replays hash, bands, bucket cap, and
     * verification. */
-  private def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame =
+  private def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.bandedHammingPairs(
         pipeline.Multimodal.perceptualHashes(s,
             pipeline.Multimodal.mediaTable(
@@ -2224,7 +2224,21 @@ object SparkEntry {
           .select(col("kind"), col("doc_id"), col("phash").as("sig")),
         maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
         partitionCols = Seq("kind"))
-      .orderBy("kind", "doc_a", "doc_b")
+
+  private def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame =
+    mediaPhashPairs(s, dir).orderBy("kind", "doc_a", "doc_b")
+
+  /** Perceptual-duplicate GROUPS: connected components over the banded
+    * hamming pairs (Dedup.resolveClusters — the same pointer-jumping CC
+    * the text and embedding tiers use), resolving chains like
+    * original -> exact re-crawl -> perturbed re-crawl into one cluster
+    * per perceptual identity. Media kinds never pair across kind, so
+    * components stay kind-homogeneous without carrying the column. The
+    * oracle walks the same pair relation with a recursive CTE. */
+  private def multimodalPhashClusters(s: SparkSession, dir: String): DataFrame =
+    pipeline.Dedup.resolveClusters(
+        mediaPhashPairs(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
 
   /** Incremental perceptual admission: the re-crawled media (the
     * +3e9-id copies of [[mediaRecrawl]]) checked against the ORIGINAL
@@ -2322,6 +2336,16 @@ object SparkEntry {
        |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
        |ORDER BY kind, doc_a, doc_b""".stripMargin
+
+  private val multimodalPhashClustersSql =
+    s"""WITH RECURSIVE pairs AS ($multimodalPhashPairsSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ===================================================================
   // Corpus curation: PII, quality rules, boilerplate blocks, packing,
@@ -4901,6 +4925,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
+    "multimodal_phash_clusters" -> (multimodalPhashClusters _),
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
@@ -5044,6 +5069,7 @@ object SparkEntry {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
+    "multimodal_phash_clusters" -> multimodalPhashClustersSql,
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
