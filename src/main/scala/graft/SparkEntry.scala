@@ -2337,6 +2337,41 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
        |ORDER BY kind, doc_a, doc_b""".stripMargin
 
+  /** The end-to-end media-dedup verdict (the media twin of
+    * dedup_keep_canonical): the crawled media corpus with every
+    * non-canonical perceptual-cluster member dropped — keep the smallest
+    * doc_id per perceptual identity. One anti-join against the (small)
+    * dropped set; the corpus side never shuffles. */
+  private def multimodalKeepCanonical(s: SparkSession, dir: String): DataFrame = {
+    val media = pipeline.Multimodal.mediaTable(
+        mediaRecrawl(Tables.documents(s, dir)))
+      .select("doc_id", "kind")
+    val dropped = pipeline.Dedup.resolveClusters(
+        mediaPhashPairs(s, dir).select("doc_a", "doc_b"))
+      .where(col("doc_id") =!= col("cluster_id"))
+    media.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  private val multimodalKeepCanonicalSql =
+    s"""WITH RECURSIVE pairs AS ($multimodalPhashPairsSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |dropped AS (SELECT u AS doc_id FROM reach GROUP BY u
+       |            HAVING LEAST(u, MIN(v)) <> u),
+       |docs_rc2 AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000000 FROM documents WHERE doc_id % 37 = 0)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+       |FROM docs_rc2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+
   private val multimodalPhashClustersSql =
     s"""WITH RECURSIVE pairs AS ($multimodalPhashPairsSql),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -4926,6 +4961,7 @@ object SparkEntry {
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_phash_clusters" -> (multimodalPhashClusters _),
+    "multimodal_keep_canonical" -> (multimodalKeepCanonical _),
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
@@ -5070,6 +5106,7 @@ object SparkEntry {
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_phash_clusters" -> multimodalPhashClustersSql,
+    "multimodal_keep_canonical" -> multimodalKeepCanonicalSql,
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
