@@ -3593,6 +3593,42 @@ object SparkEntry {
        |WHERE w.op IS NULL OR w.op <> 'delete'
        |ORDER BY c_custkey""".stripMargin
 
+  /** The apply-able delta between the q_table_diff snapshots
+    * (Diff.changeSet): added/changed docs as upserts carrying the NEW
+    * payload, removed docs as tombstones — the batch a downstream
+    * Upsert.applyChanges consumer replays (the closure
+    * `apply(v1, changeSet(v1,v2)) == v2` is UpsertSpec-pinned; this gate
+    * hashes the exported rows themselves). */
+  private def qChangeSet(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val v2 = v1
+      .where(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 61 === 0, upper(col("text"))).otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"), col("lang")))
+    operators.Diff.changeSet(v1, v2, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  private val qChangeSetSql =
+    s"""WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 61 = 0 THEN upper(text) ELSE text END AS text,
+       |    lang
+       |  FROM v1 WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text, lang FROM v1 WHERE doc_id % 103 = 0)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |  CASE WHEN v2.doc_id IS NOT NULL THEN v2.text END AS text,
+       |  CASE WHEN v2.doc_id IS NOT NULL THEN v2.lang END AS lang,
+       |  CASE WHEN v2.doc_id IS NULL THEN 'delete' ELSE 'upsert' END AS op,
+       |  CAST(1 AS BIGINT) AS v
+       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+       |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL
+       |  OR v1.text IS DISTINCT FROM v2.text OR v1.lang IS DISTINCT FROM v2.lang)
+       |ORDER BY doc_id""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences:
     * consecutive (from, to) pairs by event_id order, counts and exact
     * integer-micros conditional probabilities. One window shuffle. */
@@ -5001,6 +5037,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_table_diff" -> (qTableDiff _),
     "q_apply_changes" -> (qApplyChanges _),
+    "q_change_set" -> (qChangeSet _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_value_outliers" -> (qValueOutliers _),
     "q_value_histogram" -> (qValueHistogram _),
@@ -5146,6 +5183,7 @@ object SparkEntry {
     "q_retention" -> qRetentionSql,
     "q_table_diff" -> qTableDiffSql,
     "q_apply_changes" -> qApplyChangesSql,
+    "q_change_set" -> qChangeSetSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_value_outliers" -> qValueOutliersSql,
     "q_value_histogram" -> qValueHistogramSql,

@@ -41,4 +41,45 @@ object Diff {
       .where(col("change").isNotNull)
       .select((keyCols.map(col) :+ col("change")): _*)
   }
+
+  /** Export the APPLY-ABLE change batch that transforms `oldDf` into
+    * `newDf`: added/changed keys become `upsert` rows carrying the NEW
+    * payload, removed keys become `delete` tombstones (payload null) —
+    * the batch [[Upsert.applyChanges]] consumes, so the algebra closes:
+    *
+    *   `Upsert.applyChanges(v1, changeSet(v1, v2), ...) == v2`
+    *
+    * (spec-pinned in UpsertSpec for random snapshots). This is how a
+    * pipeline ships a snapshot delta instead of the snapshot: compute
+    * once, apply everywhere. Same single full-outer join as [[diff]];
+    * every change row carries the constant `version` so a later batch
+    * with a higher version supersedes it under LWW.
+    *
+    * @return `keyCols..., payloadCols..., op, v` — payload columns are
+    *         the non-key columns present in BOTH sides, null on deletes
+    */
+  def changeSet(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                version: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty)
+    require(keyCols.forall(oldDf.columns.contains) &&
+      keyCols.forall(newDf.columns.contains),
+      s"key columns $keyCols must exist on both sides")
+    val payload = oldDf.columns.filterNot(keyCols.contains)
+      .filter(newDf.columns.contains).toSeq
+
+    val o = oldDf.select((keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__po") :+ lit(true).as("__ino")): _*)
+    val n = newDf.select((keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__pn") :+ lit(true).as("__inn")): _*)
+
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__inn").isNull, lit("delete"))
+          .when(col("__ino").isNull || !(col("__po") <=> col("__pn")),
+            lit("upsert")))
+      .where(col("op").isNotNull)
+      .select(keyCols.map(col) ++
+        payload.map(c => when(col("op") === "upsert", col(s"__pn.$c")).as(c)) ++
+        Seq(col("op"), lit(version).as("v")): _*)
+  }
 }

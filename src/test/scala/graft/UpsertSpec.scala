@@ -97,6 +97,26 @@ class UpsertSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("algebra closes: applyChanges(v1, changeSet(v1, v2)) == v2") {
+    import graft.operators.Diff
+    val rnd = new scala.util.Random(3)
+    val v1 = snap((0L until 300L).map(k => (k, s"n$k", k)): _*)
+    // v2: ~1/5 of keys dropped, ~1/4 mutated, 60 fresh keys appended
+    val v2 = snap(((0L until 300L).flatMap { k =>
+      if (rnd.nextInt(5) == 0) None
+      else if (rnd.nextInt(4) == 0) Some((k, s"m$k", k + 1000))
+      else Some((k, s"n$k", k))
+    } ++ (1000L until 1060L).map(k => (k, s"f$k", k))): _*)
+    val ch = Diff.changeSet(v1, v2, Seq("k"))
+    val rebuilt = Upsert.applyChanges(v1, ch, Seq("k"), Seq("name", "bal"), "op", "v")
+    assert(asMap(rebuilt) == asMap(v2))
+    // a change set between identical snapshots is empty (no-op delta)
+    assert(Diff.changeSet(v2, v2, Seq("k")).isEmpty)
+    // and the delta is minimal: one row per differing key, no unchanged keys
+    val labels = Diff.diff(v1, v2, Seq("k")).count()
+    assert(ch.count() == labels)
+  }
+
   test("plan shape: the window runs over the delta only; one full-outer fold") {
     val base = snap((1L, "a", 10L))
     val ch = batch((1L, "a1", 11L, "upsert", 1L))
