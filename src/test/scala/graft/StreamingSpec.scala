@@ -147,8 +147,19 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("neardup_stream").collect().map(key).toSet
       assert(got == expected)
       assert(got.map(_._1) == Set(101L, 102L, 103L, 104L))
+      // the "stateless per document" claim, measured: the state store
+      // holds ZERO rows after both batches (the group completes in-batch)
+      assert(lastStateRows(q).contains(0L),
+        s"stateless admission must store no state rows: ${lastStateRows(q)}")
     } finally { q.stop(); index.release() }
   }
+
+  /** Total state-store rows as of the latest progress that reports a
+    * state operator (no-data batches report none). */
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[Long] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .lastOption
 
   test("streaming media admission equals the batch incremental hamming " +
       "verdicts on split replay") {
@@ -899,6 +910,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected)
       assert(expected.nonEmpty && expected.size < 80,
         "fixture must exercise both surviving and deleted keys")
+      // state bound, measured: exactly one winner row per key ever
+      // touched (tombstoned keys keep their winner so late lower
+      // versions stay suppressed — state tracks the keyspace, not the
+      // stream: 300 changes, <= 80 state rows)
+      val touched = log.map(_.k).distinct.size.toLong
+      assert(lastStateRows(q).contains(touched),
+        s"state must hold one winner per touched key ($touched): " +
+          s"${lastStateRows(q)}")
     } finally q.stop()
   }
 }
