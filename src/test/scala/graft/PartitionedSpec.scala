@@ -46,6 +46,51 @@ class PartitionedSpec extends AnyFunSuite {
     assert(numFiles.contains(bFiles.toLong), s"numFiles=$numFiles, want $bFiles of $total")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the fact scan " +
+      "at runtime") {
+    written
+    // the pruning value is only knowable AFTER the dim filter runs — the
+    // static-pruning tests above can't cover this; at 100 TB it's what
+    // keeps a star-join from scanning every date partition
+    // Range-backed dim: a Seq-based local relation would have its filter
+    // constant-folded away (ConvertToLocalRelation), and the pruning rule
+    // requires a LIVE selective predicate on the filtering side
+    val dim = spark.range(0, 3).selectExpr(
+      "CASE id WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS kind",
+      "CASE WHEN id = 0 THEN 'keep' ELSE 'drop' END AS grp")
+    // the benefit heuristic sizes the fixture's 3-file scan below the DPP
+    // overhead; force the fallback ratio so the RULE's behavior (not the
+    // cost model's verdict on a toy table) is what's under test
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = Partitioned.read(spark, dir)
+        .join(broadcast(dim).where(col("grp") === "keep"), "kind")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"fact scan must carry a runtime partition filter:\n$plan")
+      assert(q.collect().length == 1000) // (i*7)%3==0 for a third of ids
+      val aFiles = new java.io.File(s"$dir/kind=a").listFiles
+        .count(_.getName.startsWith("part-"))
+      // the join plans under AQE: query stages are leaf wrappers, so the
+      // scan needs a recursive descent through stage boundaries
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case o => o.children.flatMap(scans)
+      }
+      val numFiles = scans(q.queryExecution.executedPlan)
+        .headOption.map(_.metrics("numFiles").value)
+      assert(numFiles.contains(aFiles.toLong),
+        s"runtime-pruned scan must open only kind=a's files: $numFiles")
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+  }
+
   test("pruned read equals the filtered full read") {
     written
     val pruned = Partitioned.read(spark, dir).where(col("kind") === "b")
