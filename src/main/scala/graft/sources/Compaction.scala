@@ -79,7 +79,8 @@ object Compaction {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val jobs = bins.toSeq.sortBy(_._1).map { case (bin, files) =>
       scala.concurrent.Future {
-        spark.read.schema(schema).parquet(files: _*)
+        spark.read.schema(schema)
+          .parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(files): _*)
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$outPath/bin=$bin")
       }

@@ -70,14 +70,14 @@ object StreamingDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) {
             state.setTimeoutTimestamp(
-              math.max(state.get, state.getCurrentWatermarkMs + 1))
+              math.max(state.get, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           } else {
             val first = batch.minBy(_.doc_id)
             // expire at first-seen + ttl (clamped above the current
             // watermark, which Spark requires of timeout timestamps)
             val expiry = math.max(first.ts.getTime + ttlMs,
-              state.getCurrentWatermarkMs + 1)
+              state.getCurrentWatermarkMs() + 1)
             state.update(expiry)
             state.setTimeoutTimestamp(expiry)
             Iterator.single(Doc(first.doc_id, fp))

@@ -140,7 +140,7 @@ object StreamingNearDup {
               i += 1
             }
             val keys = Array.tabulate(bands)(b =>
-              b + ":" + mins.slice(b * r, b * r + r).mkString("_"))
+              s"$b:${mins.slice(b * r, b * r + r).mkString("_")}")
             (id, hs, keys)
           }
         }

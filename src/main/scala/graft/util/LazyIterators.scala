@@ -31,7 +31,7 @@ object LazyIterators {
     * collapse. Exhausted inputs drop out. */
   def mergeDedup[T](inputs: Seq[Iterator[T]])(implicit ord: Ordering[T]): Iterator[T] =
     new Iterator[T] {
-      private val heads = scala.collection.mutable.ArrayBuffer.empty[BufferedIterator[T]]
+      private val heads = scala.collection.mutable.ArrayBuffer.empty[scala.collection.BufferedIterator[T]]
       inputs.foreach { it => val b = it.buffered; if (b.hasNext) heads += b }
       override def hasNext: Boolean = heads.nonEmpty
       override def next(): T = {
