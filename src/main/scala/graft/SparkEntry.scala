@@ -3521,6 +3521,50 @@ object SparkEntry {
        |  OR v1.text IS DISTINCT FROM v2.text OR v1.lang IS DISTINCT FROM v2.lang)
        |ORDER BY doc_id""".stripMargin
 
+  /** Malformed-JSONL quarantine (sources.Quarantine): JSONL lines are
+    * constructed arithmetically from the documents table — every %13
+    * line truncated mid-string (syntactically invalid), every other %17
+    * line valid but missing `lang` (schema drift) — then split by the
+    * real `from_json` parser. The oracle re-derives every verdict and
+    * every parsed field from the construction rule WITHOUT parsing JSON,
+    * so the gate pins that the parser's accept/reject boundary and field
+    * extraction match the rule exactly (a PERMISSIVE-mode regression —
+    * e.g. the null-struct-vs-null-fields trap — flips statuses and fails
+    * the hash). `parsed_id` doubles as an integrity check: it must equal
+    * the carried doc_id on every parsed row. */
+  private def qJsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), col("lang")))
+      .when(col("doc_id") % 17 === 0,
+        concat(lit("{\"id\": "), col("doc_id").cast("string"), lit("}")))
+      .otherwise(
+        concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), col("lang"), lit("\"}")))
+      .as("line"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    sources.Quarantine.split(lines, "line", schema)
+      .select(col("doc_id"),
+        when(col("quarantined"), "quarantined").otherwise("parsed").as("status"),
+        col("parsed.id").as("parsed_id"),
+        col("parsed.lang").as("parsed_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val qJsonQuarantineSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 13 = 0 THEN 'quarantined'
+       |       ELSE 'parsed' END AS status,
+       |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS parsed_id,
+       |  CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+       |       ELSE lang END AS parsed_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** CDC apply (operators.Upsert): fold a versioned upsert/delete change
     * batch into the customer snapshot, last-writer-wins per key. The
     * batch is derived arithmetically from the corpus so the oracle can
@@ -5001,6 +5045,7 @@ object SparkEntry {
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
+    "q_json_quarantine" -> (qJsonQuarantine _),
     "dedup_blocks" -> (dedupBlocks _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -5147,6 +5192,7 @@ object SparkEntry {
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
+    "q_json_quarantine" -> qJsonQuarantineSql,
     "dedup_blocks" -> dedupBlocksSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_pack_sequences" -> qPackSequencesSql,
