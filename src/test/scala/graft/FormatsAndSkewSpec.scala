@@ -26,6 +26,28 @@ class FormatsAndSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: old and new parquet files merge; absent columns " +
+      "read as null") {
+    // a long-lived 100 TB table accretes columns over its lifetime; old
+    // files must keep reading after the schema grows, with the added
+    // column null — no rewrite of historical data
+    val dir = "/tmp/graft_fmt_evolution"
+    (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    (6L to 8L).map(i => (i, s"v$i", i * 10)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "name", "score"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("score")))).toMap
+    assert(rows.size == 8)
+    (1L to 5L).foreach(i => assert(rows(i).isEmpty, s"old row $i"))
+    (6L to 8L).foreach(i => assert(rows(i).contains(i * 10), s"new row $i"))
+    // and the evolved column still admits pushdown on the new files
+    val q = merged.where(col("score") > 60)
+    assert(q.collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = spark.range(0, 20000)
