@@ -4009,11 +4009,13 @@ object SparkEntry {
   private def qPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"/tmp/graft_partitioned_${new java.io.File(dir).getName}"
-    sources.Partitioned.write(
-      Tables.events(s, dir).select("event_id", "ts", "user_id", "value",
-        "event_type"),
-      path, Seq("event_type"))
-    sources.Partitioned.read(s, path)
+    val src = Tables.events(s, dir).select("event_id", "ts", "user_id",
+      "value", "event_type")
+    sources.Partitioned.write(src, path, Seq("event_type"))
+    // declared schema (the metastore convention): an empty corpus writes
+    // no partition dirs, so inference would fail exactly on the empty-day
+    // re-run
+    sources.Partitioned.read(s, path, src.schema)
       .where(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"), msum(col("value")).as("sum_value_micros"))

@@ -85,8 +85,14 @@ object Spectral {
     val spark = embs.sparkSession
     import spark.implicits._
     val d = dims
-    val m = Array.ofDim[BigInt](d, d)
-    momentMatrix(embs, d).collect().foreach { r =>
+    val m = Array.fill[BigInt](d, d)(BigInt(0))
+    val cells = momentMatrix(embs, d).collect()
+    // empty corpus: no moment rows -> no direction to extract; a defined
+    // empty relation (not an NPE from null Gram cells) so compositions
+    // over a filtered-to-nothing corpus degrade instead of crashing
+    if (cells.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("dim", "component_micros")
+    cells.foreach { r =>
       m(r.getInt(0))(r.getInt(1)) =
         BigInt(r.getDecimal(2).toBigInteger)
     }

@@ -19,4 +19,14 @@ object Partitioned {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Read with a DECLARED schema — the metastore convention. An empty
+    * partitioned table has NO schema on disk (a zero-row `partitionBy`
+    * write materializes no partition directories at all), so schema
+    * inference fails exactly when a pipeline re-runs over an empty day;
+    * production catalogs solve this by owning the schema, and so does
+    * this overload: zero files read as a defined empty relation. */
+  def read(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }

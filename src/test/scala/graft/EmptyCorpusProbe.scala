@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: registry-wide empty-corpus robustness. Zero-row inputs are
+  * the canonical production edge — a fresh table, a partition that
+  * filtered to nothing, a backfill gap. Operators must degrade to empty
+  * (or defined-empty) OUTPUT, not driver exceptions from `head()` on an
+  * empty relation, division by a zero count, or a collect-trained model
+  * with no training rows.
+  *
+  * Builds a zero-row copy of every driver table (schemas read from
+  * sf0.001, nanos setting matched) and runs every registered query
+  * against it, reporting OK rows=N or the exception. Failures are triaged
+  * in PLANS.md: real empty-input bugs get fixed; queries whose CONTRACT
+  * needs data (fixture-arithmetic gates) get documented as such.
+  *
+  * Run: sbt "Test/runMain graft.EmptyCorpusProbe".
+  */
+object EmptyCorpusProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = "/root/testdata/sf0.001"
+    val dir = "/tmp/graft_sf_empty"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Tables.all.foreach { t =>
+      val schema = spark.read.parquet(s"$srcDir/$t.parquet").schema
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+
+    var bad = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        println(s"[empty-probe] $name OK rows=$n")
+      } catch { case e: Throwable =>
+        val root = {
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          c
+        }
+        println(s"[empty-probe] $name ERROR ${root.getClass.getSimpleName}: " +
+          s"${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        bad ::= name
+      }
+    }
+    println(s"[empty-probe] SUMMARY failed=${bad.size} ${bad.reverse.mkString(",")}")
+    spark.stop()
+  }
+}
