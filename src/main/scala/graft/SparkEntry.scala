@@ -4262,8 +4262,10 @@ object SparkEntry {
        |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM stats),
        |sh AS (SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a,
        |    CAST(cnt_b AS BIGINT) AS cnt_b,
-       |    CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS share_a_micros,
-       |    CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS share_b_micros
+       |    CAST(CASE WHEN tot_a = 0 THEN 0
+       |         ELSE cnt_a * 1000000 // tot_a END AS BIGINT) AS share_a_micros,
+       |    CAST(CASE WHEN tot_b = 0 THEN 0
+       |         ELSE cnt_b * 1000000 // tot_b END AS BIGINT) AS share_b_micros
        |  FROM stats, tot)
        |SELECT term, cnt_a, cnt_b, share_a_micros, share_b_micros,
        |  abs(share_a_micros - share_b_micros) AS drift_micros

@@ -133,10 +133,15 @@ object Selection {
       .persist()
     val totals = stats.agg(
       sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    // an EMPTY comparison side (tot = 0) has no mass: its shares are 0
+    // by convention, so drift degenerates to the other side's share
+    // instead of dividing by zero (the n=1-corpus edge)
     val out = stats.crossJoin(broadcast(totals))
       .select(col("term"), col("cnt_a"), col("cnt_b"),
-        expr("cnt_a * 1000000 div tot_a").as("share_a_micros"),
-        expr("cnt_b * 1000000 div tot_b").as("share_b_micros"))
+        expr("CASE WHEN tot_a = 0 THEN 0L " +
+          "ELSE cnt_a * 1000000 div tot_a END").as("share_a_micros"),
+        expr("CASE WHEN tot_b = 0 THEN 0L " +
+          "ELSE cnt_b * 1000000 div tot_b END").as("share_b_micros"))
       .withColumn("drift_micros",
         abs(col("share_a_micros") - col("share_b_micros")))
       .orderBy(col("drift_micros").desc, col("term"))

@@ -19,8 +19,12 @@ import org.apache.spark.sql.SparkSession
   */
 object EmptyCorpusProbe {
   def main(args: Array[String]): Unit = {
+    // optional arg: keep N rows per table instead of zero (the n=1 corpus
+    // exercises the other degenerate family — windows over one row,
+    // quantiles of one, self-joins with no second element)
+    val keep = if (args.nonEmpty) args(0).toInt else 0
     val srcDir = "/root/testdata/sf0.001"
-    val dir = "/tmp/graft_sf_empty"
+    val dir = s"/tmp/graft_sf_empty$keep"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
@@ -30,11 +34,13 @@ object EmptyCorpusProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     Tables.all.foreach { t =>
-      val schema = spark.read.parquet(s"$srcDir/$t.parquet").schema
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out =
+        if (keep == 0)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+        else src.limit(keep)
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
 
     var bad = List.empty[String]
