@@ -4145,7 +4145,8 @@ object SparkEntry {
   private def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
     val segs = eventsRaw(s, dir)
       .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
-        (length(col("props")) + lit(64)).cast("long").as("row_bytes"))
+        (coalesce(length(col("props")), lit(0)) + lit(64))
+          .cast("long").as("row_bytes"))
       .groupBy("event_type", "day")
       .agg(sum("row_bytes").as("bytes"))
       .select(concat_ws("/", col("event_type"), col("day")).as("item"),
@@ -4157,7 +4158,7 @@ object SparkEntry {
   private val qCompactionPlanSql =
     s"""WITH RECURSIVE segs AS (
        |  SELECT event_type || '/' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS item,
-       |    CAST(SUM(length(props) + 64) AS BIGINT) AS bytes
+       |    CAST(SUM(COALESCE(length(props), 0) + 64) AS BIGINT) AS bytes
        |  FROM events GROUP BY 1),
        |ordered AS (
        |  SELECT item, bytes,

@@ -313,8 +313,11 @@ object Curation {
     hashed.unpersist()
     val noSpans = expr("cast(array() as array<struct<_1:bigint,_2:bigint>>)")
     // the trim itself: a primitive per-document loop (the repo's standard
-    // replacement for interpreted HOF filters on corpus-sized relations)
-    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // replacement for interpreted HOF filters on corpus-sized relations);
+    // null text tokenizes to an empty list so the typed loop stays total
+    docs.select(col("doc_id"),
+        coalesce(TextAnalysis.tokens(col("text")),
+          expr("cast(array() as array<string>)")).as("toks"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("spans", coalesce(col("spans"), noSpans))
       .as[(Long, Seq[String], Seq[(Long, Long)])]

@@ -237,7 +237,9 @@ object Multimodal {
       .as[(Long, String, String, String)]
       .mapPartitions { it =>
         it.map { case (id, text, source, lang) =>
-          val raw = text.getBytes("UTF-8")
+          // null text (damaged crawl row) synthesizes the same payload as
+          // empty text — the decode side stays total
+          val raw = (if (text == null) "" else text).getBytes("UTF-8")
           val bytes = if (raw.isEmpty) Array[Byte](0) else raw
           val n = bytes.length
           val kind = (id % 3) match {

@@ -50,7 +50,10 @@ object Spectral {
     val spark = embs.sparkSession
     import spark.implicits._
     val d = dims
+    // null embedding rows (unenriched documents) contribute no moment —
+    // dropped before the typed fold, which would otherwise NPE
     val partials = embs
+      .where(col("embedding").isNotNull)
       .select(slice(col("embedding"), 1, d).as("xs"))
       .as[Seq[Float]]
       .mapPartitions { it =>

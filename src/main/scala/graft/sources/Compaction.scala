@@ -35,7 +35,10 @@ object Compaction {
   def plan(items: DataFrame, targetBytes: Long): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    items.select(col("item").cast("string"), col("bytes").cast("long"))
+    // null sizes (stats not yet collected) pack as zero — the bin is
+    // re-measured at execution; a null must not kill the planner
+    items.select(col("item").cast("string"),
+        coalesce(col("bytes").cast("long"), lit(0L)).as("bytes"))
       .as[(String, Long)]
       .repartition(1)
       .sortWithinPartitions(col("bytes").desc, col("item"))

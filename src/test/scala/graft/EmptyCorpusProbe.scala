@@ -33,13 +33,24 @@ object EmptyCorpusProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // negative keep = |keep| rows with every NON-KEY column nulled (the
+    // null-heavy corpus: damaged crawl columns, late-arriving enrichment)
+    val nullify = keep < 0
     Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val out =
         if (keep == 0)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
-        else src.limit(keep)
+        else if (!nullify) src.limit(keep)
+        else {
+          val key = src.columns.head
+          src.limit(-keep).select(src.columns.toSeq.map { c =>
+            if (c == key) org.apache.spark.sql.functions.col(c)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(src.schema(c).dataType).as(c)
+          }: _*)
+        }
       out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
 
