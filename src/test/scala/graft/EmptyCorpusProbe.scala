@@ -34,12 +34,30 @@ object EmptyCorpusProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // negative keep = |keep| rows with every NON-KEY column nulled (the
-    // null-heavy corpus: damaged crawl columns, late-arriving enrichment)
+    // null-heavy corpus: damaged crawl columns, late-arriving enrichment);
+    // keep == 9999 = adversarial text (exotic unicode, huge single
+    // tokens, control chars) in documents.text, other tables tiny
+    val weird = keep == 9999
     val nullify = keep < 0
     Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val out =
-        if (keep == 0)
+        if (weird) {
+          import org.apache.spark.sql.functions.{col => c, _}
+          val base = src.limit(20)
+          if (t != "documents") base
+          else base.withColumn("text", element_at(array(
+            lit("\u0001\u0002 control \u0007 chars"),
+            lit("émoji 😀🤖 mixed 中文 العربية text"),
+            lit("a" * 50000), // one 50k-char token, no whitespace
+            lit((("tok " * 2000).trim)), // many tiny tokens
+            lit("\n\t\r       "), // whitespace zoo
+            lit("\"quotes\" 'and' \\backslashes\\ {json: breakers}"),
+            lit("�﻿ replacement and BOM"),
+            lit("")),
+            (pmod(c("doc_id"), lit(8)) + 1).cast("int")))
+        }
+        else if (keep == 0)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
         else if (!nullify) src.limit(keep)
