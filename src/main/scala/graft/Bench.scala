@@ -87,18 +87,44 @@ object Bench {
       }
     }
     val calPost = calibrate()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"calibration_sec":{"pre":$calPre,"post":$calPost}}"""
-    println(line)
-    // The stdout line is also persisted to a file: the driver's log tail
-    // cap truncated the r9 record mid-JSON (BENCH_r09.json parsed: null),
-    // losing the first ~75 per-query rows. The file is the durable,
-    // committable copy of the full 134-row record.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","runs":2,"n_queries":${results.size},$extra""" +
+        s""""calibration_sec":{"pre":${fmt(calPre)},"post":${fmt(calPost)}}}"""
+    }
+    val fullLine = jsonLine(results, "")
+    // Full record first; then a COMPACT line as the LAST stdout line. The
+    // driver keeps only a ~2 KB tail of the log (BENCH_r08..r10 all came
+    // back `parsed: null` because the 4.6 KB full line lost its head to
+    // the cap), so the parseable artifact must fit the tail: the compact
+    // line restricts the per-query map to the 27-query subset BASELINE.md
+    // grades against (its "v0 measurement" table), ~1.1 KB, and points at
+    // the committed full record for the rest.
+    println(fullLine)
+    val baselineSet = Set(
+      "ann_cosine_topk", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_pairs", "dedup_simhash", "doc_fingerprint",
+      "embedding_neardup_exact", "embedding_neardup_lsh", "lang_id",
+      "meta_datanodes", "meta_storages", "meta_topology",
+      "multimodal_features", "placement_candidates", "placement_choose",
+      "placement_delete", "placement_hierarchy_stats",
+      "placement_prefer_rank", "placement_top_racks", "placement_verify",
+      "placement_verify_fast", "q1_pricing", "q3_top_orders",
+      "q5_region_revenue", "q_event_type_stats", "q_sessions",
+      "q_user_windows")
+    println(jsonLine(results.filter(r => baselineSet(r._1)),
+      "\"queries_note\":\"baseline-common subset; all queries in " +
+        "BENCH_LOCAL_LAST.json (committed per round)\","))
+    // The durable, committable copy of the full record.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()

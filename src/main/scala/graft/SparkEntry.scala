@@ -2862,7 +2862,9 @@ object SparkEntry {
     * left-outer streaming join (`streaming/StreamingJoin.attributedOrNull`,
     * watermarks optimized away on batch inputs by
     * EliminateEventTimeWatermark): every (view, purchase) pair of the
-    * same user with the purchase inside `(view_ts, view_ts + 1h]`, plus
+    * same user with the purchase inside `[view_ts, view_ts + 1h]`
+    * (both bounds inclusive — the operator and the oracle agree on
+    * `purchase_ts >= view_ts`), plus
     * ONE null-attributed row per view with no in-window purchase. This
     * puts the null-emission arithmetic — previously gated only by
     * StreamingSpec's replay equivalence — under the DuckDB hash gate

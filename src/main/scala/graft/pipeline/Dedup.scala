@@ -714,10 +714,14 @@ object Dedup {
     * micro-batch). `buckets` holds capped
     * `bkey -> [(doc_id, sig)]` postings with the partition columns and
     * band index FUSED into one string key (`kind:band:key`), so the
-    * stream-static join is a single-column equi-join. Persisted at
-    * build (reused per admission batch); call [[release]] when done. */
+    * stream-static join is a single-column equi-join. `partitionCols`
+    * records the columns fused into the key at build time — probe sides
+    * MUST derive their keys from it (a probe keyed on different columns
+    * would silently match zero postings and admit everything). Persisted
+    * at build (reused per admission batch); call [[release]] when done. */
   final case class HammingIndex(buckets: DataFrame, maxHamming: Int,
-                                bands: Int, bandBits: Int) {
+                                bands: Int, bandBits: Int,
+                                partitionCols: Seq[String]) {
     def release(): Unit = { buckets.unpersist() }
   }
 
@@ -748,7 +752,7 @@ object Dedup {
           pcols ++ Seq(col("bk.band"), col("bk.key")): _*).as("bkey"))
         .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids")),
       maxBucket, dropAcc, dropDocsAcc, minSize = 1).persist()
-    HammingIndex(buckets, maxHamming, bands, bandBits)
+    HammingIndex(buckets, maxHamming, bands, bandBits, partitionCols)
   }
 
   /** Benchmark decontamination: corpus documents sharing at least

@@ -187,6 +187,7 @@ object Multimodal {
           case "fmt " =>
             require(u16(b, pos + 8) == 1, "only PCM WAV supported")
             channels = u16(b, pos + 10)
+            require(channels >= 1, "WAV channels must be >= 1")
             rate = i32(b, pos + 12)
             require(u16(b, pos + 22) == 16, "only 16-bit WAV supported")
             haveFmt = true
@@ -220,7 +221,10 @@ object Multimodal {
       require(b.length >= GvidHeaderLen && b(0) == 'G' && b(1) == 'V' &&
         b(2) == 'F' && b(3) == '1', "not a GVF1 container")
       val v = Video(i32(b, 4), i32(b, 8), i32(b, 12))
-      require(b.length == GvidHeaderLen + v.width * v.height * 3 * v.frameCount,
+      require(v.width >= 0 && v.height >= 0 && v.frameCount >= 0,
+        "negative GVF1 geometry")
+      require(b.length == GvidHeaderLen +
+          v.width.toLong * v.height * 3 * v.frameCount,
         "truncated GVF1 payload")
       v
     }
@@ -267,9 +271,11 @@ object Multimodal {
   }
 
   /** Fit-within-`box` resize dims, integer math (exact in any engine):
-    * scale the longer edge to `box`, preserve aspect, floor, at least 1. */
+    * scale the longer edge to `box`, preserve aspect, floor, at least 1.
+    * Total on degenerate input: a 0x0 raster (zero-frame/zero-sample
+    * media) resizes to 1x1 instead of dividing by zero. */
   def resizeDims(w: Long, h: Long, box: Long = 256L): (Long, Long) = {
-    val longest = math.max(w, h)
+    val longest = math.max(1L, math.max(w, h))
     (math.max(1L, w * box / longest), math.max(1L, h * box / longest))
   }
 
@@ -383,9 +389,13 @@ object Multimodal {
   /** 64-bit waveform delta hash for PCM audio: nearest-neighbor
     * downsample to 65 points (sample index i*n/65, floor) and set bit i
     * iff the waveform rises between consecutive points — the audio
-    * analogue of [[dHash]]'s gradient-sign signature. */
+    * analogue of [[dHash]]'s gradient-sign signature. A zero-sample
+    * input (a well-formed WAV with an empty `data` chunk — decodeWav
+    * accepts it) hashes to 0L: the function stays total, matching the
+    * flat-waveform hash, instead of indexing past an empty array. */
   def waveformHash(samples: Array[Short]): Long = {
     val n = samples.length
+    if (n == 0) return 0L
     var hash = 0L
     var i = 0
     while (i < 64) {
@@ -414,7 +424,11 @@ object Multimodal {
             waveformHash(Codecs.decodeWav(m.payload).samples)
           case _ =>
             val v = Codecs.decodeGvidHeader(m.payload)
-            dHash(m.payload, Codecs.GvidHeaderLen, v.width, v.height)
+            // a zero-frame container is well-formed (header only, exact
+            // length) but has no first frame to dHash — hash 0L, the same
+            // total-function convention as the empty-data WAV
+            if (v.frameCount < 1) 0L
+            else dHash(m.payload, Codecs.GvidHeaderLen, v.width, v.height)
         }
         PHashRow(m.doc_id, m.kind, h)
       }

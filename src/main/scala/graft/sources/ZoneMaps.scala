@@ -44,30 +44,60 @@ object ZoneMaps {
 
   /** Directory-schema memo for [[prunedScan]]: the schema of a parquet
     * directory is stable across appends (same writer), so re-reading a
-    * footer per query is a pure planning tax — one footer read per path
-    * per process instead. [[writeIndex]]/[[updateIndex]] invalidate the
-    * entry, and a caller that rewrites the table out-of-band can call
-    * [[invalidateSchemaCache]] directly. */
+    * footer per query is a pure planning tax. The cache key carries the
+    * directory's data-file fingerprint (count + newest mtime + total
+    * bytes, from the SAME listing the prune itself needs — zero extra FS
+    * calls), so an out-of-band rewrite with an evolved schema changes
+    * the key and misses the cache instead of serving a stale schema.
+    * Bounded: past [[SchemaCacheMax]] entries the map is cleared (it is
+    * a memo, not a source of truth — a clear costs one footer re-read
+    * per live path). [[invalidateSchemaCache]] remains for callers that
+    * want an explicit drop. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val SchemaCacheMax = 256
 
-  def invalidateSchemaCache(path: String): Unit = schemaCache.remove(path)
+  def invalidateSchemaCache(path: String): Unit = {
+    val it = schemaCache.keySet.iterator()
+    while (it.hasNext) { if (it.next().startsWith(path + "#")) it.remove() }
+  }
+
+  private def schemaFor(spark: SparkSession, path: String,
+      listing: Seq[FileMeta]): org.apache.spark.sql.types.StructType = {
+    val key = path + "#" + listing.length + "#" +
+      (if (listing.isEmpty) 0L else listing.map(_.mtime).max) + "#" +
+      listing.map(_.len).sum
+    val hit = schemaCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = spark.read.parquet(path).schema
+      if (schemaCache.size >= SchemaCacheMax) schemaCache.clear()
+      schemaCache.put(key, s)
+      s
+    }
+  }
 
   /** Scheme-less path: `input_file_name()` renders `file:///p` while a
     * FileSystem listing renders `file:/p` — same file, two spellings. */
   private def norm(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
-  /** The directory's data files (one FS listing — what Spark's planner
-    * itself does before every scan of `path`). */
-  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+  final case class FileMeta(file: String, mtime: Long, len: Long)
+
+  /** The directory's data files with their stats (one FS listing — what
+    * Spark's planner itself does before every scan of `path`). */
+  private def listDataFileMeta(spark: SparkSession, path: String): Seq[FileMeta] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString).toSeq
+      .map(s => FileMeta(s.getPath.toString, s.getModificationTime, s.getLen))
+      .toSeq
   }
+
+  private def listDataFiles(spark: SparkSession, path: String): Seq[String] =
+    listDataFileMeta(spark, path).map(_.file)
 
   private def statAggs(cols: Seq[String]) =
     count(lit(1)).as("n_rows") +:
@@ -168,62 +198,104 @@ object ZoneMaps {
     newFiles.length.toLong
   }
 
-  /** Files that can hold `c` in `[lo, hi]` (either bound optional), plus
-    * the on-disk data-file count. Metadata-sized: one index read + one
-    * directory listing. Soundness under a stale index: data files NOT in
-    * the index are always candidates (their rows are recovered by the
-    * residual predicate), and index rows whose file is gone are ignored
-    * — so [[prunedScan]] equals the unpruned filtered read even between
-    * refreshes. A file with only nulls in `c` has null min/max and is
-    * dropped — null rows cannot satisfy a range predicate. */
-  def candidateFiles(spark: SparkSession, path: String, c: String,
-      lo: Option[Any], hi: Option[Any]): (Seq[String], Long) = {
+  /** Outcome of the planning-time prune. [[PrunedTo]] carries the
+    * surviving file list (collected only when pruning actually pays —
+    * O(selectivity) names); [[ScanAll]] means the caller should scan the
+    * DIRECTORY and never sees a file name at all. */
+  sealed trait PruneDecision { def totalFiles: Long }
+  final case class PrunedTo(files: Seq[String], totalFiles: Long)
+      extends PruneDecision
+  final case class ScanAll(totalFiles: Long, reason: String)
+      extends PruneDecision
+
+  /** Minimum fraction of data files the index must drop before the
+    * survivor list is collected and handed to the scan as explicit
+    * paths. Below it, pruning saves little I/O while the survivor
+    * round-trip costs a job result of up-to-file-count names — the
+    * directory scan (Spark's own listing, zero names through a job
+    * result) is the better plan, and it is always CORRECT because
+    * pruning is an optimization: scanning more files changes nothing
+    * once the residual predicate re-applies. */
+  val PruneBenefitThreshold = 0.1
+
+  private def keepExpr(c: String, lo: Option[Any], hi: Option[Any]) = Seq(
+    lo.map(v => col(s"${c}_max") >= lit(v)),
+    hi.map(v => col(s"${c}_min") <= lit(v))
+  ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Decide the scan shape for `c in [lo, hi]` against the index.
+    * Metadata-sized: one index read + one directory listing, and the
+    * only file names that ever cross a job boundary are the SURVIVORS of
+    * an effective prune — an ineffective prune (fewer than
+    * [[PruneBenefitThreshold]] of files droppable) returns [[ScanAll]]
+    * after a COUNT-only job, so no full-file-list collect exists on any
+    * path (ZoneMapsSpec pins both shapes).
+    *
+    * Soundness under a stale index: data files NOT in the index are
+    * always candidates (appended after the last refresh — the listing
+    * left-outer-joins the index, and a no-match row survives), index
+    * rows whose file is gone never match the listing and drop out, and a
+    * missing index (never built / mid-swap crash window) degrades to
+    * [[ScanAll]]. A file with only nulls in `c` has null min/max, the
+    * range test evaluates null, and null -> false drops it — null rows
+    * cannot satisfy a range predicate. */
+  def pruneDecision(spark: SparkSession, path: String, c: String,
+      lo: Option[Any], hi: Option[Any]): PruneDecision = {
     import spark.implicits._
     val onDisk = listDataFiles(spark, path)
-    // no index (never built, or mid-swap crash window): every file is a
-    // candidate — degraded to the unpruned scan, never an error
-    if (!indexExists(spark, path)) return (onDisk, onDisk.length.toLong)
-    val keep = Seq(
-      lo.map(v => col(s"${c}_max") >= lit(v)),
-      hi.map(v => col(s"${c}_min") <= lit(v))
-    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    // all-null stats evaluate the range test to null — that file is
-    // droppable (null rows can't satisfy a range predicate), so null -> false.
-    // The range test runs DISTRIBUTED on the index relation in ONE job:
-    // the listing left-outer-joins the filtered index, keeping files the
-    // index clears (keep) plus files the index has never seen (no match
-    // — appended after the last refresh, always candidates); dead index
-    // rows never match the listing and drop out. Only the SURVIVING file
-    // names reach the driver — O(selectivity), not one row per indexed
-    // file. The driver already holds the directory listing (Spark's
-    // planner makes the same one before every scan).
+    val total = onDisk.length.toLong
+    if (!indexExists(spark, path)) return ScanAll(total, "no index")
+    if (onDisk.isEmpty) return PrunedTo(Nil, 0L)
     val normU = udf(norm _)
     val listing = onDisk.toDF("disk_file")
       .withColumn("fn", normU(col("disk_file")))
     val idx = readIndex(spark, path)
       .select(normU(col("file")).as("fn"),
-        coalesce(keep, lit(false)).as("keep"))
-    val files = listing.join(idx, Seq("fn"), "left_outer")
+        coalesce(keepExpr(c, lo, hi), lit(false)).as("keep"))
+    val joined = listing.join(idx, Seq("fn"), "left_outer")
       .where(col("keep").isNull || col("keep"))
-      .select("disk_file").as[String].collect().toSeq
-    (files, onDisk.length.toLong)
+    // job 1: COUNT the survivors (a 1-row result) to decide whether the
+    // name collect is worth it; job 2 (conditional): the names. Both run
+    // on the metadata-sized index relation.
+    val survivors = joined.count()
+    if (total - survivors < math.ceil(total * PruneBenefitThreshold).toLong)
+      ScanAll(total, s"prune drops ${total - survivors}/$total files, " +
+        s"below benefit threshold $PruneBenefitThreshold")
+    else
+      PrunedTo(joined.select("disk_file").as[String].collect().toSeq, total)
   }
+
+  /** Files that can hold `c` in `[lo, hi]` (either bound optional), plus
+    * the on-disk data-file count — the materialized-list view of
+    * [[pruneDecision]] for callers that need explicit names ([[ScanAll]]
+    * maps to the full listing the driver already holds; no extra job
+    * result is paid for it). */
+  def candidateFiles(spark: SparkSession, path: String, c: String,
+      lo: Option[Any], hi: Option[Any]): (Seq[String], Long) =
+    pruneDecision(spark, path, c, lo, hi) match {
+      case PrunedTo(files, total) => (files, total)
+      case ScanAll(total, _)      => (listDataFiles(spark, path), total)
+    }
 
   /** Scan of `path` restricted to files that can hold `c` in `[lo, hi]`,
     * with the residual predicate applied — row-for-row equal to the
     * unpruned `read.where(...)` even when the index is stale (see
-    * [[candidateFiles]]). Schema is taken from the directory (memoized
-    * per path — one footer read per process, not per query) so a
+    * [[pruneDecision]]). An ineffective prune scans the DIRECTORY
+    * (Spark's own listing — file names never round-trip through a job
+    * result); an effective one passes only the surviving paths. Schema
+    * comes from the directory, memoized under a staleness-aware key (one
+    * footer read per live directory state, not per query), so a
     * fully-pruned scan still returns the right (empty) shape. */
   def prunedScan(spark: SparkSession, path: String, c: String,
       lo: Option[Any], hi: Option[Any]): DataFrame = {
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    val (files, _) = candidateFiles(spark, path, c, lo, hi)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+    val schema = schemaFor(spark, path, listDataFileMeta(spark, path))
+    val base = pruneDecision(spark, path, c, lo, hi) match {
+      case PrunedTo(files, _) if files.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case PrunedTo(files, _) => spark.read.schema(schema).parquet(files: _*)
+      case ScanAll(_, _)      => spark.read.schema(schema).parquet(path)
+    }
     val residual = Seq(
       lo.map(v => col(c) >= lit(v)),
       hi.map(v => col(c) <= lit(v))

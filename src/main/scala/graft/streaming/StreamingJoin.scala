@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * as both sides arrive — the streaming twin of the batch interval join
   * (`operators.IntervalJoin` / `q_interval_pairs` shape). Emits every
   * (view, purchase) pair of the same user with the purchase inside
-  * `(view_ts, view_ts + window]`.
+  * `[view_ts, view_ts + window]` (both bounds inclusive — the range
+  * predicate is `purchase_ts >= view_ts`, matching the batch oracle).
   *
   * Why this exact contract: "all pairs within the window" is MONOTONE
   * (a new event can add pairs but never retract one), so the append-only

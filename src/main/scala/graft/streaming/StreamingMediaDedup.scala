@@ -42,10 +42,17 @@ object StreamingMediaDedup {
     import spark.implicits._
     val mask = (1L << index.bandBits) - 1
     val hashed = Multimodal.perceptualHashes(spark, stream).toDF()
+    // The probe key MUST be fused from the same partition columns the
+    // index was built with — a mismatched key shape would join zero
+    // postings and silently admit every document. The index records them
+    // (HammingIndex.partitionCols); the hashed stream exposes doc_id /
+    // kind / phash, so any build column beyond those fails loudly at
+    // analysis instead of degrading to a false-negative dedup path.
+    val pcols = index.partitionCols.map(col)
     val keyed = hashed.select(col("doc_id"), col("kind"), col("phash"),
       explode(array((0 until index.bands).map { b =>
-        concat_ws(":", col("kind"), lit(b),
-          shiftright(col("phash"), b * index.bandBits).bitwiseAND(lit(mask)))
+        concat_ws(":", pcols ++ Seq(lit(b),
+          shiftright(col("phash"), b * index.bandBits).bitwiseAND(lit(mask))): _*)
       }: _*)).as("bkey"))
     val scored = keyed
       .join(index.buckets, Seq("bkey"), "left_outer")

@@ -242,6 +242,48 @@ class ZoneMapsSpec extends AnyFunSuite {
       ._1.length == 1)
   }
 
+  test("ineffective prune returns ScanAll (directory scan, no file-name " +
+      "collect) and stays row-equal; effective prune returns PrunedTo " +
+      "with only the survivors") {
+    written
+    // bound-less predicate: every file survives -> below the benefit
+    // threshold -> ScanAll, and NO name collect job runs for it
+    ZoneMaps.pruneDecision(spark, dir, "v", None, None) match {
+      case ZoneMaps.ScanAll(total, _) => assert(total == 4L)
+      case other => fail(s"expected ScanAll for an ineffective prune: $other")
+    }
+    // the ScanAll-backed scan is still row-equal to the plain read
+    val full = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val scanned = ZoneMaps.prunedScan(spark, dir, "v", None, None)
+      .collect().map(_.toSeq).toSet
+    assert(scanned == full && full.size == 4000)
+    // a selective predicate drops >= threshold -> PrunedTo with O(sel) names
+    ZoneMaps.pruneDecision(spark, dir, "v", Some(3990L), None) match {
+      case ZoneMaps.PrunedTo(files, total) =>
+        assert(total == 4L && files.length == 1, s"survivors: $files")
+      case other => fail(s"expected PrunedTo for an effective prune: $other")
+    }
+  }
+
+  test("schema memo keys on the directory fingerprint: an out-of-band " +
+      "rewrite with an evolved schema is seen, not served stale") {
+    val d7 = "/tmp/graft_test_zonemaps_evolve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d7))
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(d7)
+    ZoneMaps.writeIndex(spark, d7, Seq("v"))
+    assert(ZoneMaps.prunedScan(spark, d7, "v", None, Some(10L))
+      .columns.toSeq == Seq("id", "v"))
+    // out-of-band rewrite (no writeIndex/updateIndex/invalidate call):
+    // same column count is not enough — an added column must show up
+    (0L until 100L).map(i => (i, i, s"x$i")).toDF("id", "v", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(d7)
+    val out = ZoneMaps.prunedScan(spark, d7, "v", None, Some(10L))
+    assert(out.columns.toSeq == Seq("id", "v", "extra"),
+      s"stale cached schema served: ${out.columns.toSeq}")
+    assert(out.count() == 11L)
+  }
+
   test("all-null stats drop the file; bound-less scan keeps everything") {
     val d2 = "/tmp/graft_test_zonemaps_null"
     (1L to 10L).map(i => (i, None: Option[Long])).toDF("id", "v")
