@@ -2382,6 +2382,61 @@ object SparkEntry {
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** Malformed-media quarantine — the media twin of `q_json_quarantine`.
+    * A crawl-scale media pipeline meets truncated and corrupt payloads
+    * constantly; decode failures must become per-row quarantine
+    * verdicts, not executor exceptions. Deterministic corruption
+    * families (`Multimodal.corruptMedia`: doc_id%4 picks intact /
+    * magic overwritten / last byte dropped / truncated to 8 bytes) are
+    * applied to the real encoded payloads, then `quarantineSplit` runs
+    * the REAL decoders under a total verdict function. The oracle
+    * predicts per row: the accept/reject boundary, the coarse reason
+    * class (bad_magic for wrong/short-of-magic headers, truncated for
+    * well-headed payloads whose declared geometry exceeds the bytes),
+    * and the corrupted byte count — all under the hash, so a decoder
+    * that crashes, silently admits a truncated file, or misclassifies
+    * fails the gate. */
+  private def multimodalQuarantine(s: SparkSession, dir: String): DataFrame =
+    pipeline.Multimodal.quarantineSplit(s,
+        pipeline.Multimodal.corruptMedia(s,
+          pipeline.Multimodal.mediaTable(Tables.documents(s, dir))))
+      .toDF()
+      .select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("quarantined"), col("reason"))
+      .orderBy("doc_id")
+
+  private val multimodalQuarantineSql =
+    s"""WITH bytes AS (
+       |  SELECT doc_id, GREATEST(1, length(text)) AS n FROM documents),
+       |geom AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    8 + n % 24 AS iw,
+       |    GREATEST(1, LEAST(40, n // (3 * (8 + n % 24)))) AS ih,
+       |    8 + n % 16 AS vw, 8 + (n * 3) % 16 AS vh, 1 + n % 5 AS vf
+       |  FROM bytes),
+       |sz AS (
+       |  SELECT doc_id, kind,
+       |    CASE kind
+       |      WHEN 'image' THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
+       |      WHEN 'audio' THEN 44 + 2 * n
+       |      ELSE 16 + 3 * vw * vh * vf END AS full_bytes
+       |  FROM geom)
+       |SELECT doc_id, kind,
+       |  CAST(CASE doc_id % 4 WHEN 2 THEN full_bytes - 1
+       |                       WHEN 3 THEN 8
+       |                       ELSE full_bytes END AS BIGINT) AS n_bytes,
+       |  doc_id % 4 <> 0 AS quarantined,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN 'ok'         -- intact: real decode succeeds
+       |    WHEN 1 THEN 'bad_magic'  -- 'X' over the magic byte
+       |    WHEN 2 THEN 'truncated'  -- geometry outruns the bytes
+       |    ELSE 'bad_magic'         -- 8 bytes: shorter than the magic read
+       |  END AS reason
+       |FROM sz ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Corpus curation: PII, quality rules, boilerplate blocks, packing,
   // incremental dedup
@@ -5050,6 +5105,7 @@ object SparkEntry {
     "multimodal_phash_clusters" -> (multimodalPhashClusters _),
     "multimodal_keep_canonical" -> (multimodalKeepCanonical _),
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
+    "multimodal_quarantine" -> (multimodalQuarantine _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
     "q_json_quarantine" -> (qJsonQuarantine _),
@@ -5197,6 +5253,7 @@ object SparkEntry {
     "multimodal_phash_clusters" -> multimodalPhashClustersSql,
     "multimodal_keep_canonical" -> multimodalKeepCanonicalSql,
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
+    "multimodal_quarantine" -> multimodalQuarantineSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
     "q_json_quarantine" -> qJsonQuarantineSql,

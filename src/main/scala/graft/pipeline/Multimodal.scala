@@ -123,11 +123,20 @@ object Multimodal {
       val rawH = i32(b, 22)
       val topDown = rawH < 0
       val height = math.abs(rawH)
+      require(width > 0 && height > 0 && rawH != Int.MinValue,
+        "unsupported BMP geometry")
+      require(off >= 54 && off <= b.length, "unsupported BMP pixel offset")
       require(u16(b, 26) == 1, "BMP planes must be 1")
       require(u16(b, 28) == 24, s"only 24-bit BMP supported, got ${u16(b, 28)}")
       require(i32(b, 30) == 0, "compressed BMP not supported")
-      val stride = ((3 * width + 3) / 4) * 4
-      require(b.length >= off + stride * height, "truncated BMP pixel array")
+      // LONG geometry arithmetic: a hostile width/height must not
+      // int-overflow the size check into passing (and then reach the
+      // raster allocation with garbage) — after this require,
+      // stride*height <= payload length, so every later product fits int
+      // and the raster is never bigger than the payload
+      val strideL = ((3L * width + 3) / 4) * 4
+      require(b.length >= off + strideL * height, "truncated BMP pixel array")
+      val stride = strideL.toInt
       val rgb = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -182,7 +191,10 @@ object Multimodal {
       while (pos + 8 <= b.length && (samples == null || !haveFmt)) {
         val id = new String(b, pos, 4, "US-ASCII")
         val len = i32(b, pos + 4)
-        require(len >= 0 && pos + 8 + len <= b.length, s"truncated $id chunk")
+        // LONG bounds arithmetic: a hostile declared length near 2^31
+        // must not int-overflow `pos + 8 + len` into passing (and then
+        // reach a garbage-sized sample allocation)
+        require(len >= 0 && pos + 8L + len <= b.length, s"truncated $id chunk")
         id match {
           case "fmt " =>
             require(u16(b, pos + 8) == 1, "only PCM WAV supported")
@@ -433,6 +445,108 @@ object Multimodal {
         PHashRow(m.doc_id, m.kind, h)
       }
     }
+  }
+
+  final case class MediaVerdict(doc_id: Long, kind: String,
+                                payload: Array[Byte], source: String,
+                                lang: String, quarantined: Boolean,
+                                reason: String)
+
+  /** Coarse, engine-stable class of a decode failure. The decoders' own
+    * messages are implementation detail (free to evolve); the CLASS is
+    * the contract the quarantine oracle hashes: a wrong/absent magic or
+    * a header shorter than the magic check reads is `bad_magic`; a
+    * well-headed payload whose declared geometry exceeds the actual
+    * bytes (or whose mandatory chunks are missing) is `truncated`;
+    * anything else (valid container, unsupported variant — compressed
+    * BMP, non-PCM WAV) is `unsupported`. */
+  private def reasonClass(msg: String): String = {
+    val m = if (msg == null) "" else msg
+    if (m.contains("not a ")) "bad_magic"
+    else if (m.contains("truncated") || m.contains("missing fmt/data"))
+      "truncated"
+    else "unsupported"
+  }
+
+  /** Total decode check: attempt the REAL decode for `kind` (the same
+    * parsers [[extractFeatures]]/[[perceptualHashes]] run) and return
+    * `None` on success or `Some(reasonClass)` on failure. A crawl-scale
+    * media pipeline meets truncated and corrupt files constantly; this
+    * converts "executor exception three operators downstream" into a
+    * per-row verdict at admission. Defensive catches (index/size errors)
+    * classify as `truncated` — a malformed length field that slips a
+    * `require` still must not kill the task. */
+  def decodeVerdict(kind: String, payload: Array[Byte]): Option[String] =
+    try {
+      if (payload == null) return Some("bad_magic")
+      kind match {
+        case "image" => Codecs.decodeBmp(payload)
+        case "audio" => Codecs.decodeWav(payload)
+        case _       => Codecs.decodeGvidHeader(payload)
+      }
+      None
+    } catch {
+      case e: IllegalArgumentException => Some(reasonClass(e.getMessage))
+      case _: ArrayIndexOutOfBoundsException => Some("truncated")
+      case _: IndexOutOfBoundsException => Some("truncated")
+      // a length field that int-overflows the geometry product can slip
+      // the length require and reach the raster allocation negative —
+      // still a malformed payload, not a task death. (An honestly-huge
+      // positive geometry cannot over-allocate: every decoder checks the
+      // declared geometry against the actual byte count BEFORE
+      // allocating, so the raster is never bigger than the payload.)
+      case _: NegativeArraySizeException => Some("truncated")
+    }
+
+  /** Media twin of `sources.Quarantine.split`: every row of `media` is
+    * kept and annotated with its decode verdict (`quarantined`,
+    * `reason`; accepted rows carry reason `ok`). One narrow
+    * mapPartitions pass — no caching, no second read, and the payload
+    * column rides through so the accepted side feeds
+    * [[extractFeatures]]/[[perceptualHashes]] directly while the
+    * quarantined side keeps the offending bytes VERBATIM for
+    * re-crawl/repair. No row is ever dropped. */
+  def quarantineSplit(spark: SparkSession, media: DataFrame): Dataset[MediaVerdict] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val v = decodeVerdict(m.kind, m.payload)
+        MediaVerdict(m.doc_id, m.kind, m.payload, m.source, m.lang,
+          v.isDefined, v.getOrElse("ok"))
+      }
+    }
+  }
+
+  /** The decodable side of [[quarantineSplit]], shaped like the input. */
+  def goodMedia(spark: SparkSession, media: DataFrame): DataFrame =
+    quarantineSplit(spark, media).toDF()
+      .where(!col("quarantined"))
+      .select("doc_id", "kind", "payload", "source", "lang")
+
+  /** The quarantine side: verdict + offending payload verbatim. */
+  def badMedia(spark: SparkSession, media: DataFrame): DataFrame =
+    quarantineSplit(spark, media).toDF().where(col("quarantined"))
+
+  /** Deterministic corruption families over a media table, for the
+    * quarantine gate: `doc_id % 4` picks intact (0) / magic overwritten
+    * with 'X' (1) / last byte dropped (2) / truncated to the first 8
+    * bytes (3). Arithmetic-predictable on the synthetic corpus, so the
+    * DuckDB oracle derives the expected verdict AND reason class per
+    * row while the Spark side must earn them from the real decoders. */
+  def corruptMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val p = (m.doc_id % 4) match {
+          case 0 => m.payload
+          case 1 =>
+            val c = m.payload.clone(); c(0) = 'X'.toByte; c
+          case 2 => java.util.Arrays.copyOf(m.payload, m.payload.length - 1)
+          case _ => java.util.Arrays.copyOf(m.payload, 8)
+        }
+        m.copy(payload = p)
+      }
+    }.toDF()
   }
 
   /** Frame sampling for video payloads: parse the GVF1 header, emit one row

@@ -67,6 +67,50 @@ class DegenerateCorpusSpec extends AnyFunSuite {
     assert(rows("q_spectral_direction", dir) == 0L) // all-null embeddings
   }
 
+  test("adversarial binary corpus: hostile media payloads (truncated / " +
+      "wrong magic / overflow geometry / random bytes) become per-row " +
+      "quarantine verdicts, never executor exceptions, and the accepted " +
+      "side decodes clean (r11 family — the media twin of the r10 " +
+      "adversarial-text sweep)") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    def i32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val rnd = new scala.util.Random(11)
+    val intact = Multimodal.mediaTable(
+      (0L until 30L).map(i => (i, s"doc number $i body", "s", "en"))
+        .toDF("doc_id", "text", "source", "lang"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+        r.getAs[Array[Byte]]("payload")))
+    val hostile = intact.flatMap { case (id, kind, p) =>
+      val junk = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(junk)
+      val overflowed = p.clone()
+      if (kind == "image" && p.length > 26) i32(0x20000000).copyToArray(overflowed, 18)
+      if (kind == "audio" && p.length > 44) i32(0x7fffffff).copyToArray(overflowed, 40)
+      if (kind == "video" && p.length > 8) i32(0x40000000).copyToArray(overflowed, 4)
+      Seq(
+        (id * 10, kind, p, "s", "en"),                                   // intact
+        (id * 10 + 1, kind, java.util.Arrays.copyOf(p, p.length / 2), "s", "en"),
+        (id * 10 + 2, kind, junk, "s", "en"),
+        (id * 10 + 3, kind, overflowed, "s", "en"),
+        (id * 10 + 4, kind, Array.emptyByteArray, "s", "en"))
+    }.toSeq.toDF("doc_id", "kind", "payload", "source", "lang")
+    val verdicts = Multimodal.quarantineSplit(spark, hostile).collect()
+    assert(verdicts.length == 150)
+    val byMode = verdicts.groupBy(v => v.doc_id % 10)
+    assert(byMode(0L).forall(!_.quarantined), "intact rows must all admit")
+    assert(byMode(1L).forall(_.quarantined), "half-truncated rows must all quarantine")
+    assert(byMode(3L).forall(_.quarantined), "overflow-geometry rows must all quarantine")
+    assert(byMode(4L).forall(v => v.quarantined && v.reason == "bad_magic"))
+    // the accepted side (intact rows + any junk that happens to parse)
+    // must survive the full downstream decode, exception-free
+    val good = Multimodal.goodMedia(spark, hostile)
+    assert(Multimodal.extractFeatures(spark, good).count() ==
+      good.count())
+    assert(Multimodal.perceptualHashes(spark, good).count() ==
+      good.count())
+  }
+
   test("PQ family keeps its NAMED precondition on an unprepared corpus") {
     val e = intercept[IllegalArgumentException] {
       rows("ann_pq_topk", corpus("empty"))

@@ -203,6 +203,115 @@ class MultimodalSpec extends AnyFunSuite {
       kindOf(r.getAs[Long]("doc_a")) == kindOf(r.getAs[Long]("doc_b"))))
   }
 
+  test("quarantine split: corruption families get the predicted verdicts " +
+      "and the accepted side decodes end-to-end") {
+    val many = (0L until 24L).map(i => (i, s"text body number $i with some length", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val media = Multimodal.mediaTable(many)
+    val split = Multimodal.quarantineSplit(spark, Multimodal.corruptMedia(spark, media))
+      .collect().map(v => v.doc_id -> v).toMap
+    for (i <- 0L until 24L) {
+      val v = split(i)
+      (i % 4) match {
+        case 0 => assert(!v.quarantined && v.reason == "ok", s"doc $i: $v")
+        case 1 => assert(v.quarantined && v.reason == "bad_magic", s"doc $i: $v")
+        case 2 => assert(v.quarantined && v.reason == "truncated", s"doc $i: $v")
+        case _ => assert(v.quarantined && v.reason == "bad_magic", s"doc $i: $v")
+      }
+    }
+    // the accepted side must survive BOTH downstream decode passes
+    val good = Multimodal.goodMedia(spark, Multimodal.corruptMedia(spark, media))
+    assert(Multimodal.extractFeatures(spark, good).count() == 6L)
+    assert(Multimodal.perceptualHashes(spark, good).count() == 6L)
+    // and equal the intact rows' features bit-for-bit (corruption of OTHER
+    // rows must not perturb surviving rows)
+    val intact = Multimodal.extractFeatures(spark,
+      media.where(col("doc_id") % 4 === 0)).collect().map(_.toString).sorted
+    val survived = Multimodal.extractFeatures(spark, good)
+      .collect().map(_.toString).sorted
+    assert(survived.toSeq == intact.toSeq)
+  }
+
+  test("decode verdict is total over hostile bytes: targeted overflow / " +
+      "negative-geometry payloads and seeded random fuzz never throw, " +
+      "and accept implies downstream decode succeeds") {
+    def i32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def bmpWith(width: Int, height: Int, off: Int = 54,
+                body: Int = 64): Array[Byte] = {
+      val b = new Array[Byte](54 + body)
+      b(0) = 'B'; b(1) = 'M'
+      i32(off).copyToArray(b, 10); i32(40).copyToArray(b, 14)
+      i32(width).copyToArray(b, 18); i32(height).copyToArray(b, 22)
+      b(26) = 1; b(28) = 24
+      b
+    }
+    // int-overflow geometry: stride*height overflows 32-bit but must not
+    // slip the length require (pre-r11 this could reach a garbage-sized
+    // raster allocation)
+    assert(Multimodal.decodeVerdict("image", bmpWith(0x20000000, 8))
+      == Some("truncated"))
+    assert(Multimodal.decodeVerdict("image", bmpWith(3, 0x7fffffff))
+      == Some("truncated"))
+    assert(Multimodal.decodeVerdict("image", bmpWith(40000, 40000))
+      == Some("truncated"))
+    // Int.MinValue height: abs() is still negative — rejected as geometry
+    assert(Multimodal.decodeVerdict("image", bmpWith(4, Int.MinValue))
+      == Some("unsupported"))
+    assert(Multimodal.decodeVerdict("image", bmpWith(4, 4, off = -100))
+      == Some("unsupported"))
+    assert(Multimodal.decodeVerdict("image", bmpWith(0, 4))
+      == Some("unsupported"))
+    // WAV declaring a giant / negative data chunk
+    val wav = Codecs.encodeWavPcm16Mono(8000, Array[Short](1, 2, 3))
+    val wavHuge = wav.clone(); i32(0x7fffffff).copyToArray(wavHuge, 40)
+    assert(Multimodal.decodeVerdict("audio", wavHuge) == Some("truncated"))
+    val wavNeg = wav.clone(); i32(-8).copyToArray(wavNeg, 40)
+    assert(Multimodal.decodeVerdict("audio", wavNeg) == Some("truncated"))
+    // GVF1 negative frame count / overflowing product
+    val vid = Codecs.encodeGvid(2, 2, 1, _ => 0)
+    val vidNeg = vid.clone(); i32(-1).copyToArray(vidNeg, 12)
+    assert(Multimodal.decodeVerdict("video", vidNeg) == Some("unsupported"))
+    val vidBig = vid.clone(); i32(0x40000000).copyToArray(vidBig, 4)
+    assert(Multimodal.decodeVerdict("video", vidBig) == Some("truncated"))
+    // degenerate sizes
+    for (kind <- Seq("image", "audio", "video")) {
+      assert(Multimodal.decodeVerdict(kind, Array.emptyByteArray).isDefined)
+      assert(Multimodal.decodeVerdict(kind, null).isDefined)
+      assert(Multimodal.decodeVerdict(kind, Array[Byte](1, 2, 3)).isDefined)
+    }
+    // seeded random fuzz: totality, and accept => full decode succeeds
+    val rnd = new scala.util.Random(0xC0FFEE)
+    var accepted = 0
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // half the trials get a plausible magic to push past the first gate
+      if (b.length >= 16 && rnd.nextBoolean()) {
+        val magic = rnd.nextInt(3) match {
+          case 0 => "BM"
+          case 1 => "RIFF"
+          case _ => "GVF1"
+        }
+        magic.getBytes("US-ASCII").copyToArray(b, 0)
+        if (magic == "RIFF" && b.length >= 12)
+          "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+      }
+      for (kind <- Seq("image", "audio", "video")) {
+        val v = Multimodal.decodeVerdict(kind, b) // must not throw
+        if (v.isEmpty) {
+          accepted += 1
+          kind match { // accept means the REAL decode runs clean
+            case "image" => Codecs.decodeBmp(b)
+            case "audio" => Codecs.decodeWav(b)
+            case _       => Codecs.decodeGvidHeader(b)
+          }
+        }
+      }
+    }
+    assert(accepted >= 0) // totality is the assertion; accepts are rare
+  }
+
   test("frame sampling parses the GVF1 container with per-frame checksums") {
     val frames = Multimodal.sampleFrames(spark, Multimodal.mediaTable(docs))
       .collect().sortBy(f => (f.doc_id, f.frame_idx))
