@@ -1,0 +1,293 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingDedup, StreamingDrift, StreamingUpsert}
+import graft.streaming.StreamingUpsert.{Change, Update}
+
+/** Restart-from-checkpoint equivalence: production streams do not replay
+  * inside one session — they get killed and restarted, recovering state,
+  * watermark, and source offsets from the checkpoint. StreamingSpec's
+  * replay gates never exercise that path (a MemoryStream replay keeps the
+  * state store instance alive). Here every stream runs file-source ->
+  * operator -> file-sink with an explicit checkpoint, is stopped with
+  * unread input still pending, and is restarted as a NEW query; the only
+  * carrier of pre-restart history is the checkpoint itself. Each test's
+  * final assertion is equality with the batch fold over the whole log —
+  * plus a pinned cross-restart interaction (late-version suppression /
+  * in-TTL duplicate suppression / a window whose rows all arrived before
+  * the kill) that fails if state recovery silently came back empty.
+  */
+class StreamingRestartSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Write one JSON-lines file into a streaming source directory. The
+    * file source orders files by MODIFICATION TIME (names don't matter),
+    * and same-millisecond writes tie-break arbitrarily — which reordered
+    * a sentinel ahead of its data on first run and late-dropped two
+    * windows — so each file gets an explicit strictly-increasing mtime. */
+  private val mtimeSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis())
+  private def addFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = Files.write(Path.of(dir, s"$name.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSeq.addAndGet(2000)))
+  }
+
+  private def changeJson(c: Change): String =
+    s"""{"k":${c.k},"v":${c.v},"op":"${c.op}","payload":"${c.payload}"}"""
+
+  /** file-source -> maintain -> parquet-sink query, parameterized only by
+    * directories, so pre- and post-restart instances are identical. */
+  private def upsertQuery(srcDir: String, outDir: String, ckDir: String,
+      maxFilesPerTrigger: Int) = {
+    val changes = spark.readStream
+      .schema(Encoders.product[Change].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(srcDir)
+      .as[Change]
+    StreamingUpsert.maintain(spark, changes)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .start()
+  }
+
+  /** Materialize the changelog the way a downstream compactor would:
+    * per key the highest-version update, dropping tombstoned keys. */
+  private def materialize(outDir: String): Map[Long, String] =
+    spark.read.schema(Encoders.product[Update].schema).parquet(outDir)
+      .as[Update].collect()
+      .groupBy(_.k).map { case (_, us) => us.maxBy(_.v) }
+      .filter(_.present).map(u => u.k -> u.payload).toMap
+
+  private def batchFold(log: Seq[Change]): Map[Long, String] = {
+    val base = spark.emptyDataset[(Long, String)].toDF("k", "payload")
+    graft.operators.Upsert.applyChanges(
+        base, log.toDF("k", "v", "op", "payload"),
+        Seq("k"), Seq("payload"), "op", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("upsert maintenance restarted from checkpoint converges to the " +
+      "batch CDC fold; recovered winners suppress post-restart stragglers") {
+    val (srcDir, outDir, ckDir) = (tmp("ups_src"), tmp("ups_out"), tmp("ups_ck"))
+    val rnd = new scala.util.Random(29)
+    val randomLog = rnd.shuffle((0 until 200).map { v =>
+      val k = rnd.nextInt(60).toLong
+      if (rnd.nextInt(4) == 0) Change(k, v.toLong, "delete", "")
+      else Change(k, v.toLong, "upsert", s"p$v")
+    })
+    // pinned cross-restart interactions (keys outside the random range):
+    // the winners land strictly before the kill...
+    val phase1 = randomLog.take(100) ++ Seq(
+      Change(900L, 1000L, "upsert", "winner"),
+      Change(901L, 1000L, "delete", ""))
+    // ...and their lower-version stragglers strictly after the restart,
+    // so only RECOVERED state can suppress them
+    val phase2 = randomLog.drop(100) ++ Seq(
+      Change(900L, 5L, "upsert", "stale"),
+      Change(901L, 5L, "upsert", "resurrect-attempt"))
+    val fullLog = phase1 ++ phase2
+
+    addFile(srcDir, "b000", phase1.take(60).map(changeJson))
+    addFile(srcDir, "b001", phase1.drop(60).map(changeJson))
+    val q1 = upsertQuery(srcDir, outDir, ckDir, maxFilesPerTrigger = 10)
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+
+    // kill window: new data lands while no query is running
+    phase2.grouped(40).zipWithIndex.foreach { case (b, i) =>
+      addFile(srcDir, f"b${i + 2}%03d", b.map(changeJson))
+    }
+    val q2 = upsertQuery(srcDir, outDir, ckDir, maxFilesPerTrigger = 10)
+    try {
+      q2.processAllAvailable()
+      assert(materialize(outDir) == batchFold(fullLog))
+      val updates = spark.read.schema(Encoders.product[Update].schema)
+        .parquet(outDir).as[Update].collect()
+      // recovered state suppressed the stragglers: exactly one emission
+      // for each pinned key, and the tombstone held
+      assert(updates.count(_.k == 900L) == 1)
+      assert(updates.filter(_.k == 900L).head.payload == "winner")
+      assert(updates.count(_.k == 901L) == 1)
+      assert(!updates.filter(_.k == 901L).head.present)
+      // exactly-once across the restart: no (k, v) emitted twice
+      assert(updates.map(u => (u.k, u.v)).distinct.length == updates.length)
+    } finally q2.stop()
+  }
+
+  test("upsert maintenance killed MID-DRAIN (committed batches + pending " +
+      "files) restarts exactly-once and still converges") {
+    val (srcDir, outDir, ckDir) = (tmp("upsk_src"), tmp("upsk_out"), tmp("upsk_ck"))
+    val rnd = new scala.util.Random(31)
+    val log = (0 until 240).map { v =>
+      val k = rnd.nextInt(50).toLong
+      if (rnd.nextInt(4) == 0) Change(k, v.toLong, "delete", "")
+      else Change(k, v.toLong, "upsert", s"p$v")
+    }
+    rnd.shuffle(log).grouped(20).zipWithIndex.foreach { case (b, i) =>
+      addFile(srcDir, f"b$i%03d", b.map(changeJson))
+    }
+    // one file per trigger; kill as soon as SOME batches committed, with
+    // most files still unread — the kill point is deliberately loose (any
+    // point must satisfy the asserts), landing between "state recovered"
+    // and "source fully drained"
+    val q1 = upsertQuery(srcDir, outDir, ckDir, maxFilesPerTrigger = 1)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 3,
+      "fixture stall: no batches committed inside 60 s")
+    q1.stop(); q1.awaitTermination()
+
+    val q2 = upsertQuery(srcDir, outDir, ckDir, maxFilesPerTrigger = 10)
+    try {
+      q2.processAllAvailable()
+      assert(materialize(outDir) == batchFold(log))
+      val updates = spark.read.schema(Encoders.product[Update].schema)
+        .parquet(outDir).as[Update].collect()
+      assert(updates.map(u => (u.k, u.v)).distinct.length == updates.length,
+        "a replayed batch double-emitted across the kill")
+    } finally q2.stop()
+  }
+
+  test("TTL dedup restarted from checkpoint keeps suppressing in-TTL " +
+      "duplicates and still expires state on the recovered watermark") {
+    val (srcDir, outDir, ckDir) = (tmp("ttl_src"), tmp("ttl_out"), tmp("ttl_ck"))
+    def docJson(id: Long, sec: Int, text: String): String =
+      s"""{"doc_id":$id,"ts_ms":${1700000000000L + sec * 1000L},"text":"$text"}"""
+    def query() = {
+      // ONE file per trigger: the phase-2 files stage the watermark
+      // (in-TTL duplicate -> sentinel -> timeout firing -> re-admission)
+      // and bundling them into one batch would collapse the staging
+      val docs = spark.readStream
+        .schema("doc_id LONG, ts_ms LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .select("doc_id", "ts", "text")
+      StreamingDedup.firstSeenTtl(spark, docs,
+          watermarkDelay = "2 seconds", ttlMs = 5000L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+    }
+    // phase 1: A (emitted), in-batch duplicate of A (suppressed), B
+    addFile(srcDir, "b000", Seq(
+      docJson(1L, 0, "alpha alpha"), docJson(2L, 1, "alpha alpha"),
+      docJson(3L, 1, "beta beta")))
+    val q1 = query()
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+
+    // phase 2, post-restart: duplicate of A at t=3 s (inside A's TTL:
+    // only the RECOVERED fingerprint state can suppress it), then a
+    // sentinel pushing the watermark past every expiry, then a fresh
+    // duplicate of A in the reopened window (re-admitted by design)
+    addFile(srcDir, "b001", Seq(docJson(4L, 3, "alpha alpha")))
+    addFile(srcDir, "b002", Seq(docJson(5L, 20, "sentinel one")))
+    addFile(srcDir, "b003", Seq(docJson(6L, 30, "sentinel two")))
+    addFile(srcDir, "b004", Seq(docJson(7L, 31, "alpha alpha")))
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read
+        .schema(Encoders.product[StreamingDedup.Doc].schema)
+        .parquet(outDir).as[StreamingDedup.Doc].collect()
+        .map(_.doc_id).toSet
+      // 1 = first alpha, 3 = first beta, 5/6 = sentinels, 7 = alpha
+      // re-admitted after TTL expiry; 2 and 4 suppressed (4 only if the
+      // restart recovered state AND watermark)
+      assert(got == Set(1L, 3L, 5L, 6L, 7L), s"emitted=$got")
+    } finally q2.stop()
+  }
+
+  test("drift monitor restarted from checkpoint closes pre-kill windows " +
+      "from recovered counts, equal to the batch operator") {
+    import graft.operators.Anomaly
+    val (srcDir, outDir, ckDir) = (tmp("drf_src"), tmp("drf_out"), tmp("drf_ck"))
+    val winMs = 1000L
+    val base = 10L
+    val bucketOf = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    val fixture = Seq(
+      (0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "c"), (2L, "a"),
+      (3L, "a"), (3L, "b"), (3L, "b"), (3L, "b")).zipWithIndex
+      .map { case ((win, b), i) =>
+        ("g", (base + win) * winMs + i % 7 * 10, bucketOf(b)) }
+    val batch = Anomaly.distributionDrift(
+        fixture.map { case (g, ms, b) => (g, new Timestamp(ms), b) }
+          .toDF("grp", "ts", "bucket")
+          .withColumn("period", expr(s"unix_millis(ts) div $winMs - $base")),
+        col("grp"), col("period"), col("bucket"))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("period")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("tv_micros"))).toMap
+    val w0 = fixture.filter(_._2 < (base + 1) * winMs)
+    val baseline = w0.groupBy(_._3).map { case (b, g) =>
+      ("g", b) -> g.size * 1000000L / w0.size }
+    def rowJson(r: (String, Long, Long)): String =
+      s"""{"grp":"${r._1}","ts_ms":${r._2},"bucket":${r._3}}"""
+    def query() = {
+      // one file per trigger: the second sentinel's batch is where the
+      // recovered-window timeouts actually fire
+      val rows = spark.readStream
+        .schema("grp STRING, ts_ms LONG, bucket LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .select("grp", "ts", "bucket")
+      StreamingDrift.drift(spark, rows, baseline, winMs,
+          watermarkDelay = "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+    }
+    // phase 1: windows 0 and 1 in full — with a 10 s watermark delay
+    // NOTHING is emitted before the kill; their counts exist only in the
+    // checkpointed state store
+    addFile(srcDir, "b000",
+      fixture.filter(_._2 < (base + 2) * winMs).map(rowJson))
+    val q1 = query()
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    assert(spark.read
+      .schema(Encoders.product[StreamingDrift.DriftRow].schema)
+      .parquet(outDir).isEmpty,
+      "fixture drift: emission before the kill defeats the recovery test")
+
+    // phase 2: windows 2, 3, then watermark sentinels closing everything
+    addFile(srcDir, "b001",
+      fixture.filter(_._2 >= (base + 2) * winMs).map(rowJson))
+    addFile(srcDir, "b002", Seq(rowJson(("zz", 50 * winMs, 0L))))
+    addFile(srcDir, "b003", Seq(rowJson(("zz", 60 * winMs, 0L))))
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .where(col("grp") === "g").collect()
+        .map(r => (r.getAs[String]("grp"),
+          r.getAs[Long]("window_start_ms") / winMs - base) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("tv_micros"))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(spark.read.parquet(outDir).where(col("grp") === "g").count() == 4)
+    } finally q2.stop()
+  }
+}
