@@ -57,8 +57,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ClusterSmoke {
 
-  /** Queries under test — see class doc for what each one exercises. */
-  val QueryNames: Seq[String] = Seq(
+  /** The curated high-cross-JVM-surface set — see class doc for what each
+    * one exercises. Kept as documentation of the constructs that motivated
+    * this gate and as a fast subset (`--curated`); the DEFAULT run is the
+    * FULL registry (`SparkEntry.queries`), so every registered query —
+    * including ones added after this list was written — gets row-equality
+    * plus the <=2x serialization-cost pin on a real multi-JVM cluster. */
+  val CuratedQueries: Seq[String] = Seq(
     "q_part_triangles",
     "placement_choose",
     "placement_delete",
@@ -144,7 +149,7 @@ object ClusterSmoke {
   val GateFloorSec = 0.75
 
   private def runAll(spark: SparkSession, sfDir: String,
-      extraRunIfSlow: Boolean = false)
+      names: Seq[String], extraRunIfSlow: Boolean = false)
       : Map[String, Either[String, (Seq[String], Perf)]] = {
     spark.sparkContext.setLogLevel("WARN")
     val shufW = new AtomicLong; val spill = new AtomicLong
@@ -159,7 +164,7 @@ object ClusterSmoke {
     })
     // JVM/executor warmup so the first query doesn't absorb startup cost
     spark.range(10000000L).repartition(32).selectExpr("sum(id)").collect()
-    QueryNames.map { name =>
+    names.map { name =>
       val res =
         try {
           val rows = canon(SparkEntry.queries(name)(spark, sfDir))
@@ -197,21 +202,28 @@ object ClusterSmoke {
         "(normally exported by the bin scripts, absent here)")
     val repoClasses = new java.io.File("target/scala-2.13/classes").getAbsolutePath
 
+    // default: the FULL registry; `--curated` = the documented fast
+    // subset; any other args = an explicit query-name list
+    val names: Seq[String] =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.sameElements(Array("--curated"))) CuratedQueries
+      else args.toSeq
+
     val t0 = System.nanoTime()
     val cluster = session("local-cluster[2,16,4096]", repoClasses)
-    val clusterResults = runAll(cluster, sfDir, extraRunIfSlow = true)
+    val clusterResults = runAll(cluster, sfDir, names, extraRunIfSlow = true)
     cluster.stop()
     val tCluster = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
     val local = session("local[32]", repoClasses)
-    val localResults = runAll(local, sfDir)
+    val localResults = runAll(local, sfDir, names)
     local.stop()
     val tLocal = (System.nanoTime() - t1) / 1e9
 
     var failed = 0
     var perfFailed = 0
-    QueryNames.foreach { name =>
+    names.foreach { name =>
       (clusterResults(name), localResults(name)) match {
         case (Right((c, pc)), Right((l, pl))) if c == l =>
           println(s"[cluster-smoke] $name OK rows=${c.size}")
@@ -242,7 +254,7 @@ object ClusterSmoke {
       }
     }
     println(f"[cluster-smoke] ${if (failed + perfFailed == 0) "PASS" else "FAIL"} " +
-      f"queries=${QueryNames.size} failed=$failed perfFailed=$perfFailed " +
+      f"queries=${names.size} failed=$failed perfFailed=$perfFailed " +
       f"clusterSec=$tCluster%.1f localSec=$tLocal%.1f sf=$sfDir")
     if (failed + perfFailed > 0) sys.exit(1)
   }

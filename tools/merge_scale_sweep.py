@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
-"""Merge two QBench sweep logs (sf0.1 and the 10x amplified copy) into a
-BENCH_SCALE_r{N}.json artifact: best-of-3 per query per scale. Dev tool —
+"""Merge two QBench sweep logs (a base scale and an amplified copy) into a
+BENCH_SCALE*_r{N}.json artifact: best-of-3 per query per scale. Dev tool —
 the engine never depends on Python.
 
-Usage: python3 tools/merge_scale_sweep.py <sf01.log> <sf1.log> <out.json> <note>
+Usage: python3 tools/merge_scale_sweep.py <base.log> <big.log> <out.json> <note> \
+           [base_label] [big_label]
+Labels default to the historical sf0.1 / sf1_10x pair; the 100x sweep
+passes sf0.1 sf10_100x.
 """
 import json
 import re
@@ -27,10 +30,12 @@ def best_of(path):
 
 def main():
     sf01, sf1, out, note = sys.argv[1:5]
+    base_label = sys.argv[5] if len(sys.argv) > 5 else "sf0.1"
+    big_label = sys.argv[6] if len(sys.argv) > 6 else "sf1_10x"
     (a, sa), (b, sb) = best_of(sf01), best_of(sf1)
     doc = {
-        "sf0.1": {k: round(v, 2) for k, v in sorted(a.items())},
-        "sf1_10x": {k: round(v, 2) for k, v in sorted(b.items())},
+        base_label: {k: round(v, 2) for k, v in sorted(a.items())},
+        big_label: {k: round(v, 2) for k, v in sorted(b.items())},
         "note": note,
     }
     # spill bytes of each query's best run; only queries that spilled at
@@ -40,13 +45,13 @@ def main():
                      or sa.get(k, {}).get("mem") or sb.get(k, {}).get("mem"))
     if sa or sb:
         doc["spill_bytes"] = {
-            k: {"sf0.1": sa.get(k), "sf1_10x": sb.get(k)} for k in spilled}
+            k: {base_label: sa.get(k), big_label: sb.get(k)} for k in spilled}
     shared = sorted(set(a) & set(b))
     ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
     doc["summary"] = {
         "queries": len(shared),
-        "total_sf0.1_sec": round(ta, 2),
-        "total_10x_sec": round(tb, 2),
+        f"total_{base_label}_sec": round(ta, 2),
+        f"total_{big_label}_sec": round(tb, 2),
         "total_ratio": round(tb / ta, 2),
         "over_2x": sorted(k for k in shared if a[k] > 0 and b[k] / a[k] > 2),
     }
