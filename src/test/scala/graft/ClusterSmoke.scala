@@ -126,10 +126,15 @@ object ClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // worker JVMs are launched from SPARK_HOME and know nothing about this
-    // repo — hand executors the compiled graft classes explicitly
+    // repo — hand executors the compiled graft classes explicitly. Executor
+    // heap defaults to Spark's 1g (plenty at sf0.01); larger-scale runs set
+    // GRAFT_SMOKE_EXEC_MEM (must fit the worker capacity in the master
+    // string, e.g. 3g under local-cluster[2,16,4096]).
     val withCp =
       if (master.startsWith("local-cluster"))
         b.config("spark.executor.extraClassPath", repoClasses)
+          .config("spark.executor.memory",
+            sys.env.getOrElse("GRAFT_SMOKE_EXEC_MEM", "1g"))
       else b
     withCp.getOrCreate()
   }
