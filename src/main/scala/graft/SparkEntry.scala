@@ -3547,7 +3547,10 @@ object SparkEntry {
 
   /** Snapshot reconciliation: documents vs a deterministically-edited v2
     * (drops, text rewrites, additions derived in-query so the oracle can
-    * re-derive them). One full-outer join (see operators.Diff). */
+    * re-derive them). Added docs get fresh NEGATIVE ids — an offset
+    * ("+1e9") is only fresh until a ScaleUp stride reaches it (the 100x
+    * directory's second-pass stride IS 1e9), a negation never collides.
+    * One full-outer join (see operators.Diff). */
   private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
     val v1 = Tables.documents(s, dir).select("doc_id", "text", "lang")
     val v2 = v1
@@ -3555,7 +3558,7 @@ object SparkEntry {
       .withColumn("text",
         when(col("doc_id") % 61 === 0, upper(col("text"))).otherwise(col("text")))
       .unionByName(v1.where(col("doc_id") % 103 === 0)
-        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"), col("lang")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text"), col("lang")))
     operators.Diff.diff(v1, v2, Seq("doc_id")).orderBy("doc_id")
   }
 
@@ -3567,7 +3570,7 @@ object SparkEntry {
        |    lang
        |  FROM v1 WHERE doc_id % 97 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000000, text, lang FROM v1 WHERE doc_id % 103 = 0)
+       |  SELECT -doc_id - 1, text, lang FROM v1 WHERE doc_id % 103 = 0)
        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
        |       WHEN v2.doc_id IS NULL THEN 'removed'
@@ -3628,8 +3631,15 @@ object SparkEntry {
     * replay it: v1 upserts every %5 key (payload mutation), a v2
     * takedown deletes every %7 key, a v3 re-upsert resurrects every %35
     * key (proving LWW beats the delete, not branch order), and %97 keys
-    * insert under fresh ids. Account balances travel as BIGINT micros so
-    * no DOUBLE crosses the compare boundary. */
+    * insert under fresh NEGATIVE ids — negated rather than offset,
+    * because "fresh" must survive key-stride amplification: the 10x
+    * multi-JVM gate caught the original `+10000000` insert ids colliding
+    * with ScaleUp copy-1 customers, producing two v=1 upserts per key
+    * whose winner was partition-order-dependent. The gate also passes
+    * `tieCols = (op, c_name)`, exercising the operator's own
+    * versions-can-collide contract so any residual tie is totally
+    * ordered on both engines. Account balances travel as BIGINT micros
+    * so no DOUBLE crosses the compare boundary. */
   private def qApplyChanges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -3651,13 +3661,13 @@ object SparkEntry {
         col("c_nationkey"), (col("acct_micros") + 5L).as("acct_micros"),
         col("c_mktsegment"), lit("upsert").as("op"), lit(3L).as("v"))
     val ins = c.where(col("c_custkey") % 97 === 0)
-      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+      .select((-col("c_custkey") - 1L).as("c_custkey"),
         concat(lit("new:"), col("c_name")).as("c_name"),
         col("c_nationkey"), lit(42000000L).as("acct_micros"),
         col("c_mktsegment"), lit("upsert").as("op"), lit(1L).as("v"))
     val changes = up1.unionByName(del2).unionByName(up3).unionByName(ins)
     operators.Upsert.applyChanges(c, changes, Seq("c_custkey"), payload,
-        opCol = "op", versionCol = "v")
+        opCol = "op", versionCol = "v", tieCols = Seq("op", "c_name"))
       .orderBy("c_custkey")
   }
 
@@ -3676,11 +3686,12 @@ object SparkEntry {
        |  SELECT c_custkey, 'u3:' || c_name, c_nationkey, acct_micros + 5,
        |    c_mktsegment, 'upsert', 3 FROM c WHERE c_custkey % 35 = 0
        |  UNION ALL
-       |  SELECT c_custkey + 10000000, 'new:' || c_name, c_nationkey,
+       |  SELECT -c_custkey - 1, 'new:' || c_name, c_nationkey,
        |    42000000, c_mktsegment, 'upsert', 1
        |  FROM c WHERE c_custkey % 97 = 0),
        |w AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
-       |    PARTITION BY c_custkey ORDER BY v DESC) AS rk FROM ch)
+       |    PARTITION BY c_custkey
+       |    ORDER BY v DESC, op DESC, c_name DESC) AS rk FROM ch)
        |  WHERE rk = 1)
        |SELECT COALESCE(c.c_custkey, w.c_custkey) AS c_custkey,
        |  CASE WHEN w.op = 'upsert' THEN w.c_name ELSE c.c_name END AS c_name,
@@ -3707,7 +3718,7 @@ object SparkEntry {
       .withColumn("text",
         when(col("doc_id") % 61 === 0, upper(col("text"))).otherwise(col("text")))
       .unionByName(v1.where(col("doc_id") % 103 === 0)
-        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"), col("lang")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text"), col("lang")))
     operators.Diff.changeSet(v1, v2, Seq("doc_id")).orderBy("doc_id")
   }
 
@@ -3719,7 +3730,7 @@ object SparkEntry {
        |    lang
        |  FROM v1 WHERE doc_id % 97 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000000, text, lang FROM v1 WHERE doc_id % 103 = 0)
+       |  SELECT -doc_id - 1, text, lang FROM v1 WHERE doc_id % 103 = 0)
        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        |  CASE WHEN v2.doc_id IS NOT NULL THEN v2.text END AS text,
        |  CASE WHEN v2.doc_id IS NOT NULL THEN v2.lang END AS lang,
