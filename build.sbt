@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt default behaviors defeat that: forked program output is
+// re-logged with an "[info] " prefix, and sbt appends "[success] Total
+// time…" after the program's final line. Pass forked run/runMain output
+// through undecorated and suppress the success banner so the bench's
+// compact JSON line is genuinely the last stdout line. (Test mains —
+// QBench/ClusterSmoke — are unaffected: this scopes to Compile run only.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint so load stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,12 +90,22 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Drift-normalized companion total: ambient host speed swings ±35%
+    // between sessions (BASELINE.md r10/r11 cross-round comparisons were
+    // dominated by it), so alongside the raw total we emit total ÷ sentinel
+    // — per-query seconds divided by the same-run calibration cost sum to
+    // exactly this — making round-over-round comparisons self-correcting.
+    // min(pre, post) is the sentinel: the quieter of the two measurements,
+    // robust to a GC/compaction spike landing inside one calibration pass.
     def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val sentinel = math.min(calPre, calPost)
+      val normalized = if (sentinel > 0) total / sentinel else -1.0
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","runs":2,"n_queries":${results.size},$extra""" +
+        s""""normalized_total_per_sentinel":${fmt(normalized)},""" +
         s""""calibration_sec":{"pre":${fmt(calPre)},"post":${fmt(calPost)}}}"""
     }
     val fullLine = jsonLine(results, "")

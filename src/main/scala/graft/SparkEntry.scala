@@ -2191,8 +2191,13 @@ object SparkEntry {
        |SELECT doc_id, kind, phash FROM ph ORDER BY doc_id""".stripMargin
 
   /** Re-crawl fixture for the perceptual pairs gate: every 37th
-    * document re-appears under a shifted id (+3e9, divisible by 3 so
-    * the media kind is preserved), half byte-identical (hamming-0
+    * document re-appears under a shifted id (+3e18 — the fixture id
+    * plateau: divisible by 3 so the media kind is preserved, and far
+    * above any id ScaleUp amplification can produce; the amplifier
+    * self-checks `max key < 3e18`, so fixture-synthesized ids can never
+    * collide with amplified real ids the way the original +3e9 offset
+    * could at 100x, where strided doc_ids reach ~9e9), half
+    * byte-identical (hamming-0
     * pairs guaranteed) and half with the leading byte case-flipped —
     * a single-byte payload perturbation whose hash distance the
     * oracle re-derives exactly. Without planting, the synthetic
@@ -2203,7 +2208,7 @@ object SparkEntry {
       .withColumn("text", when(col("doc_id") % 74 === 0,
         concat(upper(substring(col("text"), 1, 1)), expr("substring(text, 2)")))
         .otherwise(col("text")))
-      .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+      .withColumn("doc_id", col("doc_id") + lit(3000000000000000000L))
     docs.unionByName(dup)
   }
 
@@ -2241,7 +2246,7 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Incremental perceptual admission: the re-crawled media (the
-    * +3e9-id copies of [[mediaRecrawl]]) checked against the ORIGINAL
+    * +3e18-id copies of [[mediaRecrawl]]) checked against the ORIGINAL
     * corpus as the standing ledger (Dedup.incrementalHammingDedup) —
     * the ingest-time question "is this newly crawled image/audio/video
     * perceptually near-identical to anything the corpus already
@@ -2259,8 +2264,8 @@ object SparkEntry {
       .toDF()
       .select(col("kind"), col("doc_id"), col("phash").as("sig"))
     pipeline.Dedup.incrementalHammingDedup(
-        hashes.where(col("doc_id") >= 3000000000L),
-        hashes.where(col("doc_id") < 3000000000L),
+        hashes.where(col("doc_id") >= 3000000000000000000L),
+        hashes.where(col("doc_id") < 3000000000000000000L),
         maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
         partitionCols = Seq("kind"))
       .orderBy("doc_id")
@@ -2270,14 +2275,14 @@ object SparkEntry {
     s"""WITH docs_rc AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 3000000000,
+       |  SELECT doc_id + 3000000000000000000,
        |    CASE WHEN doc_id % 74 = 0
        |         THEN upper(substr(text, 1, 1)) || substr(text, 2)
        |         ELSE text END AS text
        |  FROM documents WHERE doc_id % 37 = 0),
        |${duckPhashCtes("docs_rc")},
-       |bat AS (SELECT * FROM ph WHERE doc_id >= 3000000000),
-       |led AS (SELECT * FROM ph WHERE doc_id < 3000000000),
+       |bat AS (SELECT * FROM ph WHERE doc_id >= 3000000000000000000),
+       |led AS (SELECT * FROM ph WHERE doc_id < 3000000000000000000),
        |bb AS (SELECT doc_id, kind, phash, b,
        |    (phash >> CAST(b * 16 AS INT)) & 65535 AS key
        |  FROM bat, (SELECT unnest(range(4)) AS b) bands),
@@ -2314,7 +2319,7 @@ object SparkEntry {
     s"""WITH docs_rc AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 3000000000,
+       |  SELECT doc_id + 3000000000000000000,
        |    CASE WHEN doc_id % 74 = 0
        |         THEN upper(substr(text, 1, 1)) || substr(text, 2)
        |         ELSE text END AS text
@@ -2365,7 +2370,7 @@ object SparkEntry {
        |docs_rc2 AS (
        |  SELECT doc_id FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 3000000000 FROM documents WHERE doc_id % 37 = 0)
+       |  SELECT doc_id + 3000000000000000000 FROM documents WHERE doc_id % 37 = 0)
        |SELECT doc_id,
        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
@@ -3635,11 +3640,14 @@ object SparkEntry {
     * because "fresh" must survive key-stride amplification: the 10x
     * multi-JVM gate caught the original `+10000000` insert ids colliding
     * with ScaleUp copy-1 customers, producing two v=1 upserts per key
-    * whose winner was partition-order-dependent. The gate also passes
-    * `tieCols = (op, c_name)`, exercising the operator's own
-    * versions-can-collide contract so any residual tie is totally
-    * ordered on both engines. Account balances travel as BIGINT micros
-    * so no DOUBLE crosses the compare boundary. */
+    * whose winner was partition-order-dependent. The versions-CAN-collide
+    * contract is exercised DELIBERATELY: every %55 key gets a second v=1
+    * upsert (`t1:` payload) alongside its `u1:` one, so the
+    * `tieCols = (op, c_name)` ordering is genuinely consulted — both
+    * engines must rank `u1:` over `t1:` (c_name DESC) or the hash splits;
+    * without such a pair the tie path would be dead code the gate merely
+    * claims to cover. Account balances travel as BIGINT micros so no
+    * DOUBLE crosses the compare boundary. */
   private def qApplyChanges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -3665,7 +3673,14 @@ object SparkEntry {
         concat(lit("new:"), col("c_name")).as("c_name"),
         col("c_nationkey"), lit(42000000L).as("acct_micros"),
         col("c_mktsegment"), lit("upsert").as("op"), lit(1L).as("v"))
+    // the deliberate equal-version pair: a SECOND v=1 upsert per %55 key
+    // (every %55 key already has the u1 row), loser by c_name tie-break
+    val up1b = c.where(col("c_custkey") % 55 === 0)
+      .select(col("c_custkey"), concat(lit("t1:"), col("c_name")).as("c_name"),
+        col("c_nationkey"), (col("acct_micros") + 2222222L).as("acct_micros"),
+        col("c_mktsegment"), lit("upsert").as("op"), lit(1L).as("v"))
     val changes = up1.unionByName(del2).unionByName(up3).unionByName(ins)
+      .unionByName(up1b)
     operators.Upsert.applyChanges(c, changes, Seq("c_custkey"), payload,
         opCol = "op", versionCol = "v", tieCols = Seq("op", "c_name"))
       .orderBy("c_custkey")
@@ -3688,7 +3703,11 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT -c_custkey - 1, 'new:' || c_name, c_nationkey,
        |    42000000, c_mktsegment, 'upsert', 1
-       |  FROM c WHERE c_custkey % 97 = 0),
+       |  FROM c WHERE c_custkey % 97 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, 't1:' || c_name, c_nationkey,
+       |    acct_micros + 2222222, c_mktsegment, 'upsert', 1
+       |  FROM c WHERE c_custkey % 55 = 0),
        |w AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
        |    PARTITION BY c_custkey
        |    ORDER BY v DESC, op DESC, c_name DESC) AS rk FROM ch)
@@ -3767,23 +3786,26 @@ object SparkEntry {
        |    AS p_micros
        |FROM pairs ORDER BY from_type, to_type""".stripMargin
 
-  /** IQR outliers per event type: exact rank-statistic quartiles (the
-    * q_doc_length_quantiles pattern), fence arithmetic on raw doubles —
-    * the SAME IEEE operations in the same order on both engines, so the
-    * comparison is bit-deterministic without emitting any double. */
+  /** IQR outliers per event type: exact rank-statistic quartiles, fence
+    * arithmetic on raw doubles — the SAME IEEE operations in the same
+    * order on both engines, so the comparison is bit-deterministic
+    * without emitting any double. The quartiles come from
+    * `Quantiles.exactRankStatistics` (range-partitioned distributed
+    * selection) rather than a per-group `row_number` sort: with 5 event
+    * types the sort tier caps parallelism at 5 tasks — the r11 100x
+    * sweep measured 37.5x wall for 100x data — while the selection form
+    * is exact at `partitions`-way parallelism. The value at a rank
+    * depends only on the value multiset, so dropping the old
+    * (value, event_id) tie-break changes nothing the oracle can see. */
   private def qValueOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ranked = eventsBase(s, dir)
+    val base = eventsBase(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    val fences = ranked
-      .groupBy("event_type")
-      .agg(
-        max(when(col("rk") === expr("(n + 3) div 4"), col("value"))).as("q1"),
-        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("value"))).as("q3"))
+    val quartiles = operators.Quantiles.exactRankStatistics(
+      base, Seq("event_type"), "value",
+      Seq("q1" -> (n => (n + 3) / 4), "q3" -> (n => (3 * n + 3) / 4)))
+    val fences = quartiles
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-    ranked.join(broadcast(fences.select("event_type", "hi")), "event_type")
+    base.join(broadcast(fences.select("event_type", "hi")), "event_type")
       .where(col("value") > col("hi"))
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")

@@ -107,6 +107,107 @@ object Quantiles {
           .as("ok")): _*)
   }
 
+  /** EXACT rank statistics without the per-group monolithic sort — the
+    * scale path for the exact tier itself (the sketch tiers above trade
+    * exactness; this one doesn't).
+    *
+    * The classic distributed-selection shape: range-partition the
+    * `(groupCols, value)` relation into `partitions` ordered cells, take
+    * per-cell per-group counts (a `partitions x groups` relation —
+    * metadata-sized), locate on the driver which cell holds each target
+    * rank and the residual rank within it, then rank ONLY inside the
+    * <= groups x targets cells that matter (each ~n/partitions rows).
+    * Exact for any partitioner split — counts are measured after
+    * partitioning, and a boundary-straddling tie still yields the same
+    * value at the global rank whichever cell serves it. Parallelism is
+    * `partitions` for the counting pass and cell-count for the selection
+    * pass, never the group count: 5 groups over 100 TB stop being 5
+    * 20 TB sort tasks (the `q_value_outliers` 100x inversion this
+    * replaces, 37.5x wall at 100x data) and become `partitions` counting
+    * tasks plus <= 10 small cell sorts.
+    *
+    * `targets` maps a label to the 1-based rank wanted per group, as a
+    * function of the group's non-null count n (e.g. `(n+3) div 4` for
+    * the q1 rank convention). NULL values are outside the rank domain
+    * (the [[Histogram]] convention). Returns one EAGER row per group:
+    * `groupCols*, n, <label>...` — eager because the partitioned
+    * relation is persisted for exactly the two passes and unpersisted
+    * before returning; the result is groups-sized by construction. */
+  def exactRankStatistics(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String,
+                          targets: Seq[(String, Long => Long)],
+                          partitions: Int = 64): DataFrame = {
+    require(targets.nonEmpty, "at least one target rank")
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val vals = df.select(g :+ col(valueCol).as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val parts = vals
+      .repartitionByRange(partitions, g :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-cell per-group counts -> driver (partitions x groups)
+      val histRows = parts.groupBy(col("__pid") +: g: _*)
+        .agg(count(lit(1)).as("__cnt")).collect()
+      val byGroup = histRows.toSeq
+        .map(r => (r.toSeq.slice(1, 1 + groupCols.size),
+          r.getInt(0), r.getLong(1 + groupCols.size)))
+        .groupBy(_._1)
+      // locate each (group, label) target: owning cell + residual rank
+      val groupN = byGroup.map { case (k, cells) => k -> cells.map(_._3).sum }
+      val cellTargets = byGroup.toSeq.flatMap { case (key, cells) =>
+        val n = groupN(key)
+        val ordered = cells.sortBy(_._2)
+        targets.map { case (label, rankOf) =>
+          val r = rankOf(n)
+          require(r >= 1 && r <= n,
+            s"target rank $label=$r outside [1, $n] for group $key")
+          var cum = 0L
+          val (pid, residual) = ordered.collectFirst {
+            case (_, p, c) if { val hit = cum + c >= r; if (!hit) cum += c; hit } =>
+              (p, r - cum)
+          }.get
+          org.apache.spark.sql.Row.fromSeq(key ++ Seq(pid, label, residual))
+        }
+      }
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val groupFields = groupCols.map(c => parts.schema(c))
+      val valueType = parts.schema("__v").dataType
+      val targetSchema = StructType(groupFields ++ Seq(
+        StructField("__pid", IntegerType),
+        StructField("__label", StringType),
+        StructField("__residual", LongType)))
+      val targetDf = spark.createDataFrame(cellTargets.asJava, targetSchema)
+      // pass 2: rank only inside the selected cells; a cell hosting two
+      // targets fans each row out per label, so the window partitions on
+      // the label too and each copy ranks independently
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(g ++ Seq(col("__pid"), col("__label")): _*)
+        .orderBy(col("__v"))
+      val picked = parts.join(broadcast(targetDf), groupCols :+ "__pid")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === col("__residual"))
+        .select(g ++ Seq(col("__label"), col("__v")): _*)
+        .collect()
+      val valueAt = picked.map { r =>
+        (r.toSeq.take(groupCols.size), r.getString(groupCols.size)) ->
+          r.get(groupCols.size + 1)
+      }.toMap
+      val outRows = byGroup.keys.toSeq.sortBy(_.mkString(""))
+        .map { key =>
+          org.apache.spark.sql.Row.fromSeq(
+            key ++ (groupN(key) +: targets.map { case (label, _) =>
+              valueAt((key, label)) }))
+        }
+      val outSchema = StructType(groupFields ++
+        (StructField("n", LongType) +:
+          targets.map { case (label, _) => StructField(label, valueType) }))
+      spark.createDataFrame(outRows.asJava, outSchema)
+    } finally parts.unpersist()
+  }
+
   /** Tukey IQR upper fences per group from sketched quartiles:
     * `groupCols*, hi` with `hi = q3 + 1.5 * (q3 - q1)` — the same IEEE
     * expression, in the same order, as the exact-fence queries, so equal

@@ -427,24 +427,26 @@ object Multimodal {
   def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PHashRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.map { m =>
-        val h = m.kind match {
-          case "image" =>
-            val img = Codecs.decodeBmp(m.payload)
-            dHash(img.pixels, 0, img.width, img.height)
-          case "audio" =>
-            waveformHash(Codecs.decodeWav(m.payload).samples)
-          case _ =>
-            val v = Codecs.decodeGvidHeader(m.payload)
-            // a zero-frame container is well-formed (header only, exact
-            // length) but has no first frame to dHash — hash 0L, the same
-            // total-function convention as the empty-data WAV
-            if (v.frameCount < 1) 0L
-            else dHash(m.payload, Codecs.GvidHeaderLen, v.width, v.height)
-        }
-        PHashRow(m.doc_id, m.kind, h)
-      }
+      it.map(m => PHashRow(m.doc_id, m.kind, phashOf(m.kind, m.payload)))
     }
+  }
+
+  /** The perceptual hash of ONE payload through the real decoders — the
+    * per-row body of [[perceptualHashes]], exposed so admission paths can
+    * fuse decode-check and hash into a single decode ([[checkedPHash]]). */
+  def phashOf(kind: String, payload: Array[Byte]): Long = kind match {
+    case "image" =>
+      val img = Codecs.decodeBmp(payload)
+      dHash(img.pixels, 0, img.width, img.height)
+    case "audio" =>
+      waveformHash(Codecs.decodeWav(payload).samples)
+    case _ =>
+      val v = Codecs.decodeGvidHeader(payload)
+      // a zero-frame container is well-formed (header only, exact
+      // length) but has no first frame to dHash — hash 0L, the same
+      // total-function convention as the empty-data WAV
+      if (v.frameCount < 1) 0L
+      else dHash(payload, Codecs.GvidHeaderLen, v.width, v.height)
   }
 
   final case class MediaVerdict(doc_id: Long, kind: String,
@@ -486,16 +488,49 @@ object Multimodal {
       }
       None
     } catch {
-      case e: IllegalArgumentException => Some(reasonClass(e.getMessage))
-      case _: ArrayIndexOutOfBoundsException => Some("truncated")
-      case _: IndexOutOfBoundsException => Some("truncated")
-      // a length field that int-overflows the geometry product can slip
-      // the length require and reach the raster allocation negative —
-      // still a malformed payload, not a task death. (An honestly-huge
-      // positive geometry cannot over-allocate: every decoder checks the
-      // declared geometry against the actual byte count BEFORE
-      // allocating, so the raster is never bigger than the payload.)
-      case _: NegativeArraySizeException => Some("truncated")
+      case e: Throwable => classifyDecodeFailure(e) match {
+        case some @ Some(_) => some
+        case None           => throw e
+      }
+    }
+
+  /** The decode-failure classifier shared by [[decodeVerdict]] and
+    * [[checkedPHash]] — ONE function, so the batch quarantine gate and the
+    * streaming admission path have a provably identical accept/reject
+    * boundary. `None` means the throwable is NOT a malformed-payload
+    * class and must propagate (a real bug should still kill the task). */
+  private def classifyDecodeFailure(e: Throwable): Option[String] = e match {
+    case e: IllegalArgumentException => Some(reasonClass(e.getMessage))
+    case _: ArrayIndexOutOfBoundsException => Some("truncated")
+    case _: IndexOutOfBoundsException => Some("truncated")
+    // a length field that int-overflows the geometry product can slip
+    // the length require and reach the raster allocation negative —
+    // still a malformed payload, not a task death. (An honestly-huge
+    // positive geometry cannot over-allocate: every decoder checks the
+    // declared geometry against the actual byte count BEFORE
+    // allocating, so the raster is never bigger than the payload.)
+    case _: NegativeArraySizeException => Some("truncated")
+    case _ => None
+  }
+
+  /** [[decodeVerdict]] fused with the perceptual hash: `Left(reasonClass)`
+    * for a payload the real decoders reject, `Right(phash)` otherwise —
+    * ONE decode per row (decodeVerdict-then-perceptualHashes would decode
+    * twice). This is the streaming admission primitive
+    * (`streaming.StreamingMediaDedup`): a corrupt payload mid-stream
+    * becomes a per-row quarantine verdict instead of an executor
+    * exception that kills the whole query — the streaming twin of
+    * [[quarantineSplit]], with the identical [[classifyDecodeFailure]]
+    * boundary. */
+  def checkedPHash(kind: String, payload: Array[Byte]): Either[String, Long] =
+    try {
+      if (payload == null) Left("bad_magic")
+      else Right(phashOf(kind, payload))
+    } catch {
+      case e: Throwable => classifyDecodeFailure(e) match {
+        case Some(r) => Left(r)
+        case None    => throw e
+      }
     }
 
   /** Media twin of `sources.Quarantine.split`: every row of `media` is

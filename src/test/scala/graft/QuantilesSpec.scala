@@ -121,6 +121,54 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("exactRankStatistics equals the window-sort reference across " +
+      "partition counts, tie densities, and group shapes") {
+    // include mod=7 (massive ties: boundary-straddling equal values) and a
+    // 1-group frame (both quartile targets can land in one cell)
+    for ((groups, mod, parts) <- Seq((1, 7, 3), (3, 31, 8), (5, 997, 64),
+        (2, 13, 1))) {
+      val df = spark.range(0, 4000 * groups).selectExpr(
+        s"CAST(id % $groups AS STRING) AS g",
+        s"CAST((1103515245 * id + 12345) % $mod AS DOUBLE) AS v")
+      val got = Quantiles.exactRankStatistics(df, Seq("g"), "v",
+          Seq("q1" -> ((n: Long) => (n + 3) / 4),
+            "q3" -> ((n: Long) => (3 * n + 3) / 4),
+            "min" -> ((_: Long) => 1L),
+            "max" -> ((n: Long) => n)),
+          partitions = parts)
+        .orderBy("g").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+          r.getAs[Double]("q1"), r.getAs[Double]("q3"),
+          r.getAs[Double]("min"), r.getAs[Double]("max")))
+      val ref = df
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("g").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("g", "n").agg(
+          max(when(col("rk") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+          max(when(col("rk") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"),
+          max(when(col("rk") === 1L, col("v"))).as("mn"),
+          max(when(col("rk") === col("n"), col("v"))).as("mx"))
+        .orderBy("g").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+          r.getAs[Double]("q1"), r.getAs[Double]("q3"),
+          r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      assert(got.toSeq == ref.toSeq, s"groups=$groups mod=$mod parts=$parts")
+    }
+  }
+
+  test("exactRankStatistics: single-row group and null values excluded") {
+    val df = Seq(("a", Some(5.0)), ("a", None), ("b", Some(1.0)),
+      ("b", Some(2.0)), ("b", None), ("b", Some(3.0)))
+      .toDF("g", "v")
+    val got = Quantiles.exactRankStatistics(df, Seq("g"), "v",
+        Seq("med" -> ((n: Long) => (n + 1) / 2)), partitions = 4)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // nulls are outside the rank domain: a=1 non-null row, b=3
+    assert(got.toSeq == Seq(("a", 1L, 5.0), ("b", 3L, 2.0)))
+  }
+
   test("plan shape: sketch aggregate, no window sort, broadcast fence join") {
     val plan = Quantiles.iqrOutliers(fixture, Seq("g"), "v", accuracy = 4096)
       .queryExecution.executedPlan.toString

@@ -129,6 +129,47 @@ object ScaleUp {
       Map("vec_id" -> shifted(K), "embedding" -> (e => shiftVec(e)))),
       files = 16)
 
+    // ---- amplification self-check (r12) --------------------------------
+    // The CDC gate nondeterminism (PLANS.md) was caught by luck: a fixture
+    // id offset collided with this amplifier's key stride. Make the whole
+    // class impossible to reintroduce silently:
+    //  (1) stride disjointness — every strided key column's amplified
+    //      distinct count must be EXACTLY copies x the source distinct
+    //      count; any copy-overlap in id space merges keys and fails here
+    //      (the round-5 user-stride bug and the r11 CDC insert-id bug
+    //      would both have tripped this);
+    //  (2) fixture id plateau — SparkEntry fixtures synthesize ids only
+    //      below 0 (CDC inserts, diff adds: negation) or at >= 3e18 (the
+    //      media re-crawl plateau), so amplified REAL ids must stay in
+    //      [0, 3e18) for fixture-vs-data disjointness at ANY scale.
+    val FixturePlateau = 3000000000000000000L
+    val keyCheck: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    keyCheck.foreach { case (name, keys) =>
+      val srcDf = spark.read.parquet(s"$src/$name.parquet")
+      val dstDf = spark.read.parquet(s"$dst/$name.parquet")
+      keys.foreach { k =>
+        val sd = srcDf.agg(countDistinct(col(k))).head().getLong(0)
+        val row = dstDf.agg(countDistinct(col(k)),
+          max(col(k).cast("long")), min(col(k).cast("long"))).head()
+        val (dd, mx, mn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        require(dd == sd * copies,
+          s"[scaleup] STRIDE COLLISION $name.$k: amplified distinct $dd " +
+            s"!= source distinct $sd x $copies copies — copies overlap " +
+            "in id space; pass a larger stride")
+        require(mn >= 0 && mx < FixturePlateau,
+          s"[scaleup] FIXTURE-SPACE BREACH $name.$k: amplified ids span " +
+            s"[$mn, $mx] outside [0, $FixturePlateau) — synthetic fixture " +
+            "ids (negative CDC inserts / >=3e18 media re-crawls) would " +
+            "collide with real rows")
+        println(s"[scaleup] self-check OK $name.$k distinct=$dd max=$mx")
+      }
+    }
+
     spark.stop()
   }
 }

@@ -218,6 +218,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.release() }
   }
 
+  test("streaming media admission quarantines corrupt payloads mid-stream " +
+      "instead of dying, matching batch quarantineSplit + admission") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Multimodal}
+    import org.apache.spark.sql.functions.col
+    // originals cover all three kinds (id % 3); the recrawl ids 900..908
+    // sweep kind (id % 3) x corruption family (id % 4: intact / magic
+    // overwritten / last byte dropped / truncated to 8 bytes), with the
+    // intact rows split between a payload dup (900, 904) and an
+    // unrelated doc (908) so all three verdicts appear
+    val originals = Seq(
+      (0L, "aaaa bbbb cccc dddd"), (1L, "hello world sample audio text"),
+      (2L, "video content words here"), (3L, "unrelated other text block"),
+      (4L, "another audio document"), (5L, "yet another video file"))
+      .map { case (i, t) => (i, t, "s", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    val recrawl = Seq(
+      (900L, "aaaa bbbb cccc dddd"),                  // kind 0, intact: dup
+      (901L, "hello world sample audio text"),        // corrupt: bad magic
+      (902L, "video content words here"),             // corrupt: short 1 byte
+      (903L, "unrelated other text block"),           // corrupt: 8 bytes
+      (904L, "hello world sample audio text"),        // kind 1, intact: dup
+      (905L, "yet another video file"),               // corrupt: bad magic
+      (906L, "aaaa bbbb cccc dddd"),                  // corrupt: short 1 byte
+      (907L, "another audio document"),               // corrupt: 8 bytes
+      (908L, "completely different words entirely"))  // kind 2, intact: new
+      .map { case (i, t) => (i, t, "s", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    val recrawlMedia =
+      Multimodal.corruptMedia(spark, Multimodal.mediaTable(recrawl))
+    def sigsOf(media: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualHashes(spark, media).toDF()
+        .select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    // batch twin: quarantineSplit classifies; its decodable side feeds the
+    // incremental hamming admission — the streaming path must reproduce
+    // BOTH halves from one pass
+    val split = Multimodal.quarantineSplit(spark, recrawlMedia).toDF()
+    val expectedQ = split.where(col("quarantined"))
+      .select("doc_id", "kind", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), "quarantined",
+        None: Option[Long], None: Option[Long], Option(r.getString(2))))
+      .toSet
+    val good = split.where(!col("quarantined"))
+      .select("doc_id", "kind", "payload", "source", "lang")
+    val expectedA = Dedup.incrementalHammingDedup(
+        sigsOf(good), sigsOf(Multimodal.mediaTable(originals)),
+        partitionCols = Seq("kind"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+        r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long]),
+        None: Option[String]))
+      .toSet
+    val expected = expectedQ ++ expectedA
+    // the fixture must exercise all three verdicts and >= 2 distinct
+    // quarantine reason classes or it proves nothing
+    assert(expectedQ.flatMap(_._6).size >= 2, expectedQ)
+    assert(expectedA.exists(_._3 == "near_dup") &&
+      expectedA.exists(_._3 == "admitted"), expectedA)
+
+    val index = Dedup.buildHammingIndex(
+      sigsOf(Multimodal.mediaTable(originals)), partitionCols = Seq("kind"))
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = graft.streaming.StreamingMediaDedup.verdicts(spark,
+        mem.toDF(), index)
+      .writeStream.format("memory").queryName("media_quarantine_stream")
+      .outputMode("append").start()
+    try {
+      val rows = recrawlMedia.as[Multimodal.MediaRow].collect().sortBy(_.doc_id)
+      // corrupt payloads land in the FIRST micro-batch (901, 902): the
+      // stream must survive them and keep serving the later batch
+      mem.addData(rows.take(3).toSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(3).toSeq: _*); q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream died on corrupt payload: ${q.exception}")
+      val got = spark.table("media_quarantine_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+          r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("hamming")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("reason"))))
+        .toSet
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally { q.stop(); index.release() }
+  }
+
   test("streaming near-dup verdicts stay continuous across a mid-stream " +
     "ledger index refresh") {
     implicit val sqlCtx = spark.sqlContext
