@@ -1701,24 +1701,64 @@ object SparkEntry {
     * assignment and probing are all deterministic functions of the data
     * (stride sampling + exact-int cosine), so the full inverted-file search
     * is re-derived in SQL; recall-vs-brute-force additionally asserted in
-    * SimilaritySpec. */
+    * SimilaritySpec.
+    *
+    * CALIBRATION-ONLY configuration: the 16-centroid pin exists so the
+    * DuckDB mirror stays cheap to evaluate; a fixed bucket count makes
+    * probed lists grow linearly with the corpus (24-30x wall at 100x
+    * data, r11 sweep). The production sizing is `ann_ivf_scaled_topk`
+    * ([[annIvfScaledTopk]]), which gates the same pipeline at
+    * `Ivf.autoCentroids` = max(16, floor(sqrt(n))) buckets. */
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
+
+  /** The PRODUCTION IVF sizing under the full oracle: identical pipeline
+    * to [[annIvfTopk]] but with the centroid count scaling as
+    * max(16, floor(sqrt(n))) (`Ivf.autoCentroids`), so probed-list size
+    * grows as ~nprobe*sqrt(n) instead of linearly. The oracle evaluates
+    * the SAME floor-sqrt rule in SQL (IEEE sqrt + floor agree across
+    * engines) and re-derives stride centroids, assignment, probing and
+    * ranking at that k — amplification grows the oracle's k in lockstep,
+    * so this gate stays meaningful at every scale instead of pinning a
+    * calibration constant. */
+  private def annIvfScaledTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0,
+        nCentroids = 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  /** `Ivf.autoCentroids` in DuckDB: evaluated in aggregate context over
+    * the prepared relation. */
+  private val duckAutoK =
+    "GREATEST(16, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+
+  private val annIvfScaledTopkSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |${duckIvfSearch("q", "ranked", duckAutoK)}
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** The shared plain-IVF search CTE chain (stride centroids, assignment,
     * nprobe probing, ranking) over an already-defined `$q` query CTE
     * (columns query_id, xs, norm2); emits `$ranked`
     * (query_id, neighbor_id, cos, rk). Interpolated by the plain-IVF,
     * recall-evaluation and hard-negatives oracles so the three cannot
-    * silently diverge. */
-  private def duckIvfSearch(q: String, ranked: String): String =
+    * silently diverge. `kExpr` is the centroid count as a SQL expression
+    * evaluated in aggregate context over `en3` — "16" for the
+    * calibration gates, the floor-sqrt spelling (mirroring
+    * `Ivf.autoCentroids`) for the scale-proportional gate. */
+  private def duckIvfSearch(q: String, ranked: String,
+                            kExpr: String = "16"): String =
     s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |params AS (SELECT GREATEST(1, COUNT(*) // ($kExpr)) AS stride,
+       |           ($kExpr) AS kc FROM en3),
        |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
-       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < kc),
        |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
        |       FROM en3 v, cents c),
        |assigned AS (SELECT vec_id, centroid_id FROM (
@@ -5128,6 +5168,7 @@ object SparkEntry {
     "embedding_clusters" -> (embeddingClusters _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_scaled_topk" -> (annIvfScaledTopk _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
@@ -5276,6 +5317,7 @@ object SparkEntry {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_scaled_topk" -> annIvfScaledTopkSql,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,

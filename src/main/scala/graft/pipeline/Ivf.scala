@@ -144,18 +144,35 @@ object Ivf {
     }.toDF("centroid_id", "vec_id", "xs", "norm2")
   }
 
+  /** Scale-proportional centroid count: `max(16, floor(sqrt(n)))`. A
+    * FIXED centroid count makes probed-list size grow linearly with the
+    * corpus (the r11 100x sweep measured the fixed-16 rungs at 24-30x
+    * wall for 100x data); sqrt(n) keeps per-probe candidate counts at
+    * ~nprobe*sqrt(n) — the standard IVF sizing rule. Spelled as
+    * floor-of-double-sqrt so the DuckDB oracle reproduces it exactly
+    * (IEEE sqrt is correctly rounded in both engines). */
+  def autoCentroids(n: Long): Int =
+    math.max(16L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+
   /** Top-k per query probing the `nprobe` nearest centroid buckets.
     * The *query* set is collected and broadcast — correct for the
     * few-queries/huge-corpus shape this models — and guarded by
     * `maxQueryRows`: a predicate that matches a corpus-sized slice fails
-    * fast instead of OOM-ing the driver mid-collect. */
+    * fast instead of OOM-ing the driver mid-collect.
+    *
+    * `nCentroids = 0` selects [[autoCentroids]] (sqrt-of-corpus sizing —
+    * the production configuration); a positive value pins the bucket
+    * count (the fixed-16 oracle-calibration gates). */
   def searchTopK(embs: DataFrame, queryPred: Column, k: Int = 5,
                  nCentroids: Int = 16, nprobe: Int = 4,
                  maxQueryRows: Long = 100000L,
                  refineIters: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val cents = refinedCentroids(embs, nCentroids, refineIters)
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else autoCentroids(Similarity.prepared(embs).count())
+    val cents = refinedCentroids(embs, nc, refineIters)
     val inv = assigned(embs, cents)
     val querySet = Similarity.prepared(embs).where(queryPred)
     val nQueries = querySet.count()

@@ -111,13 +111,13 @@ object ClusterSmoke {
     * \\u0001 (a byte no rendered cell contains), so a cross-JVM
     * cell-boundary shift — ("ab","c") vs ("a","bc") — can never
     * canonicalize to the same row string. */
-  private def canon(df: DataFrame): Seq[String] =
+  private[graft] def canon(df: DataFrame): Seq[String] =
     df.collect().toSeq.map { r =>
       r.toSeq.map {
         case b: Array[Byte] => java.util.Arrays.toString(b)
         case s: Seq[_]      => s.mkString("[", ",", "]")
         case x              => String.valueOf(x)
-      }.mkString("")
+      }.mkString("\u0001")
     }.sorted
 
   /** Spark memory-string to MB (no suffix = MB, Spark's own convention
@@ -134,7 +134,7 @@ object ClusterSmoke {
     if (mult == 0L) n / 1024 else n * mult
   }
 
-  private def session(master: String, repoClasses: String): SparkSession = {
+  private[graft] def session(master: String, repoClasses: String): SparkSession = {
     // Fail FAST on an executor-memory ask the worker can't host: the
     // standalone master silently never allocates executors when
     // spark.executor.memory exceeds the per-worker capacity in the
