@@ -180,14 +180,20 @@ object Ivf {
       s"searchTopK broadcasts the query set: predicate matched $nQueries " +
         s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise the " +
         "bound explicitly for a corpus-scale join")
-    val queries = querySet.as[PreparedVec].collect()
-    // (query, probed centroid) pairs — tiny, broadcast into the join
-    val probes = queries.flatMap { q =>
-      cents.indices
-        .sortBy(i => (-cos(dot(q.xs, cents(i).xs), q.norm2, cents(i).norm2), i))
+    // (query, probed centroid) pairs. Probe ranking runs IN THE CLUSTER
+    // against broadcast centroids: with sqrt(n) buckets and a
+    // corpus-proportional query set, ranking on the driver would be an
+    // O(|q| * sqrt(n) * dim) single-threaded loop — queries never leave
+    // the executors until the broadcast exchange of the (tiny) pair
+    // relation itself.
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val probes = querySet.as[PreparedVec].flatMap { q =>
+      val cs = bcCents.value
+      cs.indices
+        .sortBy(i => (-cos(dot(q.xs, cs(i).xs), q.norm2, cs(i).norm2), i))
         .take(nprobe)
         .map(ci => (q.vec_id, ci, q.xs, q.norm2))
-    }.toSeq.toDF("query_id", "centroid_id", "xs_q", "n_q")
+    }.toDF("query_id", "centroid_id", "xs_q", "n_q")
     inv.join(broadcast(probes), "centroid_id")
       .where(col("vec_id") =!= col("query_id"))
       .as[(Int, Long, Array[Long], Long, Long, Array[Long], Long)]
