@@ -1804,6 +1804,19 @@ object SparkEntry {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
+  /** The PRODUCTION Lloyd-refined IVF sizing: the [[annIvfKmeansTopk]]
+    * pipeline at `Ivf.autoCentroids` buckets (the scaled twin of
+    * [[annIvfScaledTopk]] — same sqrt rule, but exercising the k-means
+    * refinement path at scale-proportional k). The oracle unrolls both
+    * Lloyd iterations at the SQL-evaluated floor-sqrt k, so assignment,
+    * floor-div mean arithmetic, empty-cluster handling, probing and
+    * ranking are all re-derived at whatever k the corpus implies. */
+  private def annIvfKmeansScaledTopk(s: SparkSession, dir: String): DataFrame =
+    pipeline.Ivf.searchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0,
+        nCentroids = 0, refineIters = 2)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
   /** One unrolled Lloyd iteration: assign every vector to its max-cosine
     * centroid (ties to the lower centroid id), then per-component
     * floor-div mean in micros; empty clusters keep the previous centroid;
@@ -1842,16 +1855,19 @@ object SparkEntry {
        |         FROM $inCents c LEFT JOIN newc_$out n USING (centroid_id))""".stripMargin
 
   /** Shared oracle CTE chain for every kmeans-backed query: deterministic
-    * 2-iteration Lloyd over 16 stride-seeded centroids, the per-vector
+    * 2-iteration Lloyd over stride-seeded centroids, the per-vector
     * max-cosine assignment, and the inverted file `inv(centroid_id, vec_id,
     * xs, norm2)`. Appended after `$DuckPrepared` by the IVF-kmeans search,
-    * SemDeDup, and prototypicality oracles. */
-  private val duckKmeansAssigned =
+    * SemDeDup, and prototypicality oracles. `kExpr` mirrors
+    * [[duckIvfSearch]]: "16" (the default) pins the calibration gates;
+    * the floor-sqrt spelling gives the scale-proportional gate. */
+  private def duckKmeansAssigned(kExpr: String = "16"): String =
     s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
+       |params AS (SELECT GREATEST(1, COUNT(*) // ($kExpr)) AS stride,
+       |           ($kExpr) AS kc FROM en3),
        |cents0 AS (SELECT (idx // stride) AS centroid_id, xs, norm2
-       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < 16),
+       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < kc),
        |${duckLloyd("cents0", "cents1")},
        |${duckLloyd("cents1", "cents2")},
        |cents AS (SELECT c.centroid_id,
@@ -1867,9 +1883,12 @@ object SparkEntry {
        |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
        |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id)""".stripMargin
 
-  private val annIvfKmeansTopkSql =
+  /** The full kmeans-IVF search oracle at a given centroid-count
+    * expression — shared by the fixed-16 calibration gate and the
+    * floor-sqrt scale-proportional gate so the two cannot diverge. */
+  private def duckKmeansSearchSql(kExpr: String): String =
     s"""WITH $DuckPrepared,
-       |$duckKmeansAssigned,
+       |${duckKmeansAssigned(kExpr)},
        |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
        |qc AS (SELECT q.query_id, c.centroid_id, ${duckCos("q.xs", "q.norm2", "c.xs", "c.norm2")} AS cos
        |       FROM q, cents c),
@@ -1889,6 +1908,10 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  private val annIvfKmeansTopkSql = duckKmeansSearchSql("16")
+
+  private val annIvfKmeansScaledTopkSql = duckKmeansSearchSql(duckAutoK)
+
   /** SemDeDup over the embeddings table: kmeans-cluster, then drop every
     * vector with an earlier within-cluster near-dup at cosine >= 0.40 (the
     * corpus's neardup-LSH threshold). The kmeans/assignment prefix is the
@@ -1900,7 +1923,7 @@ object SparkEntry {
 
   private val qSemdedupSql =
     s"""WITH $DuckPrepared,
-       |$duckKmeansAssigned,
+       |${duckKmeansAssigned()},
        |sd_pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |          CAST(list_sum(list_transform(range(1, 65), i -> a.xs[i] * b.xs[i])) AS BIGINT) AS dot,
        |          a.norm2 AS n_a, b.norm2 AS n_b
@@ -1921,7 +1944,7 @@ object SparkEntry {
 
   private val qProtoRankSql =
     s"""WITH $DuckPrepared,
-       |$duckKmeansAssigned,
+       |${duckKmeansAssigned()},
        |pr AS (SELECT i.vec_id, i.centroid_id,
        |         CAST(floor(${duckCos("i.xs", "i.norm2", "c.xs", "c.norm2", "i2")} * 1000000) AS BIGINT) AS proto_micros
        |       FROM inv i JOIN cents c USING (centroid_id))
@@ -5170,6 +5193,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_scaled_topk" -> (annIvfScaledTopk _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
+    "ann_ivf_kmeans_scaled_topk" -> (annIvfKmeansScaledTopk _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -5319,6 +5343,7 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_scaled_topk" -> annIvfScaledTopkSql,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
+    "ann_ivf_kmeans_scaled_topk" -> annIvfKmeansScaledTopkSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -46,9 +46,25 @@ object Placement {
                                  n_survivors: Long)
 
   /** Collect + assemble the broadcastable snapshot from the metadata
-    * DataFrames. Health is evaluated here once (P6 health tester). */
+    * DataFrames. Health is evaluated here once (P6 health tester).
+    *
+    * The collect is FLEET-sized, not data-sized, by design (SURVEY §7:
+    * the greedy loop runs against a broadcast snapshot) — ~10^5 storages
+    * is the envelope this models. `maxFleetRows` makes that envelope an
+    * enforced contract instead of a comment: a metadata relation that is
+    * accidentally data-sized (a joined-in block table, a bad filter)
+    * fails fast with a named error instead of OOM-ing the driver
+    * mid-collect — the same discipline as `Ivf.searchTopK.maxQueryRows`. */
   def snapshot(storages: DataFrame, datanodes: DataFrame, topology: DataFrame,
-               asOfMs: Long, staleIntervalMs: Long): ClusterSnapshot = {
+               asOfMs: Long, staleIntervalMs: Long,
+               maxFleetRows: Long = 2000000L): ClusterSnapshot = {
+    val nTopo = topology.count()
+    val nStor = storages.count()
+    require(nTopo <= maxFleetRows && nStor <= maxFleetRows,
+      s"snapshot collects the cluster metadata to the driver: got $nTopo " +
+        s"topology rows / $nStor storage rows > maxFleetRows=$maxFleetRows. " +
+        "This relation should be fleet-sized (one row per node/storage); " +
+        "raise the bound explicitly only for a genuinely larger fleet.")
     val d = datanodes
     val healthy = CandidateFilters.nodeHealthy(d("registered"),
       d("decommission_in_progress"), d("decommissioned"), d("disallowed"),

@@ -280,4 +280,23 @@ class PlacementSpec extends AnyFunSuite {
       includeChosen = false, Nil,
       Seq(st("even", 1, 0), st("even", 1, 1)), "patch-6")
   }
+
+  test("snapshot fails fast when the metadata relation is not fleet-sized") {
+    import graft.operators.Placement
+    import graft.sources.MetaFixtures
+    val st = MetaFixtures.storages(spark)
+    val dn = MetaFixtures.datanodes(spark)
+    val tp = MetaFixtures.topology(spark)
+    // the real fixtures sail under the default 2M-row envelope
+    val ok = Placement.snapshot(st, dn, tp,
+      MetaFixtures.AsOfMs, 600000L)
+    assert(ok.nodes.nonEmpty && ok.storages.nonEmpty)
+    // an accidentally data-sized "metadata" relation hits the named
+    // contract instead of collecting to the driver
+    val e = intercept[IllegalArgumentException] {
+      Placement.snapshot(st, dn, tp, MetaFixtures.AsOfMs, 600000L,
+        maxFleetRows = 3)
+    }
+    assert(e.getMessage.contains("maxFleetRows"))
+  }
 }
