@@ -1817,7 +1817,11 @@ object SparkEntry {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
-  /** One unrolled Lloyd iteration: assign every vector to its max-cosine
+  /** One unrolled Lloyd iteration: assign every TRAINING-SAMPLE vector
+    * (the Bresenham-spread `(idx * tr) % n < tr` slice with
+    * tr = min(n, 32·k), mirroring `Ivf.refinedCentroids`'s O(n) training
+    * bound — the full corpus is only assigned once, by the final
+    * `assigned` CTE) to its max-cosine
     * centroid (ties to the lower centroid id), then per-component
     * floor-div mean in micros; empty clusters keep the previous centroid;
     * zero-norm means are replaced at the END (matching the Scala fallback
@@ -1836,7 +1840,7 @@ object SparkEntry {
   private def duckLloyd(inCents: String, out: String): String =
     s"""ac_$out AS (SELECT v.vec_id, v.xs, c.centroid_id,
        |         ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM en3 v, $inCents c
+       |       FROM train v, $inCents c
        |       WHERE c.norm2 > 0),
        |asg_$out AS (SELECT vec_id, xs, centroid_id FROM (
        |         SELECT vec_id, xs, centroid_id,
@@ -1865,9 +1869,12 @@ object SparkEntry {
     s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
        |params AS (SELECT GREATEST(1, COUNT(*) // ($kExpr)) AS stride,
-       |           ($kExpr) AS kc FROM en3),
+       |           ($kExpr) AS kc, COUNT(*) AS n,
+       |           LEAST(COUNT(*), 32 * ($kExpr)) AS tr FROM en3),
        |cents0 AS (SELECT (idx // stride) AS centroid_id, xs, norm2
        |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < kc),
+       |train AS (SELECT v.vec_id, v.xs, v.norm2
+       |          FROM en3 v, params WHERE (v.idx * tr) % n < tr),
        |${duckLloyd("cents0", "cents1")},
        |${duckLloyd("cents1", "cents2")},
        |cents AS (SELECT c.centroid_id,

@@ -58,26 +58,34 @@ object Placement {
   def snapshot(storages: DataFrame, datanodes: DataFrame, topology: DataFrame,
                asOfMs: Long, staleIntervalMs: Long,
                maxFleetRows: Long = 2000000L): ClusterSnapshot = {
-    val nTopo = topology.count()
-    val nStor = storages.count()
-    require(nTopo <= maxFleetRows && nStor <= maxFleetRows,
-      s"snapshot collects the cluster metadata to the driver: got $nTopo " +
-        s"topology rows / $nStor storage rows > maxFleetRows=$maxFleetRows. " +
-        "This relation should be fleet-sized (one row per node/storage); " +
-        "raise the bound explicitly only for a genuinely larger fleet.")
+    // The contract is enforced on the very relations being collected, via a
+    // limit-bounded collect (one job per relation, no extra count() jobs —
+    // the r12 form's two counts doubled the snapshot's metadata scans, and
+    // counting the *inputs* missed a duplicate-keyed datanodes relation
+    // whose join fan-out is what actually lands on the driver). Driver
+    // memory is bounded at maxFleetRows+1 rows either way.
+    val boundedFetch = (df: DataFrame, what: String) => {
+      val rows = df.limit(math.min(maxFleetRows + 1L, Int.MaxValue.toLong).toInt).collect()
+      require(rows.length <= maxFleetRows,
+        s"snapshot collects the cluster metadata to the driver: the $what " +
+          s"relation has > maxFleetRows=$maxFleetRows rows. This relation " +
+          "should be fleet-sized (one row per node/storage); raise the bound " +
+          "explicitly only for a genuinely larger fleet.")
+      rows
+    }
     val d = datanodes
     val healthy = CandidateFilters.nodeHealthy(d("registered"),
       d("decommission_in_progress"), d("decommissioned"), d("disallowed"),
       d("last_heartbeat_ms"), asOfMs, staleIntervalMs)
-    val nodes = topology.select("datanode_uuid", "path")
+    val nodes = boundedFetch(topology.select("datanode_uuid", "path")
       .join(d.select(col("datanode_uuid"), healthy.as("healthy"), col("xceiver_count")),
-        "datanode_uuid")
-      .collect()
+        "datanode_uuid"), "topology ⨝ datanodes")
       .map(r => NodeMeta(r.getAs[String]("datanode_uuid"), r.getAs[String]("path"),
         r.getAs[Boolean]("healthy"), r.getAs[Number]("xceiver_count").intValue))
       .toVector
-    val sts = storages.select("storage_id", "datanode_uuid", "state", "type", "remaining")
-      .collect()
+    val sts = boundedFetch(
+      storages.select("storage_id", "datanode_uuid", "state", "type", "remaining"),
+      "storages")
       .map(r => StorageMeta(r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4)))
       .toVector

@@ -66,22 +66,40 @@ object Ivf {
     * adapts the buckets to the actual distribution, which is what makes
     * nprobe recall hold on clustered corpora.
     *
-    * Scale shape: each iteration is ONE mapPartitions pass over the corpus
+    * Scale shape: each iteration is ONE mapPartitions pass over the
+    * persisted training sample (≤ `trainFactor * nCentroids` rows — O(n)
+    * total at the sqrt(n) production sizing, see inline note)
     * emitting at most `nCentroids` partial (sum, count) rows per partition
     * (map-side combine); the driver merges `nCentroids x partitions` tiny
     * partials — no shuffle, nothing corpus-sized ever leaves the executors.
     * Empty clusters keep their previous centroid. */
   def refinedCentroids(embs: DataFrame, nCentroids: Int,
-                       iters: Int): Array[PreparedVec] = {
+                       iters: Int, trainFactor: Int = TrainFactor): Array[PreparedVec] = {
     val spark = embs.sparkSession
     import spark.implicits._
     val init = centroids(embs, nCentroids)
     var cents = init
     if (iters <= 0) return cents
     val prep = Similarity.prepared(embs).as[PreparedVec]
+    // Training-cost bound: at the production sizing k = sqrt(n), assigning
+    // the FULL corpus each Lloyd pass is n^1.5 work — the one super-linear
+    // term in the IVF build (measured 12.1x wall at 100x data, r12). Train
+    // on a deterministic evenly-spread sample of min(n, trainFactor*k)
+    // rows instead (Bresenham rule (idx*tr) % n < tr over the vec_id-sorted
+    // index — pure integer arithmetic the DuckDB oracle re-derives from the
+    // same row_number() index), so training is ~trainFactor*k^2 = O(n) and
+    // the full corpus is only ever touched by the final [[assigned]] pass.
+    // idx*tr stays far inside Long (idx<=n, tr<=~32*sqrt(n): n^1.5 < 2^63
+    // for any storable corpus).
+    val sorted = prep.orderBy("vec_id")
+    val n = sorted.count()
+    val trainRows = math.min(n, trainFactor.toLong * nCentroids)
+    val train = sorted.rdd.zipWithIndex()
+      .collect { case (v, i) if (i * trainRows) % n < trainRows => v }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val partials = prep.mapPartitions { it =>
+      val partials = train.mapPartitions { it =>
         val cs = bc.value
         val dim = if (cs.isEmpty) 0 else cs(0).xs.length
         val sums = Array.fill(cs.length)(new Array[Long](dim))
@@ -120,10 +138,17 @@ object Ivf {
           PreparedVec(i.toLong, cents(i).xs, cents(i).norm2)) // empty cluster
       }.toArray
     }
+    train.unpersist(false)
     // refined centroids with zero norm (all-zero mean) would make cosine
     // undefined; fall back to the stride centroid for such a bucket
     cents.zip(init).map { case (c, c0) => if (c.norm2 > 0) c else c0 }
   }
+
+  /** Lloyd-training sample multiplier: training touches at most
+    * `TrainFactor * nCentroids` corpus rows per iteration, making the
+    * k-means build O(n) at the sqrt(n)-centroid production sizing. Mirrored
+    * verbatim by the oracle's `32 * kc` spelling. */
+  val TrainFactor: Int = 32
 
   /** Vectors tagged with their nearest centroid (max cosine). */
   def assigned(embs: DataFrame, cents: Array[PreparedVec]): DataFrame = {
