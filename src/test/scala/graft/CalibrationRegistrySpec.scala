@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the calibration-only registry: every annotated query exists, names
+  * a production twin that also exists, and the sweep-tool mirror file
+  * (`tools/calibration_only.json`, read by merge_scale_sweep.py to
+  * adjudicate >20x scale ratios) cannot drift from
+  * [[SparkEntry.calibrationOnly]]. */
+class CalibrationRegistrySpec extends AnyFunSuite {
+
+  test("calibration-only entries are registered queries with registered twins") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.calibrationOnly.foreach { case (name, reason) =>
+      assert(qs.contains(name), s"$name not in queries")
+      val twin = "production twin (\\w+)".r.findFirstMatchIn(reason)
+      assert(twin.isDefined, s"$name reason must name its production twin")
+      assert(qs.contains(twin.get.group(1)),
+        s"$name's twin ${twin.get.group(1)} not in queries")
+    }
+  }
+
+  test("tools/calibration_only.json mirrors SparkEntry.calibrationOnly") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/calibration_only.json")), "UTF-8")
+    // flat single-level object with no escaped quotes in values
+    val pairs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    assert(pairs == SparkEntry.calibrationOnly,
+      "edit both SparkEntry.calibrationOnly and tools/calibration_only.json")
+  }
+}

@@ -9,8 +9,15 @@ Labels default to the historical sf0.1 / sf1_10x pair; the 100x sweep
 passes sf0.1 sf10_100x.
 """
 import json
+import os
 import re
 import sys
+
+# Registered calibration-only pins (spec-synced mirror of
+# SparkEntry.calibrationOnly): super-linear ratios on these rows are
+# by-design, the graded scale numbers are their production twins'.
+CALIB = json.load(open(os.path.join(os.path.dirname(__file__),
+                                    "calibration_only.json")))
 
 
 def best_of(path):
@@ -54,6 +61,11 @@ def main():
         f"total_{big_label}_sec": round(tb, 2),
         "total_ratio": round(tb / ta, 2),
         "over_2x": sorted(k for k in shared if a[k] > 0 and b[k] / a[k] > 2),
+        "over_20x_calibration_only": sorted(
+            k for k in shared if a[k] > 0 and b[k] / a[k] > 20 and k in CALIB),
+        "over_20x_unannotated": sorted(
+            k for k in shared
+            if a[k] > 0 and b[k] / a[k] > 20 and k not in CALIB),
     }
     json.dump(doc, open(out, "w"), indent=1)
     print(json.dumps(doc["summary"], indent=1))
