@@ -121,9 +121,15 @@ object ClusterSmoke {
     }.sorted
 
   /** Spark memory-string to MB (no suffix = MB, Spark's own convention
-    * for `spark.executor.memory`). */
-  private def memMb(s: String): Long = {
-    val t = s.trim.toLowerCase
+    * for `spark.executor.memory`). Accepts both one- and two-letter
+    * suffix forms ("3g" and "3gb"), matching the grammar Spark's own
+    * JavaUtils.byteStringAs allows — a valid setting must not crash the
+    * fail-fast capacity guard. */
+  private[graft] def memMb(s: String): Long = {
+    val t0 = s.trim.toLowerCase
+    val t = if (t0.length >= 2 && t0.endsWith("b") &&
+                !t0.charAt(t0.length - 2).isDigit) t0.dropRight(1)
+            else t0
     val (num, mult) =
       if (t.endsWith("t")) (t.dropRight(1), 1024L * 1024)
       else if (t.endsWith("g")) (t.dropRight(1), 1024L)
@@ -322,12 +328,22 @@ object ClusterSmoke {
       def measurePair(qs: Seq[String])
           : Map[String, Either[String, (Perf, Perf)]] =
         try {
+          // A session leaked by a mid-measure failure would make the next
+          // builder's getOrCreate() silently reuse it and IGNORE the
+          // requested master — the retry's "cluster" arm would then run on
+          // the leftover local[32] session and vacuously pass. Stop
+          // whatever is active first, stop each arm's session in a
+          // finally, and verify the master actually took.
+          SparkSession.getActiveSession.foreach(_.stop())
           val c2 = session("local-cluster[2,16,4096]", repoClasses)
-          val rc = runAll(c2, sfDir, qs, extraRunIfSlow = true)
-          c2.stop()
+          require(c2.sparkContext.master.startsWith("local-cluster"),
+            s"cluster arm got master ${c2.sparkContext.master}")
+          val rc = try runAll(c2, sfDir, qs, extraRunIfSlow = true)
+                   finally c2.stop()
           val l2 = session("local[32]", repoClasses)
-          val rl = runAll(l2, sfDir, qs)
-          l2.stop()
+          require(l2.sparkContext.master == "local[32]",
+            s"local arm got master ${l2.sparkContext.master}")
+          val rl = try runAll(l2, sfDir, qs) finally l2.stop()
           qs.map { n =>
             n -> ((rc(n), rl(n)) match {
               case (Right((_, pc)), Right((_, pl))) => Right((pc, pl))
@@ -336,6 +352,7 @@ object ClusterSmoke {
             })
           }.toMap
         } catch { case e: Throwable =>
+          SparkSession.getActiveSession.foreach(_.stop())
           qs.map(n => n -> (Left(s"session: ${e.getMessage}")
             : Either[String, (Perf, Perf)])).toMap
         }

@@ -45,8 +45,13 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   */
 object ExecutorLoss {
 
+  /** Executor JVMs of THIS suite's local-cluster only: the in-process
+    * workers fork executors as descendants of this JVM, so scoping to
+    * `ProcessHandle.current().descendants()` guarantees a concurrent
+    * Spark run on the host (a bench, another smoke) can neither be
+    * SIGKILLed by us nor counted as one of our replacements. */
   private def executorHandles(): Seq[ProcessHandle] =
-    ProcessHandle.allProcesses().iterator().asScala
+    ProcessHandle.current().descendants().iterator().asScala
       .filter(_.info().commandLine().orElse("")
         .contains("CoarseGrainedExecutorBackend"))
       .toSeq

@@ -274,11 +274,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVerdict("video", vidNeg) == Some("unsupported"))
     val vidBig = vid.clone(); i32(0x40000000).copyToArray(vidBig, 4)
     assert(Multimodal.decodeVerdict("video", vidBig) == Some("truncated"))
-    // degenerate sizes
-    for (kind <- Seq("image", "audio", "video")) {
-      assert(Multimodal.decodeVerdict(kind, Array.emptyByteArray).isDefined)
-      assert(Multimodal.decodeVerdict(kind, null).isDefined)
-      assert(Multimodal.decodeVerdict(kind, Array[Byte](1, 2, 3)).isDefined)
+    // degenerate sizes — and the batch (decodeVerdict) vs streaming
+    // (checkedPHash) boundary must agree on them REASON-FOR-REASON,
+    // null payload included (r12 ADVICE flagged a suspected divergence
+    // here; this pins that the two paths share one verdict)
+    for (kind <- Seq("image", "audio", "video");
+         p <- Seq(Array.emptyByteArray, null, Array[Byte](1, 2, 3))) {
+      val batch = Multimodal.decodeVerdict(kind, p)
+      assert(batch.isDefined)
+      assert(Multimodal.checkedPHash(kind, p) == Left(batch.get),
+        s"batch/streaming verdict drift for kind=$kind payload=$p")
     }
     // seeded random fuzz: totality, and accept => full decode succeeds
     val rnd = new scala.util.Random(0xC0FFEE)
