@@ -2341,6 +2341,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash admission through a MAINTAINED standing hamming
+    * index — the media twin of [[dedupIndexRefresh]]: build on the even
+    * half of the base corpus's signatures, refresh with the odd half
+    * ([[pipeline.Dedup.refreshHammingIndex]]), admit the re-crawl batch
+    * via [[pipeline.Dedup.indexHammingDedup]]. refresh == rebuild, so the
+    * verdicts equal [[multimodalPhashIncremental]]'s and this gate shares
+    * its oracle verbatim. */
+  private def multimodalPhashIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val hashes = pipeline.Multimodal.perceptualHashes(s,
+        pipeline.Multimodal.mediaTable(
+          mediaRecrawl(Tables.documents(s, dir))))
+      .toDF()
+      .select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    val base = hashes.where(col("doc_id") < 3000000000000000000L)
+    val idx0 = pipeline.Dedup.buildHammingIndex(
+      base.where(col("doc_id") % 2 === 0),
+      maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
+      partitionCols = Seq("kind"))
+    val idx = pipeline.Dedup.refreshHammingIndex(idx0,
+      base.where(col("doc_id") % 2 =!= 0))
+    idx0.release()
+    val out = pipeline.Dedup.indexHammingDedup(
+        hashes.where(col("doc_id") >= 3000000000000000000L), idx)
+      .localCheckpoint(true)
+    idx.release()
+    out.orderBy("doc_id")
+  }
+
   private val multimodalPhashIncrementalSql =
     s"""WITH docs_rc AS (
        |  SELECT doc_id, text FROM documents
@@ -2743,6 +2771,29 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 >= 3).select("doc_id", "text"),
         docs.where(col("doc_id") % 10 < 3).select("doc_id", "text"))
       .orderBy("doc_id")
+  }
+
+  /** Near-dup admission through a MAINTAINED standing index: build the
+    * index on a third of the ledger, extend it with the second third via
+    * [[pipeline.Dedup.refreshNearDupIndex]] (append postings/shingles,
+    * re-cap merged buckets, tombstone parity), then admit the batch with
+    * [[pipeline.Dedup.indexNearDup]]. Because refresh == from-scratch
+    * rebuild (DedupSpec pins the relations), the verdicts equal
+    * [[dedupIncrementalNeardup]]'s on the merged ledger — so this gate
+    * shares that oracle verbatim and any refresh drift (lost posting,
+    * resurrected tombstone, uncapped merge) fails the hash end-to-end. */
+  private def dedupIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx0 = pipeline.Dedup.buildNearDupIndex(
+      docs.where(col("doc_id") % 10 < 2).select("doc_id", "text"))
+    val idx = pipeline.Dedup.refreshNearDupIndex(idx0,
+      docs.where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 < 3)
+        .select("doc_id", "text"))
+    idx0.release()
+    val out = pipeline.Dedup.indexNearDup(
+      docs.where(col("doc_id") % 10 >= 3).select("doc_id", "text"), idx)
+    idx.release()
+    out.orderBy("doc_id")
   }
 
   private val dedupIncrementalNeardupSql = {
@@ -5236,6 +5287,7 @@ object SparkEntry {
     "multimodal_phash_clusters" -> (multimodalPhashClusters _),
     "multimodal_keep_canonical" -> (multimodalKeepCanonical _),
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
+    "multimodal_phash_index_refresh" -> (multimodalPhashIndexRefresh _),
     "multimodal_quarantine" -> (multimodalQuarantine _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
@@ -5247,6 +5299,7 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
+    "dedup_index_refresh" -> (dedupIndexRefresh _),
     "q_lm_score" -> (qLmScore _),
     "q_pq_encode" -> (qPqEncode _),
     "ann_pq_topk" -> (annPqTopk _),
@@ -5386,6 +5439,7 @@ object SparkEntry {
     "multimodal_phash_clusters" -> multimodalPhashClustersSql,
     "multimodal_keep_canonical" -> multimodalKeepCanonicalSql,
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
+    "multimodal_phash_index_refresh" -> multimodalPhashIncrementalSql,
     "multimodal_quarantine" -> multimodalQuarantineSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
@@ -5397,6 +5451,7 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
     "dedup_incremental_neardup" -> dedupIncrementalNeardupSql,
+    "dedup_index_refresh" -> dedupIncrementalNeardupSql,
     "q_lm_score" -> qLmScoreSql,
     "q_pq_encode" -> qPqEncodeSql,
     "ann_pq_topk" -> annPqTopkSql,

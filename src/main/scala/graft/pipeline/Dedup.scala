@@ -477,6 +477,20 @@ object Dedup {
     val cand = bBanded.join(lBuckets, Seq("band", "key"))
       .select(col("doc_id").as("doc_a"), explode(col("ids")).as("doc_b"))
       .distinct()
+    val out = nearDupVerdicts(batch, cand, bh, lh, thresholdPct)
+    bh.unpersist(); lh.unpersist()
+    out
+  }
+
+  /** Shared verdict epilogue of [[incrementalNearDup]] and
+    * [[indexNearDup]]: exact-Jaccard verification of the candidate pairs
+    * (batch ids resolve against `bh`, ledger ids against `lh`), best
+    * match = highest Jaccard with ties to the smallest ledger id, then
+    * the batch left join that surfaces no-match rows as `admitted`. The
+    * batch-sized result is materialized eagerly so callers can release
+    * their shingle caches deterministically. */
+  private def nearDupVerdicts(batch: DataFrame, cand: DataFrame,
+      bh: DataFrame, lh: DataFrame, thresholdPct: Int): DataFrame = {
     val best = pairOverlap(cand, bh, lh)
       .where(col("inter") * 100 >= col("union_size") * thresholdPct)
       .withColumn("jaccard_pct",
@@ -486,15 +500,13 @@ object Dedup {
       .agg(max(struct(col("jaccard_pct"), (-col("doc_b")).as("neg_id"))).as("m"))
       .select(col("doc_id"), (-col("m.neg_id")).as("near_dup_of"),
         col("m.jaccard_pct").as("jaccard_pct"))
-    val out = batch.select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("near_dup_of").isNotNull, lit("near_dup"))
           .otherwise(lit("admitted")).as("verdict"),
         col("near_dup_of"), col("jaccard_pct"))
       .localCheckpoint(true)
-    bh.unpersist(); lh.unpersist()
-    out
   }
 
   /** Prebuilt MinHash-LSH ledger index for repeated near-dup admission:
@@ -505,14 +517,20 @@ object Dedup {
     * materialize-once artifact a 100 TB corpus maintains next to itself —
     * admission cost then tracks the batch, never the corpus. */
   final case class NearDupIndex(buckets: DataFrame, shingles: DataFrame,
-                                numPerms: Int, bands: Int, thresholdPct: Int) {
-    def release(): Unit = { buckets.unpersist(); shingles.unpersist() }
+                                numPerms: Int, bands: Int, thresholdPct: Int,
+                                maxBucket: Int, dropped: DataFrame) {
+    def release(): Unit = {
+      buckets.unpersist(); shingles.unpersist(); dropped.unpersist()
+    }
   }
 
   /** Build a [[NearDupIndex]] from a ledger corpus. The bucket cap is
     * applied at build time (equivalent to per-batch capping: pruning by a
     * batch's keys selects whole buckets, so bucket sizes are
-    * prune-invariant). */
+    * prune-invariant). Capped-out keys are kept as TOMBSTONES in
+    * `dropped`, so [[refreshNearDupIndex]] can keep deciding them exactly
+    * as a from-scratch rebuild would (a merged bucket is a superset of
+    * one that already exceeded the cap). */
   def buildNearDupIndex(ledger: DataFrame, numPerms: Int = 32, bands: Int = 8,
                         maxBucket: Int = 64, thresholdPct: Int = 30,
                         droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -523,11 +541,79 @@ object Dedup {
     val dropDocsAcc =
       spark.sparkContext.longAccumulator("graft.neardup_index.dropped_docs")
     val lh = hashedShingleDf(ledger).persist()
-    val buckets = capBuckets(
-      bandedKeysDf(minhashSigDf(lh, numPerms), bands, numPerms / bands)
-        .groupBy("band", "key").agg(collect_list("doc_id").as("ids")),
-      maxBucket, dropAcc, dropDocsAcc, minSize = 1).persist()
-    NearDupIndex(buckets, lh, numPerms, bands, thresholdPct)
+    val grouped = bandedKeysDf(minhashSigDf(lh, numPerms), bands, numPerms / bands)
+      .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
+      .persist()
+    val buckets = capBuckets(grouped, maxBucket, dropAcc, dropDocsAcc,
+      minSize = 1).persist()
+    val dropped = grouped.where(size(col("ids")) > maxBucket)
+      .select("band", "key").persist()
+    buckets.count(); dropped.count()
+    grouped.unpersist(false)
+    NearDupIndex(buckets, lh, numPerms, bands, thresholdPct, maxBucket, dropped)
+  }
+
+  /** Incremental maintenance of a standing [[NearDupIndex]]: append an
+    * admitted batch's shingles and band postings WITHOUT rebuilding from
+    * the corpus — `refreshNearDupIndex(build(L), B) == build(L ∪ B)`
+    * relation-for-relation (DedupSpec pins it, dropped-bucket transitions
+    * included; the `dedup_index_refresh` oracle gate exercises this path
+    * end-to-end against a from-scratch DuckDB rederivation).
+    *
+    * Cap semantics match a rebuild exactly: a batch posting under a
+    * tombstoned key stays dropped (the merged bucket is a superset of one
+    * that already exceeded the cap), and a kept bucket pushed over
+    * `maxBucket` by the merge is dropped whole and tombstoned.
+    *
+    * Scale shape: everything batch-sized except the merge join itself,
+    * which reuses the standing buckets' (band, key) hash partitioning —
+    * only the batch-sized posting side exchanges; the 100 TB corpus never
+    * re-shingles. The new relations are materialized before returning, so
+    * the caller can `release()` the old index immediately. Long refresh
+    * chains should still rebuild periodically (compaction): each refresh
+    * adds one union to the shingle/tombstone lineage. */
+  def refreshNearDupIndex(index: NearDupIndex, admitted: DataFrame)
+      : NearDupIndex = {
+    val bh = hashedShingleDf(admitted).persist()
+    val emptyIds = array().cast("array<bigint>")
+    val newPosts =
+      bandedKeysDf(minhashSigDf(bh, index.numPerms), index.bands,
+          index.numPerms / index.bands)
+        .groupBy("band", "key").agg(collect_list("doc_id").as("new_ids"))
+        .join(index.dropped, Seq("band", "key"), "left_anti")
+    val merged = index.buckets
+      .join(newPosts, Seq("band", "key"), "full_outer")
+      .select(col("band"), col("key"),
+        concat(coalesce(col("ids"), emptyIds),
+          coalesce(col("new_ids"), emptyIds)).as("ids"))
+      .persist()
+    val buckets2 = merged.where(size(col("ids")) <= index.maxBucket).persist()
+    val dropped2 = index.dropped
+      .union(merged.where(size(col("ids")) > index.maxBucket)
+        .select("band", "key"))
+      .persist()
+    val shingles2 = index.shingles.union(bh).persist()
+    buckets2.count(); dropped2.count(); shingles2.count()
+    merged.unpersist(false); bh.unpersist(false)
+    index.copy(buckets = buckets2, shingles = shingles2, dropped = dropped2)
+  }
+
+  /** Batch near-dup admission against a standing [[NearDupIndex]] — the
+    * batch twin of [[graft.streaming.StreamingNearDup.verdicts]], emitting
+    * [[incrementalNearDup]]-shaped verdicts. Candidates come from the
+    * index's pre-capped postings (one equi-join), verification from its
+    * shingle relation; admission cost tracks the batch, never the corpus. */
+  def indexNearDup(batch: DataFrame, index: NearDupIndex): DataFrame = {
+    val bh = hashedShingleDf(batch).persist()
+    val bBanded = bandedKeysDf(minhashSigDf(bh, index.numPerms), index.bands,
+      index.numPerms / index.bands)
+    val cand = bBanded.join(index.buckets, Seq("band", "key"))
+      .select(col("doc_id").as("doc_a"), explode(col("ids")).as("doc_b"))
+      .distinct()
+    val out = nearDupVerdicts(batch, cand, bh, index.shingles,
+      index.thresholdPct)
+    bh.unpersist()
+    out
   }
 
   /** 60-bit SimHash per document (docs with at least one token): per bit,
@@ -721,8 +807,9 @@ object Dedup {
     * at build (reused per admission batch); call [[release]] when done. */
   final case class HammingIndex(buckets: DataFrame, maxHamming: Int,
                                 bands: Int, bandBits: Int,
-                                partitionCols: Seq[String]) {
-    def release(): Unit = { buckets.unpersist() }
+                                partitionCols: Seq[String],
+                                maxBucket: Int, dropped: DataFrame) {
+    def release(): Unit = { buckets.unpersist(); dropped.unpersist() }
   }
 
   /** Build a [[HammingIndex]] from ledger signatures
@@ -746,13 +833,97 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk")): _*)
-    val buckets = capBuckets(
-      banded
-        .groupBy(concat_ws(":",
-          pcols ++ Seq(col("bk.band"), col("bk.key")): _*).as("bkey"))
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids")),
-      maxBucket, dropAcc, dropDocsAcc, minSize = 1).persist()
-    HammingIndex(buckets, maxHamming, bands, bandBits, partitionCols)
+    val grouped = banded
+      .groupBy(concat_ws(":",
+        pcols ++ Seq(col("bk.band"), col("bk.key")): _*).as("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids"))
+      .persist()
+    val buckets = capBuckets(grouped, maxBucket, dropAcc, dropDocsAcc,
+      minSize = 1).persist()
+    // capped-out keys tombstoned for rebuild-equivalent refresh
+    // (the buildNearDupIndex argument)
+    val dropped = grouped.where(size(col("ids")) > maxBucket)
+      .select("bkey").persist()
+    buckets.count(); dropped.count()
+    grouped.unpersist(false)
+    HammingIndex(buckets, maxHamming, bands, bandBits, partitionCols,
+      maxBucket, dropped)
+  }
+
+  /** Incremental maintenance of a standing [[HammingIndex]] — the bit-
+    * signature twin of [[refreshNearDupIndex]], with the same contract:
+    * `refreshHammingIndex(build(L), B) == build(L ∪ B)` (DedupSpec pins
+    * it), batch postings under tombstoned keys stay dropped, merged
+    * buckets over `maxBucket` drop whole and tombstone, the merge join
+    * reuses the standing side's bkey partitioning, and the new relations
+    * are materialized before returning. `admitted` is
+    * `(partitionCols..., doc_id, sig)` like the build input. */
+  def refreshHammingIndex(index: HammingIndex, admitted: DataFrame)
+      : HammingIndex = {
+    val mask = (1L << index.bandBits) - 1
+    val pcols = index.partitionCols.map(col)
+    val emptyIds = array().cast("array<struct<doc_id:bigint,sig:bigint>>")
+    val newPosts = admitted.select(pcols ++ Seq(col("doc_id"), col("sig"),
+        explode(array((0 until index.bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * index.bandBits)
+              .bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk")): _*)
+      .groupBy(concat_ws(":",
+        pcols ++ Seq(col("bk.band"), col("bk.key")): _*).as("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("new_ids"))
+      .join(index.dropped, Seq("bkey"), "left_anti")
+    val merged = index.buckets
+      .join(newPosts, Seq("bkey"), "full_outer")
+      .select(col("bkey"),
+        concat(coalesce(col("ids"), emptyIds),
+          coalesce(col("new_ids"), emptyIds)).as("ids"))
+      .persist()
+    val buckets2 = merged.where(size(col("ids")) <= index.maxBucket).persist()
+    val dropped2 = index.dropped
+      .union(merged.where(size(col("ids")) > index.maxBucket).select("bkey"))
+      .persist()
+    buckets2.count(); dropped2.count()
+    merged.unpersist(false)
+    index.copy(buckets = buckets2, dropped = dropped2)
+  }
+
+  /** Batch hamming admission against a standing [[HammingIndex]] — the
+    * batch twin of [[graft.streaming.StreamingMediaDedup.verdicts]]'s
+    * dedup arm, emitting [[incrementalHammingDedup]]-shaped verdicts.
+    * `batch` is `(partitionCols..., doc_id, sig)`; probe keys are fused
+    * from the index's recorded partition columns, so a mismatched probe
+    * shape fails at analysis instead of silently admitting everything. */
+  def indexHammingDedup(batch: DataFrame, index: HammingIndex): DataFrame = {
+    val mask = (1L << index.bandBits) - 1
+    val pcols = index.partitionCols.map(col)
+    val bBanded = batch.select(pcols ++ Seq(col("doc_id"), col("sig"),
+        explode(array((0 until index.bands).map { b =>
+          concat_ws(":", pcols ++ Seq(lit(b),
+            shiftright(col("sig"), b * index.bandBits)
+              .bitwiseAND(lit(mask))): _*)
+        }: _*)).as("bkey")): _*)
+    val cand = bBanded.join(index.buckets, Seq("bkey"))
+      .select(pcols ++ Seq(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        explode(col("ids")).as("b")): _*)
+      .select(pcols ++ Seq(col("doc_a"), col("sig_a"),
+        col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b")): _*)
+      .distinct()
+    val best = cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= index.maxHamming)
+      .groupBy(pcols :+ col("doc_a").as("doc_id"): _*)
+      // lexicographic struct min: lowest hamming, then smallest ledger id
+      .agg(min(struct(col("hamming"), col("doc_b"))).as("m"))
+      .select(pcols ++ Seq(col("doc_id"), col("m.doc_b").as("near_dup_of"),
+        col("m.hamming").as("hamming")): _*)
+    batch.select(pcols :+ col("doc_id"): _*)
+      .join(best, index.partitionCols :+ "doc_id", "left")
+      .select(pcols ++ Seq(col("doc_id"),
+        when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")).as("verdict"),
+        col("near_dup_of"), col("hamming")): _*)
   }
 
   /** Benchmark decontamination: corpus documents sharing at least

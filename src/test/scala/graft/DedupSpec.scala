@@ -463,4 +463,101 @@ class DedupSpec extends AnyFunSuite {
     assert(model.values.count(_._1 == "near_dup") >= 10,
       "fixture must plant enough in-distance matches to be meaningful")
   }
+
+  // --- incremental index maintenance: refresh(build(L), B) == build(L ∪ B)
+
+  private def bucketSet(df: org.apache.spark.sql.DataFrame,
+                        keyCols: Seq[String]): Set[(String, Seq[Long])] =
+    df.collect().map { r =>
+      (keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(":"),
+        r.getSeq[Any](r.fieldIndex("ids")).map {
+          case l: Long => l
+          case row: org.apache.spark.sql.Row => row.getLong(0)
+        }.sorted.toSeq)
+    }.toSet
+
+  private def keySet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString(":")).toSet
+
+  test("near-dup index refresh equals a from-scratch rebuild, " +
+       "dropped-bucket transitions included") {
+    // identical texts share every band key, so bucket size = copy count:
+    // textA x3 in L (dropped at build, cap 2); textB x2 in L + x1 in B
+    // (kept at build, dropped after refresh); textC x1 in L + x1 in B
+    // (kept throughout); textD unique to B (new bucket)
+    def doc(id: Long, t: String) = (id, t, "en")
+    val tA = base; val tB = other
+    val tC = "catalyst pushes filters below joins when the predicate " +
+      "references one side only and the join keys stay intact somehow"
+    val tD = "streaming watermarks bound state retention by event time " +
+      "while allowing late arrivals within the configured delay budget"
+    val ledger = Seq(doc(1, tA), doc(2, tA), doc(3, tA),
+      doc(4, tB), doc(5, tB), doc(6, tC)).toDF("doc_id", "text", "lang")
+    val batch = Seq(doc(10, tA), doc(11, tB), doc(12, tC), doc(13, tD))
+      .toDF("doc_id", "text", "lang")
+    val refreshed = Dedup.refreshNearDupIndex(
+      Dedup.buildNearDupIndex(ledger, maxBucket = 2), batch)
+    val rebuilt = Dedup.buildNearDupIndex(ledger.union(batch), maxBucket = 2)
+    assert(bucketSet(refreshed.buckets, Seq("band", "key"))
+      == bucketSet(rebuilt.buckets, Seq("band", "key")))
+    assert(keySet(refreshed.dropped) == keySet(rebuilt.dropped))
+    assert(bucketSet(refreshed.shingles.toDF("doc_id", "ids"), Seq("doc_id"))
+      == bucketSet(rebuilt.shingles.toDF("doc_id", "ids"), Seq("doc_id")))
+    // the planted transitions actually happened
+    val keptIds = bucketSet(refreshed.buckets, Seq("band", "key")).map(_._2)
+    assert(refreshed.dropped.count() > 0, "build-time drop expected (tA x3)")
+    assert(!keptIds.exists(_.contains(10L)),
+      "tA batch copy must stay dropped under the tombstoned key")
+    assert(!keptIds.exists(ids => ids.contains(4L) && ids.contains(11L)),
+      "tB bucket must drop whole once the merge exceeds the cap")
+    assert(keptIds.exists(ids => ids == Seq(6L, 12L)),
+      "tC bucket must keep ledger + batch copies")
+    assert(keptIds.exists(ids => ids == Seq(13L)), "tD must open a bucket")
+    // admission through the refreshed index == the from-scratch operator
+    val probe = Seq(doc(20, tC), doc(21, "entirely unrelated probe text " +
+      "about distributed consensus protocols and leader election rounds"))
+      .toDF("doc_id", "text", "lang")
+    val viaIndex = Dedup.indexNearDup(probe, refreshed).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val scratch = Dedup.incrementalNearDup(probe, ledger.union(batch))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaIndex == scratch)
+    assert(viaIndex(20L) == "near_dup" && viaIndex(21L) == "admitted")
+    refreshed.release(); rebuilt.release()
+  }
+
+  test("hamming index refresh equals a from-scratch rebuild and agrees " +
+       "with the incremental operator") {
+    // signatures chosen so several share band keys: copies collide on
+    // all 4 bands; +1-bit variants on 3 of 4
+    def rows(ids: Seq[Long], sig: Long) = ids.map(id => ("img", id, sig))
+    val s1 = 0x1111222233334444L; val s2 = 0x7777000012345678L
+    val ledger = (rows(Seq(1, 2, 3), s1) ++ rows(Seq(4, 5), s2) ++
+      Seq(("img", 6L, s2 ^ 1L)))
+      .toDF("kind", "doc_id", "sig")
+    val batch = (rows(Seq(10), s1) ++ rows(Seq(11), s2) ++
+      Seq(("img", 12L, 0x0f0e0d0c0b0a0908L)))
+      .toDF("kind", "doc_id", "sig")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Dedup.buildHammingIndex(df, maxBucket = 3, partitionCols = Seq("kind"))
+    val refreshed = Dedup.refreshHammingIndex(build(ledger), batch)
+    val rebuilt = build(ledger.union(batch))
+    assert(bucketSet(refreshed.buckets, Seq("bkey"))
+      == bucketSet(rebuilt.buckets, Seq("bkey")))
+    assert(keySet(refreshed.dropped) == keySet(rebuilt.dropped))
+    assert(refreshed.dropped.count() > 0,
+      "s1 buckets must drop whole at the cap after the merge")
+    val probe = Seq(("img", 20L, s2), ("img", 21L, 0x5a5a5a5a5a5a5a5aL))
+      .toDF("kind", "doc_id", "sig")
+    val viaIndex = Dedup.indexHammingDedup(probe, refreshed).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("near_dup_of")))).toSet
+    val scratch = Dedup.incrementalHammingDedup(probe, ledger.union(batch),
+        maxBucket = 3, partitionCols = Seq("kind")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("near_dup_of")))).toSet
+    assert(viaIndex == scratch)
+    assert(viaIndex.exists(v => v._1 == 21L && v._2 == "admitted"))
+    refreshed.release(); rebuilt.release()
+  }
 }
