@@ -899,6 +899,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       vMem.addData(vRows(2), vRows(3)); pMem.addData(pRows(1), pRows(2), pRows(3))
       q.processAllAvailable()
+      // the unmatched-left emission must NOT have fired yet: every null
+      // row requires the purchase watermark to pass view_ts + window,
+      // and nothing has advanced it past 11:30 so far — a premature null
+      // here would be a retractable (wrong) non-conversion verdict
+      assert(!spark.table("ss_outer").collect().exists(_.isNullAt(2)),
+        "null emission before watermark expiry")
       // push BOTH watermarks far past every view's join range so
       // unmatched view state expires and emits its null row (expiry
       // needs a subsequent batch; nudge twice)
@@ -930,6 +936,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(nulls.distinct.length == nulls.length)
       val matchedViews = matched.map(p => (p._1, p._2))
       assert(nulls.forall(n => !matchedViews.contains(n)), s"$nulls vs $matchedViews")
+      // and the COMPLETE streaming output equals the batch LEFT-OUTER on
+      // the same within-watermark slice (watermarks are no-ops in batch,
+      // so batch attributedOrNull is the plain outer join — the stream's
+      // eviction-driven nulls must land it on exactly that relation)
+      val batchOuter = StreamingJoin.attributedOrNull(
+          vRows.toDF("user_id", "view_ts"),
+          pRows.toDF("user_id", "purchase_ts", "value"),
+          window = "1 hour", watermark = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(rows.toSet == batchOuter, s"streaming ${rows.toSet} vs batch $batchOuter")
     } finally q.stop()
   }
 
