@@ -5208,7 +5208,11 @@ object SparkEntry {
       ("GK exactness pin accuracy > n makes the sketch hold every value " +
         "so the oracle can demand exact agreement; production twin " +
         "q_value_histogram_bounded (fixed accuracy=1000 under the rank-" +
-        "contract gate)"))
+        "contract gate)"),
+    "embedding_neardup_exact" ->
+      ("deliberate all-pairs brute-force recall arm, quadratic by " +
+        "contract and guarded by maxBroadcastRows; production twin " +
+        "embedding_neardup_lsh"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
