@@ -245,6 +245,13 @@ object ClusterSmoke {
     }.toMap
   }
 
+  /** The 2-worker master string. Per-worker capacity (MB) comes from
+    * GRAFT_SMOKE_WORKER_MB (default 4096 — the sf0.01/10x envelope);
+    * 100x runs raise it together with GRAFT_SMOKE_EXEC_MEM, which the
+    * session builder validates against this capacity. */
+  private def clusterMaster: String =
+    s"local-cluster[2,16,${sys.env.getOrElse("GRAFT_SMOKE_WORKER_MB", "4096")}]"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     require(sys.env.contains("SPARK_HOME"),
@@ -263,7 +270,7 @@ object ClusterSmoke {
       else args.toSeq
 
     val t0 = System.nanoTime()
-    val cluster = session("local-cluster[2,16,4096]", repoClasses)
+    val cluster = session(clusterMaster, repoClasses)
     val clusterResults = runAll(cluster, sfDir, names, extraRunIfSlow = true)
     cluster.stop()
     val tCluster = (System.nanoTime() - t0) / 1e9
@@ -335,7 +342,7 @@ object ClusterSmoke {
           // whatever is active first, stop each arm's session in a
           // finally, and verify the master actually took.
           SparkSession.getActiveSession.foreach(_.stop())
-          val c2 = session("local-cluster[2,16,4096]", repoClasses)
+          val c2 = session(clusterMaster, repoClasses)
           require(c2.sparkContext.master.startsWith("local-cluster"),
             s"cluster arm got master ${c2.sparkContext.master}")
           val rc = try runAll(c2, sfDir, qs, extraRunIfSlow = true)
