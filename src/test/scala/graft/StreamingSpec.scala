@@ -356,6 +356,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally rq.stop()
   }
 
+  test("mid-stream hot swap via INCREMENTAL index refresh equals the " +
+      "full-rebuild swap (the production upkeep path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    import graft.streaming.StreamingNearDup.Verdict
+    // same fixture as the rebuild-swap test above, but the new index is
+    // refreshNearDupIndex(old, delta) instead of build(ledger2) — the
+    // shape a standing 100 TB ledger actually uses (append the admitted
+    // batch, never re-shingle the corpus)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    def uwords(n: Int) = (1 to n).map(i => s"u$i").mkString(" ")
+    val ledger1 = Seq((1L, words(20)),
+      (3L, "totally unrelated ledger doc content here")).toDF("doc_id", "text")
+    val delta = Seq((4L, uwords(10))).toDF("doc_id", "text")
+    val ledger2 = ledger1.union(delta)
+    val phase1 = Seq((101L, words(20)), (103L, uwords(10)))
+    val phase2 = Seq((201L, uwords(9) + " z"), (202L, "something else entirely"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val expected =
+      Dedup.incrementalNearDup(phase1.toDF("doc_id", "text"), ledger1)
+        .collect().map(key).toSet ++
+      Dedup.incrementalNearDup(phase2.toDF("doc_id", "text"), ledger2)
+        .collect().map(key).toSet
+    val mem = MemoryStream[(Long, String)]
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long, Array[Verdict]]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_neardup_incr_refresh").toString
+    val rq = new graft.streaming.StreamingNearDup.Refreshable(spark,
+      mem.toDF().toDF("doc_id", "text"), ckpt,
+      (ds, batchId) => byBatch.put(batchId, ds.collect()))
+    val idx1 = Dedup.buildNearDupIndex(ledger1)
+    rq.start(idx1)
+    try {
+      mem.addData(phase1: _*); rq.processAllAvailable()
+      rq.refresh(Dedup.refreshNearDupIndex(idx1, delta))
+      mem.addData(phase2: _*); rq.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = byBatch.values.asScala.flatten
+        .map(v => (v.doc_id, v.verdict, v.near_dup_of, v.jaccard_pct)).toSet
+      val want = expected.map { case (id, vd, of, j) =>
+        (id, vd, of.map(_.asInstanceOf[Long]), j.map(_.asInstanceOf[Long])) }
+      assert(got == want)
+      // the refreshed posting is live: 201 near-dups against delta doc 4
+      assert(got.exists(v => v._1 == 201L && v._2 == "near_dup" && v._3 == Some(4L)))
+    } finally rq.stop()
+  }
+
   test("streaming dedup TTL expires state and re-admits late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
