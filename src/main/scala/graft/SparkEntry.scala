@@ -47,7 +47,11 @@ object SparkEntry {
   private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
     def davg(sumCol: Column): Column =
       floor(sumCol / col("count_order")).cast("long")
-    Tables.lineitem(s, dir)
+    // widened (util.Par scaladoc): a compact single-row-group lineitem
+    // file scans as ONE real task, serializing the 5-decimal-sum map side;
+    // in-JVM A/B at sf0.1: 2.2 s -> 1.1 s steady-state. No-op at
+    // production scan widths, and the decimal sums are order-independent.
+    util.Par.widen(Tables.lineitem(s, dir))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         msum(col("l_quantity")).as("sum_qty_micros"),
@@ -2971,7 +2975,9 @@ object SparkEntry {
 
   /** One-pass column profiling over lineitem (`operators/Profile`). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
-    operators.Profile.profile(Tables.lineitem(s, dir),
+    // widened: the 6-column value-explode map side otherwise runs on the
+    // single real scan task (util.Par scaladoc; in-JVM A/B mild win)
+    operators.Profile.profile(util.Par.widen(Tables.lineitem(s, dir)),
         Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
           "l_linestatus", "l_shipdate"))
       .orderBy("column")
@@ -4621,10 +4627,21 @@ object SparkEntry {
     * (EdgeBuildProbe: 1.14 vs 1.33 s at sf0.1, same 1.196M edges)
     * because it replaces the SMJ sorts with one hash aggregate. The
     * per-order array is bounded by order size (single-digit for this
-    * corpus shape); pair fan-out is the same k^2 either spelling pays. */
+    * corpus shape); pair fan-out is the same k^2 either spelling pays.
+    *
+    * The pinned-width repartition between the aggregate and the explode
+    * exists because AQE's parallelism-first coalescing sizes partitions by
+    * the COMPACT pre-explode shuffle bytes (minPartitionSize=1m), which
+    * serializes the k^2 pair expansion + pair-distinct map side onto 3-4
+    * tasks on a 32-core host (measured: 3.7 s of the pagerank wall at
+    * sf0.1, ~0.5 s once spread). REPARTITION_BY_NUM is exempt from AQE
+    * coalescing and defaultParallelism tracks the cluster, so the
+    * expansion width scales with executors; the moved bytes are the
+    * order-compact relation, not the exploded pairs. */
   private def coPurchaseEdges(li: DataFrame): DataFrame =
     li.groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .repartition(li.sparkSession.sparkContext.defaultParallelism)
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
            transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"""))

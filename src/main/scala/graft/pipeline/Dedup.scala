@@ -261,7 +261,17 @@ object Dedup {
     // cannot be unpersisted here — the caller owns it (consume the result,
     // then `spark.catalog.clearCache()` between pipeline stages, as Bench
     // does per query; otherwise LRU eviction reclaims it).
-    val hdf = hashedShingleDf(docs, w).persist()
+    //
+    // Widened (util.Par scaladoc): the shingle build plus the downstream
+    // full-corpus shingle EXPLODE (the df pass and both candidate arms
+    // read this cache with narrow ops) is the heaviest narrow CPU in the
+    // dedup family, and a compact single-row-group corpus file scans as
+    // ONE real task — measured 3.4 s single-threaded of the sf0.1 wall,
+    // ~0.9 s once spread. The other hashedShingleDf callers stay unwidened
+    // on purpose: their per-call shingle work is small and the extra
+    // exchange + 32-task stages measurably LOSE on batch-sized inputs
+    // (dedup_index_refresh 2.0 -> 4.5 s in the same A/B that won here).
+    val hdf = hashedShingleDf(graft.util.Par.widen(docs), w).persist()
     val ex = hdf.select(col("doc_id"), explode(col("hs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val rareEx = ex.join(rare.select("s"), "s")

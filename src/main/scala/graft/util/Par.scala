@@ -1,0 +1,34 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-width adapter for CPU-heavy narrow pipelines.
+  *
+  * Spark parallelizes a parquet scan by byte-range splits, but a split
+  * finer than a ROW GROUP is empty — the task whose range holds the row
+  * group's midpoint reads everything. A compact single-row-group file
+  * (the small-sf driver tables; any dimension-sized input) therefore scans
+  * as ONE real task no matter how many splits the planner cuts, and every
+  * narrow consumer — tokenization, shingling, codec decode, k² pair
+  * expansion — inherits that single-threaded width until its first
+  * exchange (measured: the 3.4 s ngram-shingle build at sf0.1 ran on one
+  * core of 32).
+  *
+  * `widen` repartitions such an input up to the cluster's default
+  * parallelism, and is deliberately a NO-OP when the relation already has
+  * that many partitions — a 100 TB corpus arrives as thousands of
+  * row-group-sized splits, so production scans never pay the extra
+  * exchange; only compact inputs (where the moved bytes are by definition
+  * small) do, in exchange for full-width CPU downstream.
+  *
+  * Call this only on SCAN-ROOTED relations (scan + narrow projections /
+  * filters): `df.rdd` compiles the physical plan to inspect its partition
+  * count, which is free for narrow plans but would materialize query
+  * stages under AQE if the plan contained an exchange.
+  */
+object Par {
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}
