@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * materialize; the whole run is `iters` chained exchange rounds — the
   * standard scalable PageRank plan, no driver-side state.
   *
+  * Measured rejection — adjacency packing (the GraphX-style one
+  * (src, outdeg, dsts[]) row per source, iterating by node-sized join +
+  * explode): a clear win at sf0.1 (4.8 vs 6.3 s best-of-3) but 15-25%
+  * SLOWER at the 100x one-JVM probe across two independent samples
+  * (196.7 / 213.8 vs 172.7 s best-of-3) — the collect_list build is an
+  * ObjectHashAggregate over the full edge mass and the per-iteration
+  * array explode trades the cached SMJ scan for generator+GC pressure.
+  * Scale behavior wins the tie; the edge-relation spelling stays.
+  *
   * Dangling mass: nodes with no out-edges keep receiving the base term but
   * redistribute nothing (the common simplification; symmetrize the edge
   * relation upstream if the graph is undirected, which also removes

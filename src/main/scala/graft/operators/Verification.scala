@@ -75,13 +75,29 @@ object Verification {
 
   /** Per-(block, host) replica counts, hash-partitioned by `block_id` once;
     * every downstream `groupBy(block_id, ...)` is then partition-local
-    * because `HashPartitioning(block_id)` satisfies its clustering. */
+    * because `HashPartitioning(block_id)` satisfies its clustering.
+    *
+    * The width is PINNED to the configured shuffle partitions (see
+    * [[pinnedByBlock]]): the whole downstream rollup chain is partition-
+    * local, so whatever width this one exchange lands at is the chain's
+    * CPU parallelism for every level — and AQE's byte-based coalescing
+    * sizes it by the compact counted bytes (12 of 32 slots at the 200k-
+    * block fixture), not by the comparator/message CPU the chain runs. */
   private def hostCounts(located: DataFrame): DataFrame =
-    located
-      .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid"))
-      .repartition(col("block_id"))
+    pinnedByBlock(located
+        .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid")))
       .groupBy("block_id", "dc", "rack", "datanode_uuid")
       .agg(count(lit(1)).as("cnt"))
+
+  /** `repartition(spark.sql.shuffle.partitions, block_id)`: identical
+    * clustering to `repartition(block_id)`, but REPARTITION_BY_NUM is
+    * exempt from AQE coalescing, so the CPU-bound rollup chain keeps the
+    * CONFIGURED width (cluster-tuned at scale) instead of a width sized
+    * by post-aggregation bytes. */
+  private def pinnedByBlock(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("block_id"))
 
   /** Hierarchy statistics per (block, parent): number of occupied child
     * groups, total replicas underneath, and per-child max/min — the path-
@@ -148,10 +164,11 @@ object Verification {
     val vFlag: Column = when(violated, 1).otherwise(0)
 
     // per-(block, host) replica counts + that host's ip per replica row;
-    // one repartition(block_id) makes every rollup below partition-local
-    val hosts = located(replicas, topology)
-      .select(col("block_id"), col("dc"), col("rack"), col("datanode_uuid"), col("ip"))
-      .repartition(col("block_id"))
+    // one pinned-width repartition(block_id) makes every rollup below
+    // partition-local at the configured width (see pinnedByBlock)
+    val hosts = pinnedByBlock(located(replicas, topology)
+        .select(col("block_id"), col("dc"), col("rack"),
+          col("datanode_uuid"), col("ip")))
       .groupBy("block_id", "dc", "rack", "datanode_uuid")
       .agg(count(lit(1)).as("cnt"), collect_list("ip").as("ips"))
     // parent = /dc/rack: children are hosts
