@@ -15,11 +15,15 @@ import org.apache.spark.sql.DataFrame
   * core of 32).
   *
   * `widen` repartitions such an input up to the cluster's default
-  * parallelism, and is deliberately a NO-OP when the relation already has
-  * that many partitions — a 100 TB corpus arrives as thousands of
-  * row-group-sized splits, so production scans never pay the extra
-  * exchange; only compact inputs (where the moved bytes are by definition
-  * small) do, in exchange for full-width CPU downstream.
+  * parallelism, but ONLY when that buys at least 4x the current width:
+  * the repartition costs one full pass + exchange over the bytes, so a
+  * merely-2x gain measurably loses (the 100x ScaleUp copies arrive as 16
+  * files on a 32-core host — widening 16 -> 32 there regressed q1_pricing
+  * 13.9 -> 36.6 s and the ngram shingle build 6.7 -> 14.6 s, while the
+  * genuinely-serial sf0.1 scans won 2-4x). A 100 TB corpus arrives as
+  * thousands of row-group-sized splits, so production scans never pay
+  * the exchange; only near-serial compact inputs do, where the moved
+  * bytes are by definition small and the width gain is large.
   *
   * Call this only on SCAN-ROOTED relations (scan + narrow projections /
   * filters): `df.rdd` compiles the physical plan to inspect its partition
@@ -29,6 +33,6 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions.toLong * 4 <= p) df.repartition(p) else df
   }
 }
