@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** util.Par.widen gate: repartition only when it buys >= 4x width, and
+  * never change the data. */
+class ParSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("a near-serial relation widens to default parallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val w = util.Par.widen(df)
+    assert(w.rdd.getNumPartitions == p)
+  }
+
+  test("a relation within 4x of default parallelism is left alone") {
+    val p = spark.sparkContext.defaultParallelism
+    val n = math.max(1, p / 2) // 2x gain only — below the 4x bar
+    val df = spark.range(0, 1000, 1, numPartitions = n).toDF("id")
+    val w = util.Par.widen(df)
+    assert(w.rdd.getNumPartitions == n, "no repartition below a 4x gain")
+  }
+
+  test("a wider-than-parallelism relation is untouched") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = spark.range(0, 1000, 1, numPartitions = p * 2).toDF("id")
+    assert(util.Par.widen(df).rdd.getNumPartitions == p * 2)
+  }
+
+  test("widening preserves the rows exactly") {
+    val df = spark.range(0, 997, 1, numPartitions = 1).toDF("id")
+    val got = util.Par.widen(df).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(0L until 997L))
+  }
+}
