@@ -32,6 +32,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def widen(df: DataFrame): DataFrame = {
+    // .rdd is undefined for a streaming relation; micro-batch width is the
+    // source's concern (maxFilesPerTrigger etc.), so pass it through
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions.toLong * 4 <= p) df.repartition(p) else df
   }
