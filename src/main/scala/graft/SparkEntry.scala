@@ -179,8 +179,12 @@ object SparkEntry {
     * would not survive 100 TB. */
   private def qTopParts(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir).select("p_partkey", "p_brand")
-    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    // widened (util.Par scaladoc): the broadcast-join probe + 2-decimal-sum
+    // map side otherwise runs on the single real scan task (the q1_pricing
+    // pattern; registry stage sweep flagged a 1.6 s 3-task stage here)
+    val li = util.Par.widen(Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"), msum(col("l_quantity")).as("sum_qty_micros"),
@@ -3572,6 +3576,10 @@ object SparkEntry {
     * CTE chain (Hilbert.sqlSteps), so every per-row index is under the
     * hash, not a spot check. */
   private def qHilbertLayout(s: SparkSession, dir: String): DataFrame =
+    // NOT widened: the in-JVM A/B put the widened form ~0.3 s SLOWER
+    // steady-state (1.0 -> 1.4 s) — the 31 quadrant steps are cheap
+    // codegen next to the range-sort exchange the query ends in, so the
+    // extra repartition buys nothing the sort's own exchange doesn't
     operators.Hilbert.withIndex(
         Tables.lineitem(s, dir).select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
