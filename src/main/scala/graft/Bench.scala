@@ -103,10 +103,15 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val sentinel = math.min(calPre, calPost)
       val normalized = if (sentinel > 0) total / sentinel else -1.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","runs":2,"n_queries":${results.size},$extra""" +
+      // normalized leads (right after the raw headline): the tail-capped
+      // driver artifact must carry the drift-proof number in its head so
+      // cross-round comparisons never depend on re-deriving it from a
+      // possibly-truncated queries map
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""normalized_total_per_sentinel":${fmt(normalized)},""" +
-        s""""calibration_sec":{"pre":${fmt(calPre)},"post":${fmt(calPost)}}}"""
+        s""""calibration_sec":{"pre":${fmt(calPre)},"post":${fmt(calPost)}},""" +
+        s""""queries":$qs,""" +
+        s""""sf":"$sfDir","runs":2,$extra"n_queries":${results.size}}"""
     }
     val fullLine = jsonLine(results, "")
     // Full record first; then a COMPACT line as the LAST stdout line. The

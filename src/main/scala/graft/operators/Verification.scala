@@ -95,8 +95,11 @@ object Verification {
     * CONFIGURED width (cluster-tuned at scale) instead of a width sized
     * by post-aggregation bytes. */
   private def pinnedByBlock(df: DataFrame): DataFrame =
+    // resolved conf accessor, not raw-string .toInt: some runtimes set the
+    // raw conf to a non-numeric value (e.g. "auto") that the session
+    // resolves to a number
     df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      df.sparkSession.sessionState.conf.numShufflePartitions,
       col("block_id"))
 
   /** Hierarchy statistics per (block, parent): number of occupied child

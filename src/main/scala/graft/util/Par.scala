@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
 
 /** Scan-width adapter for CPU-heavy narrow pipelines.
   *
@@ -25,16 +26,41 @@ import org.apache.spark.sql.DataFrame
   * the exchange; only near-serial compact inputs do, where the moved
   * bytes are by definition small and the width gain is large.
   *
-  * Call this only on SCAN-ROOTED relations (scan + narrow projections /
-  * filters): `df.rdd` compiles the physical plan to inspect its partition
-  * count, which is free for narrow plans but would materialize query
-  * stages under AQE if the plan contained an exchange.
+  * Meant for SCAN-ROOTED relations (scan + narrow projections / filters):
+  * `df.rdd` compiles the physical plan to inspect its partition count,
+  * which is free for narrow plans but would materialize (and so execute
+  * TWICE) the upstream query stages under AQE if the plan contained an
+  * exchange. The guard is enforced, not just documented: a plan that is
+  * not a leaf/Project/Filter chain passes through untouched, so callers
+  * that accept arbitrary relations at a public boundary (e.g. the dedup
+  * pair builders) cannot trip double execution.
+  *
+  * Known limitation, accepted: the gate keys off the PLANNED split
+  * count, not the real data distribution. A single-row-group file big
+  * enough that the planner cuts it into > parallelism/4 byte-range
+  * splits still scans as one real task (every split but one is empty)
+  * yet passes the gate unwidened. The driver fixtures and any
+  * well-formed production layout write many row groups per large file,
+  * so the shape has not been observed; gating on row-group counts would
+  * need a file-footer read per plan — not worth it until the shape is
+  * real.
   */
 object Par {
+  private def scanRooted(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode        => true
+    case p: Project         => scanRooted(p.child)
+    case f: Filter          => scanRooted(f.child)
+    case s: SubqueryAlias   => scanRooted(s.child)
+    case _                  => false
+  }
+
   def widen(df: DataFrame): DataFrame = {
     // .rdd is undefined for a streaming relation; micro-batch width is the
     // source's concern (maxFilesPerTrigger etc.), so pass it through
     if (df.isStreaming) return df
+    // non-scan-rooted plans pass through: probing .rdd would materialize
+    // their upstream stages under AQE (see scaladoc)
+    if (!scanRooted(df.queryExecution.analyzed)) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions.toLong * 4 <= p) df.repartition(p) else df
   }
