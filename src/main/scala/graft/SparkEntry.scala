@@ -1758,15 +1758,24 @@ object SparkEntry {
     * silently diverge. `kExpr` is the centroid count as a SQL expression
     * evaluated in aggregate context over `en3` — "16" for the
     * calibration gates, the floor-sqrt spelling (mirroring
-    * `Ivf.autoCentroids`) for the scale-proportional gate. */
+    * `Ivf.autoCentroids`) for the scale-proportional gate. `centWhere`
+    * restricts the centroid TRAINING corpus (stride selection, sizing
+    * and count all evaluate over `enc`) while assignment and search stay
+    * corpus-wide — "TRUE" for the one-shot gates, the ledger predicate
+    * for the standing-index refresh gate whose centroids are frozen at
+    * build time. */
   private def duckIvfSearch(q: String, ranked: String,
-                            kExpr: String = "16"): String =
+                            kExpr: String = "16",
+                            centWhere: String = "TRUE"): String =
     s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
+       |enc AS (SELECT vec_id, xs, norm2,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2
+       |        WHERE $centWhere),
        |params AS (SELECT GREATEST(1, COUNT(*) // ($kExpr)) AS stride,
-       |           ($kExpr) AS kc FROM en3),
+       |           ($kExpr) AS kc FROM enc),
        |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
-       |          FROM en3, params WHERE idx % stride = 0 AND idx // stride < kc),
+       |          FROM enc, params WHERE idx % stride = 0 AND idx // stride < kc),
        |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
        |       FROM en3 v, cents c),
        |assigned AS (SELECT vec_id, centroid_id FROM (
@@ -1794,6 +1803,40 @@ object SparkEntry {
     s"""WITH $DuckPrepared,
        |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
        |${duckIvfSearch("q", "ranked")}
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** ANN through a MAINTAINED standing inverted file
+    * ([[pipeline.Ivf.IvfIndex]]): build on half the corpus (centroids
+    * trained and FROZEN there, auto-sized from the ledger count), fold
+    * in the other half via [[pipeline.Ivf.refreshIndex]] — only the
+    * batch is assigned, the standing corpus is never re-read — then
+    * serve the [[annIvfTopk]] query workload from the refreshed index.
+    * The oracle re-derives exactly that contract: stride centroids over
+    * the LEDGER predicate, assignment and search over the full corpus
+    * (`duckIvfSearch(centWhere = ...)`), so a refresh that re-trained,
+    * dropped a batch vector, or double-assigned fails the hash.
+    * SimilaritySpec additionally pins refresh == rebuild-under-frozen-
+    * centroids relation-for-relation plus the drift-trigger arithmetic. */
+  private def annIvfIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val idx0 = pipeline.Ivf.buildIndex(embs.where(col("vec_id") % 10 < 5))
+    val idx = pipeline.Ivf.refreshIndex(idx0,
+      embs.where(col("vec_id") % 10 >= 5))
+    idx0.release()
+    val out = pipeline.Ivf.searchIndexTopK(idx, col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+      .localCheckpoint(true) // materialize before releasing the inv it reads
+    idx.release()
+    out
+  }
+
+  private val annIvfIndexRefreshSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |${duckIvfSearch("q", "ranked", duckAutoK, "vec_id % 10 < 5")}
        |SELECT query_id, rk, neighbor_id,
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
@@ -2885,16 +2928,22 @@ object SparkEntry {
     * squared L2 is monotone with cosine), stride codebooks (the ann_ivf
     * rule), 8 subspaces of 8 components, exact integer squared-L2 per
     * subspace, ties to the lower code. `best WHERE rn = 1` is the corpus
-    * encoding. */
-  private val DuckPqBase =
+    * encoding. `centWhere` restricts the codebook TRAINING corpus (the
+    * `enpc` stride source) while encoding stays corpus-wide — "TRUE" for
+    * the one-shot gates, the ledger predicate for the standing code
+    * index's refresh gate (frozen ledger-trained codebooks). */
+  private def duckPqBase(centWhere: String = "TRUE") =
     s"""un AS (SELECT vec_id, list_transform(range(1, len(xs) + 1),
        |        i -> CAST(floor(CAST(xs[i] AS DOUBLE) * 1000000 /
        |               sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS xs
        |      FROM en2),
        |en3 AS (SELECT vec_id, xs,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM un),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM en3),
-       |cents AS (SELECT (idx // stride) AS cid, xs FROM en3, params
+       |enpc AS (SELECT vec_id, xs,
+       |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM un
+       |        WHERE $centWhere),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM enpc),
+       |cents AS (SELECT (idx // stride) AS cid, xs FROM enpc, params
        |          WHERE idx % stride = 0 AND idx // stride < 16),
        |vs AS (SELECT vec_id, s, xs[s * 8 + 1 : s * 8 + 8] AS v
        |       FROM en3, range(8) t(s)),
@@ -2908,6 +2957,8 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
        |        FROM d)""".stripMargin
 
+  private val DuckPqBase = duckPqBase()
+
   private def qPqEncode(s: SparkSession, dir: String): DataFrame =
     pipeline.Pq.encoded(Tables.embeddings(s, dir), m = 8, k = 16)
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
@@ -2917,6 +2968,35 @@ object SparkEntry {
   private val qPqEncodeSql =
     s"""WITH $DuckPrepared,
        |$DuckPqBase
+       |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       |       dist AS err
+       |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+
+  /** PQ codes through a MAINTAINED standing code index
+    * ([[pipeline.Pq.PqIndex]]): codebooks trained and FROZEN on half the
+    * corpus, the other half folded in via
+    * [[pipeline.Pq.refreshCodeIndex]] — only the batch is encoded. The
+    * oracle re-derives that contract (stride codebooks over the LEDGER
+    * predicate, encoding corpus-wide), so a refresh that re-trained or
+    * re-encoded the ledger fails the hash. Output shape = [[qPqEncode]]. */
+  private def annPqIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val idx0 = pipeline.Pq.buildCodeIndex(embs.where(col("vec_id") % 10 < 5))
+    val idx = pipeline.Pq.refreshCodeIndex(idx0,
+      embs.where(col("vec_id") % 10 >= 5))
+    idx0.release()
+    val out = idx.codes
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("err"))
+      .orderBy("vec_id", "sub")
+      .localCheckpoint(true) // materialize before releasing the codes it reads
+    idx.release()
+    out
+  }
+
+  private val annPqIndexRefreshSql =
+    s"""WITH $DuckPrepared,
+       |${duckPqBase("vec_id % 10 < 5")}
        |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
        |       dist AS err
        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
@@ -3360,6 +3440,37 @@ object SparkEntry {
       "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getPath
     pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
     pipeline.Search.bm25TopKIndexed(s, idx, Bm25Queries, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** BM25 served from a MAINTAINED standing index: build the inverted
+    * index on half the corpus, fold in the other half via
+    * [[pipeline.Search.refreshIndex]] (batch postings appended, term dfs
+    * and stats merged — the ledger half is never re-tokenized), then
+    * answer the [[qBm25Topk]] workload from it. Because refresh == a
+    * from-scratch rebuild relation-for-relation (SearchSpec pins the
+    * three index relations), the results equal [[qBm25Topk]]'s over the
+    * full corpus — this gate shares that oracle verbatim, so any refresh
+    * drift (lost posting, double-counted df, stale stats) fails the hash
+    * end-to-end. The index dir is recreated per invocation: refresh
+    * APPENDS, so replaying onto a stale dir would double-count — the
+    * same new-ids admission contract every standing index here carries. */
+  private def qBm25IndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bm25_refresh_" + Integer.toHexString(dir.hashCode))
+    deleteRecursively(idx)
+    val docs = Tables.documents(s, dir)
+    pipeline.Search.buildIndex(docs.where(col("doc_id") % 10 < 5),
+      "doc_id", "text", idx.getPath)
+    pipeline.Search.refreshIndex(s, idx.getPath,
+      docs.where(col("doc_id") % 10 >= 5), "doc_id", "text")
+    pipeline.Search.bm25TopKIndexed(s, idx.getPath, Bm25Queries, k = 10)
       .orderBy("query_id", "rk")
   }
 
@@ -5307,6 +5418,7 @@ object SparkEntry {
     "ann_ivf_scaled_topk" -> (annIvfScaledTopk _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "ann_ivf_kmeans_scaled_topk" -> (annIvfKmeansScaledTopk _),
+    "ann_ivf_index_refresh" -> (annIvfIndexRefresh _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -5333,6 +5445,7 @@ object SparkEntry {
     "q_pq_encode" -> (qPqEncode _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
+    "ann_pq_index_refresh" -> (annPqIndexRefresh _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
@@ -5343,6 +5456,7 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_indexed" -> (qBm25Indexed _),
+    "q_bm25_index_refresh" -> (qBm25IndexRefresh _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_retrieval_indexed" -> (qHybridRetrievalIndexed _),
     "q_scd2_users" -> (qScd2Users _),
@@ -5459,6 +5573,7 @@ object SparkEntry {
     "ann_ivf_scaled_topk" -> annIvfScaledTopkSql,
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "ann_ivf_kmeans_scaled_topk" -> annIvfKmeansScaledTopkSql,
+    "ann_ivf_index_refresh" -> annIvfIndexRefreshSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,
     "multimodal_features" -> multimodalFeaturesSql,
@@ -5485,6 +5600,7 @@ object SparkEntry {
     "q_pq_encode" -> qPqEncodeSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
+    "ann_pq_index_refresh" -> annPqIndexRefreshSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,
@@ -5495,6 +5611,7 @@ object SparkEntry {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bm25_topk" -> qBm25TopkSql,
     "q_bm25_indexed" -> qBm25TopkSql,
+    "q_bm25_index_refresh" -> qBm25TopkSql,
     "q_hybrid_retrieval" -> qHybridRetrievalSql,
     "q_hybrid_retrieval_indexed" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,

@@ -200,9 +200,20 @@ object Ivf {
     val cents = refinedCentroids(embs, nc, refineIters)
     val inv = assigned(embs, cents)
     val querySet = Similarity.prepared(embs).where(queryPred)
+    probeSearch(inv, cents, querySet, k, nprobe, maxQueryRows)
+  }
+
+  /** Shared probe-and-rank tail of the one-shot and standing-index search
+    * paths: rank the `nprobe` nearest buckets per query, join the probed
+    * buckets' vectors, exact-cosine rerank to top-k. */
+  private def probeSearch(inv: DataFrame, cents: Array[PreparedVec],
+      querySet: DataFrame, k: Int, nprobe: Int,
+      maxQueryRows: Long): DataFrame = {
+    val spark = inv.sparkSession
+    import spark.implicits._
     val nQueries = querySet.count()
     require(nQueries <= maxQueryRows,
-      s"searchTopK broadcasts the query set: predicate matched $nQueries " +
+      s"IVF search broadcasts the query set: predicate matched $nQueries " +
         s"rows > maxQueryRows=$maxQueryRows; batch the queries or raise the " +
         "bound explicitly for a corpus-scale join")
     // (query, probed centroid) pairs. Probe ranking runs IN THE CLUSTER
@@ -212,14 +223,16 @@ object Ivf {
     // the executors until the broadcast exchange of the (tiny) pair
     // relation itself.
     val bcCents = spark.sparkContext.broadcast(cents)
-    val probes = querySet.as[PreparedVec].flatMap { q =>
-      val cs = bcCents.value
-      cs.indices
-        .sortBy(i => (-cos(dot(q.xs, cs(i).xs), q.norm2, cs(i).norm2), i))
-        .take(nprobe)
-        .map(ci => (q.vec_id, ci, q.xs, q.norm2))
-    }.toDF("query_id", "centroid_id", "xs_q", "n_q")
-    inv.join(broadcast(probes), "centroid_id")
+    val probes = querySet.select("vec_id", "xs", "norm2").as[PreparedVec]
+      .flatMap { q =>
+        val cs = bcCents.value
+        cs.indices
+          .sortBy(i => (-cos(dot(q.xs, cs(i).xs), q.norm2, cs(i).norm2), i))
+          .take(nprobe)
+          .map(ci => (q.vec_id, ci, q.xs, q.norm2))
+      }.toDF("query_id", "centroid_id", "xs_q", "n_q")
+    inv.select("centroid_id", "vec_id", "xs", "norm2")
+      .join(broadcast(probes), "centroid_id")
       .where(col("vec_id") =!= col("query_id"))
       .as[(Int, Long, Array[Long], Long, Long, Array[Long], Long)]
       .map { case (_, vid, xs, n, qid, xsQ, nQ) =>
@@ -232,4 +245,75 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
   }
+
+  // ================================================================
+  // Standing inverted-file index (build once, refresh per batch)
+  // ================================================================
+
+  /** Materialized IVF index for repeated search and incremental
+    * maintenance: frozen coarse `cents` + the persisted inverted file
+    * `inv` (centroid_id, vec_id, xs, norm2). `nTotal` / `nSinceTrain`
+    * carry the drift bookkeeping: centroids were trained on
+    * `nTotal - nSinceTrain` vectors, everything since joined via
+    * [[refreshIndex]] under frozen centroids. Call [[IvfIndex.release]]
+    * when done — the [[Dedup.NearDupIndex]] lifetime discipline. */
+  final case class IvfIndex(cents: Array[PreparedVec], inv: DataFrame,
+                            nTotal: Long, nSinceTrain: Long) {
+    def release(): Unit = inv.unpersist()
+
+    /** Fraction of the index assigned since centroids were last trained. */
+    def driftFraction: Double =
+      if (nTotal <= 0) 0.0 else nSinceTrain.toDouble / nTotal
+
+    /** Retrain trigger: frozen centroids stay near-optimal while the
+      * corpus they were trained on dominates; once refreshed vectors are
+      * a large fraction of the index, bucket balance (and so nprobe
+      * recall) degrades and a rebuild re-adapts the quantizer. The 1/2
+      * default is the classic doubling rule — retraining on every
+      * doubling keeps total training cost a constant factor of one final
+      * build. */
+    def needsRetrain(maxNewFraction: Double = 0.5): Boolean =
+      driftFraction >= maxNewFraction
+  }
+
+  /** Build the standing index: train centroids (auto-sized by default),
+    * assign the corpus, persist the inverted file. */
+  def buildIndex(embs: DataFrame, nCentroids: Int = 0,
+                 refineIters: Int = 0): IvfIndex = {
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else autoCentroids(Similarity.prepared(embs).count())
+    val cents = refinedCentroids(embs, nc, refineIters)
+    val inv = assigned(embs, cents).persist()
+    IvfIndex(cents, inv, inv.count(), 0L)
+  }
+
+  /** Incremental maintenance: assign ONLY the batch under the frozen
+    * centroids and append it to the inverted file —
+    * `refreshIndex(buildIndex(L), B).inv == assigned(L ∪ B, cents(L))`
+    * relation-for-relation (SimilaritySpec pins it; the
+    * `ann_ivf_index_refresh` oracle gate replays build-then-refresh
+    * against a DuckDB rederivation with ledger-trained centroids).
+    * Refresh cost tracks the batch (|B| x nCentroids x dim assignment
+    * work, no shuffle); the standing corpus is never re-assigned or
+    * re-read. The new inverted file is materialized before returning so
+    * the caller can `release()` the old index immediately; check
+    * [[IvfIndex.needsRetrain]] after long refresh chains — the quantizer
+    * itself is what a rebuild re-adapts. */
+  def refreshIndex(index: IvfIndex, batch: DataFrame): IvfIndex = {
+    val inv2 = index.inv.union(assigned(batch, index.cents)).persist()
+    val n2 = inv2.count()
+    index.copy(inv = inv2, nTotal = n2,
+      nSinceTrain = index.nSinceTrain + (n2 - index.nTotal))
+  }
+
+  /** Top-k over a standing [[IvfIndex]]: queries are drawn from the
+    * index's own inverted file by `queryPred` (the prepared vectors are
+    * already there — no re-preparation pass), probing `nprobe` buckets
+    * exactly as [[searchTopK]] does. */
+  def searchIndexTopK(index: IvfIndex, queryPred: Column, k: Int = 5,
+                      nprobe: Int = 4,
+                      maxQueryRows: Long = 100000L): DataFrame =
+    probeSearch(index.inv, index.cents, index.inv.where(queryPred),
+      k, nprobe, maxQueryRows)
 }

@@ -101,10 +101,17 @@ object Pq extends Serializable {
 
   /** PQ encoding as a relation: one row per (vector, subspace) with the
     * chosen code and that subspace's exact quantization error. */
-  def encoded(embs: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+  def encoded(embs: DataFrame, m: Int = 8, k: Int = 16): DataFrame =
+    encodedWith(embs, codebooks(embs, m, k))
+
+  /** [[encoded]] under ALREADY-TRAINED codebooks — the primitive the
+    * standing code index's refresh path reuses to encode only a batch
+    * (graft-visible so the spec can pin refresh == encode-all-with-
+    * frozen-books relation-for-relation). */
+  private[graft] def encodedWith(embs: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val books = codebooks(embs, m, k)
     val sd = books(0)(0).length
     val bc = spark.sparkContext.broadcast(books)
     unitPrepared(embs).mapPartitions { it =>
@@ -113,6 +120,41 @@ object Pq extends Serializable {
         codes.indices.iterator.map(s => CodeRow(v.vec_id, s, codes(s), errs(s)))
       }
     }.toDF()
+  }
+
+  /** Materialized PQ code index: frozen `books` + the persisted code
+    * relation (the [[Ivf.IvfIndex]] shape for the codes-only ADC tier).
+    * `nTotal`/`nSinceTrain` carry the same drift bookkeeping. */
+  final case class PqIndex(books: Array[Array[Array[Long]]], codes: DataFrame,
+                           m: Int, nTotal: Long, nSinceTrain: Long) {
+    def release(): Unit = codes.unpersist()
+    def driftFraction: Double =
+      if (nTotal <= 0) 0.0 else nSinceTrain.toDouble / nTotal
+    /** Doubling-rule retrain trigger — see [[Ivf.IvfIndex.needsRetrain]]. */
+    def needsRetrain(maxNewFraction: Double = 0.5): Boolean =
+      driftFraction >= maxNewFraction
+  }
+
+  /** Train codebooks and encode the corpus into a standing code index. */
+  def buildCodeIndex(embs: DataFrame, m: Int = 8, k: Int = 16): PqIndex = {
+    val books = codebooks(embs, m, k)
+    val codes = encodedWith(embs, books).persist()
+    PqIndex(books, codes, m, codes.count() / m, 0L)
+  }
+
+  /** Incremental maintenance: encode ONLY the batch under the frozen
+    * codebooks and append —
+    * `refreshCodeIndex(buildCodeIndex(L), B).codes ==
+    * encode(L ∪ B, books(L))` relation-for-relation (the
+    * `ann_pq_index_refresh` oracle gate replays build-then-refresh
+    * against a DuckDB rederivation with ledger-trained codebooks).
+    * Refresh cost is |B| x k x dim encode work; the standing corpus is
+    * never re-encoded. Check [[PqIndex.needsRetrain]] on long chains. */
+  def refreshCodeIndex(index: PqIndex, batch: DataFrame): PqIndex = {
+    val codes2 = index.codes.union(encodedWith(batch, index.books)).persist()
+    val n2 = codes2.count() / index.m
+    index.copy(codes = codes2, nTotal = n2,
+      nSinceTrain = index.nSinceTrain + (n2 - index.nTotal))
   }
 
   /** ADC top-k per query: smallest approximate squared distance

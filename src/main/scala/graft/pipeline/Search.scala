@@ -184,6 +184,73 @@ object Search {
     postings.unpersist()
   }
 
+  /** Incremental maintenance of a [[buildIndex]] directory: fold an
+    * admitted batch of NEW documents into the standing index without
+    * re-tokenizing the ledger corpus —
+    * `refreshIndex(buildIndex(L), B) == buildIndex(L ∪ B)`
+    * relation-for-relation (SearchSpec pins postings/termdf/stats
+    * equality; the `q_bm25_index_refresh` oracle gate replays the
+    * build-then-refresh pipeline against a from-scratch full-corpus
+    * DuckDB rederivation, so any drift in the df merge or stats
+    * arithmetic fails the hash end-to-end).
+    *
+    * Everything is batch-sized except two metadata-tier rewrites:
+    * - `postings/`: the batch's (term, doc_id, tf, dl) rows are APPENDED
+    *   as their own term-sorted files — ledger postings are never read or
+    *   rewritten. Document length is per-document and documents are
+    *   immutable, so the denormalized `dl` of standing postings is
+    *   refresh-invariant by construction. Each refresh adds one small
+    *   term-sorted file set whose min/max footers still prune lookups;
+    *   long refresh chains should compact (rebuild) periodically, the
+    *   [[Dedup.refreshNearDupIndex]] discipline.
+    * - `termdf/` and `stats/`: term dfs merge by one full-outer join of
+    *   the vocabulary relation with the batch's dfs (vocabulary-tier, no
+    *   tokenization), and the 1-row stats add the batch's counts. Both
+    *   are materialized (localCheckpoint cuts the file lineage) before
+    *   overwriting the directory they were read from.
+    *
+    * Contract: batch doc_ids must be NEW (the admission discipline every
+    * standing index here assumes) — replayed ids would duplicate
+    * postings rows, exactly as re-inserting into the rebuild would. */
+  def refreshIndex(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, batchFiles: Int = 4): Unit = {
+    val bp = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val bdl = bp.groupBy("doc_id").agg(sum("tf").as("dl"))
+    bp.join(bdl, "doc_id")
+      .repartitionByRange(batchFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$dir/postings")
+    val bdf = bp.groupBy("term").agg(count(lit(1)).as("df_new"))
+    val termdf = spark.read.parquet(s"$dir/termdf")
+      .withColumnRenamed("df", "df_old")
+      .join(bdf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) +
+          coalesce(col("df_new"), lit(0L))).as("df"))
+      .localCheckpoint(true)
+    termdf.repartitionByRange(math.max(1, batchFiles), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/termdf")
+    // stats: n counts ALL batch docs (token-less ones weigh on idf, the
+    // buildIndex rule); sum_dl stays NULL only while BOTH sides are
+    // token-free, matching what a from-scratch build would write
+    val bStats = batch.agg(count(lit(1)).as("bn"))
+      .crossJoin(bdl.agg(sum("dl").as("bsum")))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .crossJoin(bStats)
+      .select((col("n") + col("bn")).as("n"),
+        when(col("sum_dl").isNull && col("bsum").isNull, lit(null))
+          .otherwise(coalesce(col("sum_dl"), lit(0L)) +
+            coalesce(col("bsum"), lit(0L))).cast("long").as("sum_dl"))
+      .localCheckpoint(true)
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    bp.unpersist()
+  }
+
   /** BM25 top-k answered from a [[buildIndex]] directory: scores are
     * identical to [[bm25TopK]] over the indexed corpus, but the only
     * corpus-sized work is the term-pruned postings read — `term IN (...)`

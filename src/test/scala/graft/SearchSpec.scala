@@ -98,6 +98,43 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("In(term"), s"no In(term, ...) pushdown:\n$plan")
   }
 
+  test("refreshIndex equals a from-scratch rebuild relation-for-relation") {
+    import org.apache.spark.sql.functions.col
+    // shared terms (spark, merge), batch-only terms (stream, batch), a
+    // token-less batch doc (weighs on n but not on postings/sum_dl)
+    val docs = Seq(
+      (1L, "spark joins merge shuffles"),
+      (2L, "window filter spark"),
+      (3L, "merge join join"),
+      (4L, "filter cat dog"),
+      (5L, "stream batch spark spark"),
+      (6L, "merge stream stream"),
+      (7L, "...")).toDF("doc_id", "text")
+    val ledger = docs.where(col("doc_id") <= 4)
+    val batch = docs.where(col("doc_id") > 4)
+    val refreshedDir =
+      java.nio.file.Files.createTempDirectory("graft_bm25_refresh").toString
+    Search.buildIndex(ledger, "doc_id", "text", refreshedDir, nFiles = 2)
+    Search.refreshIndex(spark, refreshedDir, batch, "doc_id", "text",
+      batchFiles = 2)
+    val rebuiltDir =
+      java.nio.file.Files.createTempDirectory("graft_bm25_rebuild").toString
+    Search.buildIndex(docs, "doc_id", "text", rebuiltDir, nFiles = 2)
+    def rel(dir: String, name: String): Set[String] =
+      spark.read.parquet(s"$dir/$name").collect()
+        .map(_.toSeq.mkString("|")).toSet
+    for (name <- Seq("postings", "termdf", "stats"))
+      assert(rel(refreshedDir, name) == rel(rebuiltDir, name),
+        s"$name diverged between refresh and rebuild")
+    // and the served results agree with the direct full-corpus path
+    val qs = Seq(0L -> Seq("merge", "stream"), 1L -> Seq("spark", "filter"))
+    val direct = Search.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    val served = Search.bm25TopKIndexed(spark, refreshedDir, qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(served == direct)
+  }
+
   test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
     val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
       .toDF("query_id", "rk", "doc_id")

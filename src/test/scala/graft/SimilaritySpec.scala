@@ -115,6 +115,42 @@ class SimilaritySpec extends AnyFunSuite {
       nCentroids = 16, nprobe = 6)))
   }
 
+  test("IVF standing index: refresh == rebuild under frozen centroids, " +
+      "drift bookkeeping drives the retrain trigger") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ledger = real.where(col("vec_id") % 10 < 5)
+    val batch = real.where(col("vec_id") % 10 >= 5)
+    val built = graft.pipeline.Ivf.buildIndex(ledger, nCentroids = 16)
+    assert(built.nSinceTrain == 0L && !built.needsRetrain())
+    val refreshed = graft.pipeline.Ivf.refreshIndex(built, batch)
+    // relation-for-relation: the refreshed inverted file equals assigning
+    // the FULL corpus under the ledger-trained frozen centroids
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = graft.pipeline.Ivf.assigned(real, built.cents)
+    assert(asMap(refreshed.inv) == asMap(rebuilt))
+    // drift bookkeeping: exactly the batch's prepared rows count as new,
+    // and the doubling-rule trigger fires once new >= half the index
+    val nLedger = Similarity.prepared(ledger).count()
+    val nBatch = Similarity.prepared(batch).count()
+    assert(refreshed.nTotal == nLedger + nBatch)
+    assert(refreshed.nSinceTrain == nBatch)
+    assert(refreshed.needsRetrain() ==
+      (nBatch.toDouble / (nLedger + nBatch) >= 0.5))
+    assert(refreshed.needsRetrain(maxNewFraction = 0.01))
+    // a full-corpus standing index serves the one-shot searchTopK results
+    val pred = col("vec_id") % 100 === 0
+    val full = graft.pipeline.Ivf.buildIndex(real, nCentroids = 16)
+    val viaIndex = graft.pipeline.Ivf
+      .searchIndexTopK(full, pred, k = 5, nprobe = 6).collect().toSet
+    val oneShot = graft.pipeline.Ivf
+      .searchTopK(real, pred, k = 5, nCentroids = 16, nprobe = 6)
+      .collect().toSet
+    assert(viaIndex == oneShot)
+    built.release(); refreshed.release(); full.release()
+  }
+
   test("k-means-refined IVF matches brute recall and actually moves centroids") {
     val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 100 === 0
@@ -142,6 +178,25 @@ class SimilaritySpec extends AnyFunSuite {
       a.xs.sameElements(b.xs) && a.norm2 == b.norm2 })
     assert(kmeansIvf == asSet(graft.pipeline.Ivf.searchTopK(real, pred, k = 5,
       nCentroids = 16, nprobe = 6, refineIters = 2)))
+  }
+
+  test("PQ standing code index: refresh == encode-all under frozen codebooks") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ledger = real.where(col("vec_id") % 10 < 5)
+    val batch = real.where(col("vec_id") % 10 >= 5)
+    val built = graft.pipeline.Pq.buildCodeIndex(ledger)
+    val refreshed = graft.pipeline.Pq.refreshCodeIndex(built, batch)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // refresh == encoding the FULL corpus under the ledger-trained frozen
+    // books, relation-for-relation — which differs from a full retrain
+    // (different stride sample), pinning that refresh did NOT retrain
+    assert(asSet(refreshed.codes) ==
+      asSet(graft.pipeline.Pq.encodedWith(real, built.books)))
+    assert(asSet(built.codes).subsetOf(asSet(refreshed.codes)))
+    assert(refreshed.nSinceTrain == refreshed.nTotal - built.nTotal)
+    assert(refreshed.needsRetrain(0.01))
+    built.release(); refreshed.release()
   }
 
   test("PQ encode: codebook members quantize to themselves with zero error") {
