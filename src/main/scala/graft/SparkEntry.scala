@@ -5350,6 +5350,39 @@ object SparkEntry {
         "contract and guarded by maxBroadcastRows; production twin " +
         "embedding_neardup_lsh"))
 
+  /** Queries whose WORK GROWS FASTER THAN ROW COUNT by contract when the
+    * corpus is copy-amplified — the sweep's per-row ratio overstates them
+    * even though per-UNIT cost (per edge, per distinct value) holds or
+    * improves at scale. Each entry records the measured per-unit
+    * evidence; the `per-unit metric:` prefix is the machine-readable
+    * marker (CalibrationRegistrySpec enforces it). Scale sweeps read the
+    * mirror `tools/data_proportional.json` (spec-synced with this map),
+    * so the merger classifies super-20x ratios on these rows as
+    * data-proportional-by-contract instead of leaving them unannotated.
+    * Unlike [[calibrationOnly]] rows these ARE the production
+    * configurations — there is no twin, the workload itself is
+    * super-linear in copies (a 100x-copied purchase log really has 100x
+    * the co-purchase edges). */
+  val dataProportional: Map[String, String] = Map(
+    "q_part_pagerank" ->
+      ("per-unit metric: per-edge-iteration wall IMPROVES 3.9x at 100x " +
+        "(359M directed edge-iterations in 180.4s, BENCH_SCALE100_r13); " +
+        "distinct co-purchase edges measured to grow exactly 100x " +
+        "(1.196M -> 119.6M, stride-disjoint copies), so Theta(m*iters) " +
+        "work is 100x by contract"),
+    "q_part_triangles" ->
+      ("per-unit metric: per-wedge wall IMPROVES 2.5x at 100x " +
+        "(BENCH_SCALE100_r13); same measured 100x edge growth as " +
+        "q_part_pagerank, wedge count grows with m under the " +
+        "degree-ordered orientation"),
+    "q_profile_lineitem" ->
+      ("per-unit metric: per-distinct-value wall IMPROVES 3.8x at 100x " +
+        "(BENCH_SCALE100_r13); the exact n_distinct profile pushes " +
+        "6 columns x n rows through one distinct() exchange, " +
+        "data-proportional by contract; the bounded sketch tier " +
+        "(q_distinct_sketch_merged, 4.2x at 100x) is the fixed-cost " +
+        "alternative"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

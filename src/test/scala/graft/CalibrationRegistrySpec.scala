@@ -21,12 +21,33 @@ class CalibrationRegistrySpec extends AnyFunSuite {
   }
 
   test("tools/calibration_only.json mirrors SparkEntry.calibrationOnly") {
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("tools/calibration_only.json")), "UTF-8")
-    // flat single-level object with no escaped quotes in values
-    val pairs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
-      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
-    assert(pairs == SparkEntry.calibrationOnly,
+    assert(mirror("tools/calibration_only.json") == SparkEntry.calibrationOnly,
       "edit both SparkEntry.calibrationOnly and tools/calibration_only.json")
+  }
+
+  test("data-proportional entries are registered queries with per-unit evidence") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.dataProportional.nonEmpty)
+    SparkEntry.dataProportional.foreach { case (name, reason) =>
+      assert(qs.contains(name), s"$name not in queries")
+      assert(reason.startsWith("per-unit metric: "),
+        s"$name must lead with its measured per-unit evidence")
+      assert(!SparkEntry.calibrationOnly.contains(name),
+        s"$name cannot be both calibration-only and data-proportional")
+    }
+  }
+
+  test("tools/data_proportional.json mirrors SparkEntry.dataProportional") {
+    assert(mirror("tools/data_proportional.json") ==
+      SparkEntry.dataProportional,
+      "edit both SparkEntry.dataProportional and tools/data_proportional.json")
+  }
+
+  /** Parse a flat single-level JSON object with no escaped quotes. */
+  private def mirror(path: String): Map[String, String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
   }
 }

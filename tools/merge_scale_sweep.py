@@ -19,6 +19,13 @@ import sys
 CALIB = json.load(open(os.path.join(os.path.dirname(__file__),
                                     "calibration_only.json")))
 
+# Registered data-proportional contracts (spec-synced mirror of
+# SparkEntry.dataProportional): copy-amplification grows these queries'
+# WORK super-linearly in rows (measured per-unit evidence in each entry),
+# so a >20x wall ratio is the workload, not a scale defect.
+DATA_PROP = json.load(open(os.path.join(os.path.dirname(__file__),
+                                        "data_proportional.json")))
+
 
 def best_of(path):
     """Best wall time per query, plus the spill bytes of that best run
@@ -63,10 +70,21 @@ def main():
         "over_2x": sorted(k for k in shared if a[k] > 0 and b[k] / a[k] > 2),
         "over_20x_calibration_only": sorted(
             k for k in shared if a[k] > 0 and b[k] / a[k] > 20 and k in CALIB),
+        "over_20x_data_proportional": sorted(
+            k for k in shared
+            if a[k] > 0 and b[k] / a[k] > 20 and k in DATA_PROP),
         "over_20x_unannotated": sorted(
             k for k in shared
-            if a[k] > 0 and b[k] / a[k] > 20 and k not in CALIB),
+            if a[k] > 0 and b[k] / a[k] > 20
+            and k not in CALIB and k not in DATA_PROP),
     }
+    # carry the registries' evidence for every super-20x row so the
+    # adjudication is in-artifact AND machine-derived, never re-typed prose
+    flagged = {k: (CALIB.get(k) or DATA_PROP.get(k))
+               for k in (doc["summary"]["over_20x_calibration_only"]
+                         + doc["summary"]["over_20x_data_proportional"])}
+    if flagged:
+        doc["summary"]["over_20x_evidence"] = flagged
     json.dump(doc, open(out, "w"), indent=1)
     print(json.dumps(doc["summary"], indent=1))
 
