@@ -1763,27 +1763,32 @@ object SparkEntry {
     * and count all evaluate over `enc`) while assignment and search stay
     * corpus-wide — "TRUE" for the one-shot gates, the ledger predicate
     * for the standing-index refresh gate whose centroids are frozen at
-    * build time. */
+    * build time. `invWhere` restricts the ASSIGNED corpus (`env` — the
+    * inverted file's contents): the admission gate searches a
+    * ledger-only index with out-of-index queries, so its `inv` must hold
+    * ledger vectors only. */
   private def duckIvfSearch(q: String, ranked: String,
                             kExpr: String = "16",
-                            centWhere: String = "TRUE"): String =
+                            centWhere: String = "TRUE",
+                            invWhere: String = "TRUE"): String =
     s"""en3 AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2),
        |enc AS (SELECT vec_id, xs, norm2,
        |        row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM en2
        |        WHERE $centWhere),
+       |env AS (SELECT vec_id, xs, norm2 FROM en2 WHERE $invWhere),
        |params AS (SELECT GREATEST(1, COUNT(*) // ($kExpr)) AS stride,
        |           ($kExpr) AS kc FROM enc),
        |cents AS (SELECT (idx // stride) AS centroid_id, vec_id, xs, norm2
        |          FROM enc, params WHERE idx % stride = 0 AND idx // stride < kc),
        |ac AS (SELECT v.vec_id, c.centroid_id, ${duckCos("v.xs", "v.norm2", "c.xs", "c.norm2")} AS cos
-       |       FROM en3 v, cents c),
+       |       FROM env v, cents c),
        |assigned AS (SELECT vec_id, centroid_id FROM (
        |         SELECT vec_id, centroid_id,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
        |         FROM ac) WHERE rn = 1),
        |inv AS (SELECT a.centroid_id, v.vec_id, v.xs, v.norm2
-       |        FROM assigned a JOIN en3 v ON a.vec_id = v.vec_id),
+       |        FROM assigned a JOIN env v ON a.vec_id = v.vec_id),
        |qc AS (SELECT $q.query_id, c.centroid_id, ${duckCos(s"$q.xs", s"$q.norm2", "c.xs", "c.norm2")} AS cos
        |       FROM $q, cents c),
        |probes AS (SELECT query_id, centroid_id FROM (
@@ -1840,6 +1845,47 @@ object SparkEntry {
        |SELECT query_id, rk, neighbor_id,
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Embedding-dedup ADMISSION against a standing ledger IVF index
+    * ([[pipeline.Ivf.indexAdmit]] — the vector twin of
+    * dedup_incremental_neardup): every batch vector probes its 4 nearest
+    * frozen ledger-trained buckets and is a near-dup iff its best
+    * candidate cosine reaches 40% (the corpus's established similarity
+    * bar, embedding_neardup_* precedent; floored-micros threshold, exact
+    * cross-engine). The oracle re-derives ledger-only centroids AND a
+    * ledger-only inverted file (`duckIvfSearch(centWhere, invWhere)`),
+    * out-of-index queries, rank-1 candidate, threshold and the admitted
+    * left join. The streaming twin
+    * ([[graft.streaming.StreamingVectorDedup]]) is equivalence-gated
+    * against the same batch operator in StreamingSpec. */
+  private def embeddingAdmitIndexed(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val idx = pipeline.Ivf.buildIndex(embs.where(col("vec_id") % 10 < 5))
+    val out = pipeline.Ivf.indexAdmit(
+        embs.where(col("vec_id") % 10 >= 5), idx, tauPct = 40)
+      .orderBy("vec_id")
+      .localCheckpoint(true) // materialize before releasing the inv it reads
+    idx.release()
+    out
+  }
+
+  private val embeddingAdmitIndexedSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 10 >= 5),
+       |${duckIvfSearch("q", "ranked", duckAutoK, "vec_id % 10 < 5", "vec_id % 10 < 5")},
+       |best AS (SELECT query_id, neighbor_id,
+       |         CAST(floor(cos * 1000000) AS BIGINT) AS cm
+       |       FROM ranked WHERE rk = 1)
+       |SELECT d.vec_id,
+       |  CASE WHEN b.cm IS NOT NULL AND b.cm >= 400000
+       |       THEN 'near_dup' ELSE 'admitted' END AS verdict,
+       |  CASE WHEN b.cm IS NOT NULL AND b.cm >= 400000
+       |       THEN b.neighbor_id END AS near_dup_of,
+       |  CASE WHEN b.cm IS NOT NULL AND b.cm >= 400000
+       |       THEN b.cm END AS cos_micros
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 >= 5) d
+       |LEFT JOIN best b ON b.query_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
 
   /** IVF with Lloyd-refined centroids (2 exact-arithmetic k-means
     * iterations over the stride init: double-cosine assignment with
@@ -5452,6 +5498,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "ann_ivf_kmeans_scaled_topk" -> (annIvfKmeansScaledTopk _),
     "ann_ivf_index_refresh" -> (annIvfIndexRefresh _),
+    "embedding_admit_indexed" -> (embeddingAdmitIndexed _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -5607,6 +5654,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "ann_ivf_kmeans_scaled_topk" -> annIvfKmeansScaledTopkSql,
     "ann_ivf_index_refresh" -> annIvfIndexRefreshSql,
+    "embedding_admit_indexed" -> embeddingAdmitIndexedSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -316,4 +316,55 @@ object Ivf {
                       maxQueryRows: Long = 100000L): DataFrame =
     probeSearch(index.inv, index.cents, index.inv.where(queryPred),
       k, nprobe, maxQueryRows)
+
+  /** Embedding-dedup ADMISSION against a standing [[IvfIndex]] — the
+    * vector-modality twin of [[Dedup.incrementalNearDup]]: each batch
+    * vector probes its `nprobe` nearest frozen-centroid buckets and is
+    * a near-dup iff its best candidate cosine reaches `tauPct`
+    * (best by exact double cosine, ties to the lower index id; verdict
+    * threshold compares floored integer micros, so it is exactly
+    * re-derivable cross-engine). Emits one row PER BATCH VECTOR:
+    * `(vec_id, verdict, near_dup_of, cos_micros)` with nulls unless
+    * near-dup — zero/absent-norm vectors and vectors whose probed
+    * buckets are empty surface as 'admitted' through the left join, the
+    * incremental-dedup family shape.
+    *
+    * Scale shape: probing is a narrow batch-sized pass against broadcast
+    * centroids; candidates come from ONE equi-join of the batch-sized
+    * probe relation with the persisted inverted file on centroid_id
+    * (no broadcast assumption — admission batches are allowed to be
+    * corpus-proportional, AQE picks the strategy), so candidate volume
+    * is |B| x nprobe x avg-bucket, never corpus x corpus. Batch ids
+    * must be disjoint from index ids (the admission contract). */
+  def indexAdmit(batch: DataFrame, index: IvfIndex, tauPct: Int = 90,
+                 nprobe: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(index.cents)
+    val probes = Similarity.prepared(batch).as[PreparedVec].flatMap { q =>
+      val cs = bcCents.value
+      cs.indices
+        .sortBy(i => (-cos(dot(q.xs, cs(i).xs), q.norm2, cs(i).norm2), i))
+        .take(nprobe)
+        .map(ci => (q.vec_id, ci, q.xs, q.norm2))
+    }.toDF("query_id", "centroid_id", "xs_q", "n_q")
+    val best = index.inv.select("centroid_id", "vec_id", "xs", "norm2")
+      .join(probes, "centroid_id")
+      .as[(Int, Long, Array[Long], Long, Long, Array[Long], Long)]
+      .map { case (_, vid, xs, n, qid, xsQ, nQ) =>
+        (qid, vid, cos(dot(xsQ, xs), nQ, n))
+      }
+      .toDF("vec_id", "neighbor_id", "cos")
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("neighbor_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("nb"),
+        floor(col("m.cos") * 1000000).cast("long").as("cm"))
+    val isDup = col("cm").isNotNull && col("cm") >= tauPct * 10000L
+    batch.select(col("vec_id").cast("long").as("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(isDup, lit("near_dup")).otherwise(lit("admitted")).as("verdict"),
+        when(isDup, col("nb")).as("near_dup_of"),
+        when(isDup, col("cm")).as("cos_micros"))
+  }
 }

@@ -161,6 +161,48 @@ class StreamingSpec extends AnyFunSuite {
     q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
       .lastOption
 
+  test("streaming vector admission equals the batch IVF indexAdmit on " +
+      "split replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Ivf
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // two directions in the ledger; nCentroids=2 stride-selects ids 1, 3
+    val ledgerRows = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(1, 0.01, 0, 0)), (4L, v(0, 1, 0.01, 0)))
+    val batchRows = Seq(
+      (101L, v(1, 0, 0, 0.005)), // near ledger 1 -> near_dup
+      (102L, v(0, 0, 1, 0)),     // orthogonal to everything -> admitted
+      (103L, v(0, 0, 0, 0)),     // zero vector -> admitted (no probes)
+      (104L, v(0, 1, 0.005, 0))) // near ledger 2 -> near_dup
+    val index = Ivf.buildIndex(ledgerRows.toDF("vec_id", "embedding"),
+      nCentroids = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    val expected = Ivf.indexAdmit(batchRows.toDF("vec_id", "embedding"),
+        index, tauPct = 95, nprobe = 2).collect().map(key).toSet
+    assert(expected.exists(_._2 == "near_dup") &&
+      expected.exists(_._2 == "admitted"), s"degenerate fixture: $expected")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingVectorDedup.verdicts(spark,
+        mem.toDF().toDF("vec_id", "embedding"), index,
+        tauPct = 95, nprobe = 2)
+      .writeStream.format("memory").queryName("vecdedup_stream")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches: verdicts are per-vector stateless, so
+      // any replay split must produce exactly the batch operator's output
+      mem.addData(batchRows.take(2)); q.processAllAvailable()
+      mem.addData(batchRows.drop(2)); q.processAllAvailable()
+      val got = spark.table("vecdedup_stream").collect().map(key).toSet
+      assert(got == expected)
+      assert(got.map(_._1) == Set(101L, 102L, 103L, 104L))
+      // stateless: the state store holds zero rows after both batches
+      assert(lastStateRows(q).contains(0L),
+        s"stateless admission must store no state rows: ${lastStateRows(q)}")
+    } finally { q.stop(); index.release() }
+  }
+
   test("streaming media admission equals the batch incremental hamming " +
       "verdicts on split replay") {
     implicit val sqlCtx = spark.sqlContext
