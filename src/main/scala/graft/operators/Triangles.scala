@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Auto wedge-widening engages above this oriented-edge count: below it
+    * the default-width wedge sort fits execution memory (sf0.1's 1.2M-edge
+    * co-purchase graph spills zero) and the sizing aggregate would be pure
+    * overhead; the 10x copy (12M edges) and up take the wide streamed
+    * plan. */
+  val WedgeWidenMinEdges = 8000000L
+  /** Serialized wedge row estimate (5 BIGINT columns + row overhead) and
+    * the per-reduce-partition wedge budget the auto width targets. */
+  val WedgeRowBytes = 48L
+  val WedgeTargetPartitionBytes = 64L << 20
+
   /** @param edges undirected edge list; self-loops dropped, duplicates and
     *               orientation normalized away
     * @param bloomBits -1 (default): auto-size a `graft_bloom_agg` sketch of
@@ -47,7 +58,8 @@ object Triangles {
     *               impossible, so results are bit-identical (TrianglesSpec
     *               asserts both paths agree).
     * @param edgeCountHint known (or well-estimated) DISTINCT undirected
-    *               edge count, used only to auto-size the bloom sketch.
+    *               edge count, used only to auto-size the bloom sketch
+    *               and gate the wedge-exchange sizing below.
     *               Pass it when the caller already knows the graph size
     *               (an ingest count, table statistics) to skip the sizing
     *               count job entirely; <= 0 means unknown, and the count
@@ -63,11 +75,29 @@ object Triangles {
     *               sharing it replaced. `e` stays UNpersisted; its distinct
     *               exchange is shared across the degree/orientation
     *               subtrees by plan-level exchange reuse.)
+    * @param wedgeParts closing-exchange width for the wedge relation.
+    *               -1 (default): auto — on a big graph (>= ~8M oriented
+    *               edges) size the exchange from the exact wedge upper
+    *               bound (sum of out-degree-choose-2, one cheap aggregate
+    *               over the persisted oriented relation) at ~64 MB of
+    *               wedge rows per reduce partition, repartition the
+    *               pruned wedges on (d1, d2) to that width, and take the
+    *               closing join as a SHUFFLE_HASH join built on the
+    *               edge-sized closing side — the m^1.5-sized wedge
+    *               relation is then STREAMED, never sorted. Under the
+    *               default-width sort-merge plan the per-task wedge sort
+    *               is the operator's only spill site (100x one-JVM probe:
+    *               8.6 GB; the half-memory 2-worker cluster arm: 20.3 GB).
+    *               Small graphs keep the certified sort-merge plan — at
+    *               that size the wedge sort fits execution memory and the
+    *               sizing aggregate would be pure overhead.
+    *               0: force the default-width sort-merge plan; > 0:
+    *               explicit width (test hook — pins plan equivalence).
     * @return (node, n_triangles), one row per node in >= 1 triangle
     */
   def perNode(edges: DataFrame, uCol: String, vCol: String,
       bloomBits: Int = -1, bloomHashes: Int = 5,
-      edgeCountHint: Long = -1L): DataFrame = {
+      edgeCountHint: Long = -1L, wedgeParts: Int = -1): DataFrame = {
     val e = edges
       .select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
@@ -112,6 +142,11 @@ object Triangles {
     // attribute would be copied out of the UnsafeRow on every row;
     // measured as a 1000x regression before this transport).
     val maxBits = 1L << 30
+    // shared by the bloom auto-sizer and the wedge-exchange gate; the
+    // count action materializes the persisted oriented relation, which
+    // every consumer below reuses
+    lazy val edgesN: Long =
+      if (edgeCountHint > 0) edgeCountHint else oriented.count()
     val (bits: Long, pruneOn: Boolean) =
       if (bloomBits > 0) (bloomBits.toLong, true)
       else if (bloomBits == 0) (0L, false)
@@ -121,9 +156,7 @@ object Triangles {
         // pass — prune off. The 100x probe is what exposed this policy:
         // the previous 16 MiB hard-off silently reverted a 1e8-edge graph
         // to the unpruned wedge shuffle, the operator's worst case,
-        // exactly when pruning matters most. The count materializes the
-        // persisted oriented relation, which every consumer below reuses.
-        val edgesN = if (edgeCountHint > 0) edgeCountHint else oriented.count()
+        // exactly when pruning matters most.
         val target = edgesN * 10
         if (target <= maxBits)
           (math.max(1L << 20, java.lang.Long.highestOneBit(target - 1) << 1), true)
@@ -144,8 +177,36 @@ object Triangles {
         (wedges.where(probe), Some(bc))
       } else (wedges, None)
 
+    // closing-exchange width (see wedgeParts scaladoc): 0 = certified
+    // default-width sort-merge plan; > 0 = wide exchange + streamed
+    // shuffle-hash close
+    val targetW: Int =
+      if (wedgeParts >= 0) wedgeParts
+      else if (edgesN < WedgeWidenMinEdges) 0
+      else {
+        // exact pre-prune wedge count: sum over sources of outdeg-choose-2
+        // (one aggregate over the cached oriented relation — seconds at
+        // 100x against a ~190 s operator wall, and only on big graphs)
+        val ub = oriented.groupBy("src").agg(count(lit(1)).as("k"))
+          .agg(sum(expr("(k * (k - 1)) div 2")).cast("long").as("w"))
+          .head().getLong(0)
+        val w = math.ceil(
+          ub * WedgeRowBytes.toDouble / WedgeTargetPartitionBytes).toLong
+        math.min(4096L, math.max(
+          spark.sessionState.conf.numShufflePartitions.toLong, w)).toInt
+      }
     val closing = oriented.select(col("src").as("d1"), col("dst").as("d2"))
-    val triangles = prunedWedges._1.join(closing, Seq("d1", "d2"))
+    val triangles =
+      if (targetW > 0)
+        // the wedge relation is repartitioned on the join keys at the
+        // sized width (the join reuses that distribution; the edge-sized
+        // closing side re-shuffles to match) and the close is a
+        // shuffled-hash join BUILT ON THE CLOSING SIDE — per reduce task
+        // that hash table holds |E|/W edges while the wedge mass streams
+        // through unsorted, eliminating the wedge sort's spill
+        prunedWedges._1.repartition(targetW, col("d1"), col("d2"))
+          .join(closing.hint("shuffle_hash"), Seq("d1", "d2"))
+      else prunedWedges._1.join(closing, Seq("d1", "d2"))
 
     val result = triangles
       .select(explode(array(col("src"), col("d1"), col("d2"))).as("node"))

@@ -53,6 +53,20 @@ class TrianglesSpec extends AnyFunSuite {
     assert(pruned == plain && pruned.nonEmpty)
   }
 
+  test("wide streamed closing plan (wedgeParts > 0) is bit-identical to " +
+      "the default sort-merge plan") {
+    val edges = ((0 until 500).map { i =>
+      ((i * 7919L) % 50, (i * 104729L + 3) % 50)
+    } ++ (for (a <- 200L to 205L; b <- 200L to 205L) yield (a, b)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("u", "v")
+    val wide = Triangles.perNode(df, "u", "v", wedgeParts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Triangles.perNode(df, "u", "v", wedgeParts = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == default && wide.nonEmpty)
+  }
+
   test("agreement with the naive triple join on a pseudo-random graph") {
     val edges = (0 until 400).map { i =>
       val a = (i * 2654435761L) % 60
