@@ -33,8 +33,11 @@ object QBench {
     // no args = the whole registered suite, name-sorted (sweep mode)
     val names = if (args.nonEmpty) args.toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
+    // sweep arms on a wall-clock budget can drop to 2 runs (the merger
+    // takes best-of-whatever-is-in-the-log); default stays best-of-3
+    val runs = sys.env.getOrElse("GRAFT_QBENCH_RUNS", "3").toInt
     names.foreach { name =>
-      (1 to 3).foreach { i =>
+      (1 to runs).foreach { i =>
         // Same per-run isolation as graft.Bench: drop caches persisted by
         // the previous run. Without this, operators that persist() big
         // intermediates re-persist a fresh copy each run and storage
