@@ -1846,6 +1846,50 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The FULL standing-index lifecycle, drift trigger driving the
+    * retrain ([[pipeline.Ivf.maintainIndex]]): build on 30% of the
+    * corpus, fold in a 30% batch — drift hits ~0.5 ≥ the 0.4 threshold,
+    * so maintenance RETRAINS (centroids re-trained and re-sized on the
+    * 60% corpus, everything re-assigned) and hot-swaps — then a further
+    * 40% refresh lands under the retrained frozen centroids, and the
+    * [[annIvfTopk]] workload is served across the swap boundary. The
+    * `require` makes the gate self-verifying: if the trigger ever fails
+    * to fire, the query errors instead of silently matching a weaker
+    * contract. The oracle re-derives the cross-boundary contract
+    * exactly — stride centroids + auto-k over the RETRAIN-POINT corpus
+    * (`vec_id % 10 < 6`), assignment and search corpus-wide — so a
+    * retrain that kept stale centroids, mis-sized k, dropped a vector,
+    * or re-assigned under the wrong generation fails the hash.
+    * (Verdict-r14 items 1 + 6: retrain arc and the
+    * refresh → retrain → refresh boundary in one gate.) */
+  private def annIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val idx0 = pipeline.Ivf.buildIndex(embs.where(col("vec_id") % 10 < 3))
+    val idx1 = pipeline.Ivf.maintainIndex(idx0,
+      embs.where(col("vec_id") % 10 >= 3 && col("vec_id") % 10 < 6),
+      maxNewFraction = 0.4)
+    idx0.release()
+    require(idx1.nSinceTrain == 0L,
+      "ann_ivf_retrain fixture: the drift trigger did not fire")
+    val idx2 = pipeline.Ivf.refreshIndex(idx1,
+      embs.where(col("vec_id") % 10 >= 6))
+    idx1.release()
+    val out = pipeline.Ivf.searchIndexTopK(idx2, col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+      .localCheckpoint(true) // materialize before releasing the inv it reads
+    idx2.release()
+    out
+  }
+
+  private val annIvfRetrainSql =
+    s"""WITH $DuckPrepared,
+       |q AS (SELECT vec_id AS query_id, xs, norm2 FROM en2 WHERE vec_id % 50 = 0),
+       |${duckIvfSearch("q", "ranked", duckAutoK, "vec_id % 10 < 6")}
+       |SELECT query_id, rk, neighbor_id,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Embedding-dedup ADMISSION against a standing ledger IVF index
     * ([[pipeline.Ivf.indexAdmit]] — the vector twin of
     * dedup_incremental_neardup): every batch vector probes its 4 nearest
@@ -3047,6 +3091,45 @@ object SparkEntry {
        |       dist AS err
        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
 
+  /** The full PQ code-index lifecycle with the drift trigger driving the
+    * retrain ([[pipeline.Pq.maintainCodeIndex]] — the [[annIvfRetrain]]
+    * arc for the codes tier): build on 30%, fold in a 30% batch (drift
+    * ~0.5 ≥ 0.4 → codebooks RETRAINED on the 60% corpus, everything
+    * re-encoded, hot-swapped), then refresh the last 40% under the
+    * retrained frozen books. PQ codes are lossy, so the retrain is
+    * handed the raw 60% corpus explicitly — the contract the scaladoc
+    * pins. Oracle: stride codebooks over the RETRAIN-POINT corpus
+    * (`vec_id % 10 < 6`), encoding corpus-wide; output shape =
+    * [[qPqEncode]]. Self-verifying via the same trigger `require`. */
+  private def annPqRetrain(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val idx0 = pipeline.Pq.buildCodeIndex(embs.where(col("vec_id") % 10 < 3))
+    val idx1 = pipeline.Pq.maintainCodeIndex(idx0,
+      embs.where(col("vec_id") % 10 >= 3 && col("vec_id") % 10 < 6),
+      corpus = embs.where(col("vec_id") % 10 < 6),
+      maxNewFraction = 0.4)
+    idx0.release()
+    require(idx1.nSinceTrain == 0L,
+      "ann_pq_retrain fixture: the drift trigger did not fire")
+    val idx2 = pipeline.Pq.refreshCodeIndex(idx1,
+      embs.where(col("vec_id") % 10 >= 6))
+    idx1.release()
+    val out = idx2.codes
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("err"))
+      .orderBy("vec_id", "sub")
+      .localCheckpoint(true) // materialize before releasing the codes it reads
+    idx2.release()
+    out
+  }
+
+  private val annPqRetrainSql =
+    s"""WITH $DuckPrepared,
+       |${duckPqBase("vec_id % 10 < 6")}
+       |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       |       dist AS err
+       |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+
   private def annPqTopk(s: SparkSession, dir: String): DataFrame =
     pipeline.Pq.adcTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
       .withColumnRenamed("rank", "rk")
@@ -3516,6 +3599,37 @@ object SparkEntry {
       "doc_id", "text", idx.getPath)
     pipeline.Search.refreshIndex(s, idx.getPath,
       docs.where(col("doc_id") % 10 >= 5), "doc_id", "text")
+    pipeline.Search.bm25TopKIndexed(s, idx.getPath, Bm25Queries, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  /** The BM25 index lifecycle across a COMPACTION boundary — the
+    * [[annIvfRetrain]] arc for the lexical tier: build on 30%, refresh a
+    * 30% batch, compact ([[pipeline.Search.compactIndex]] rebuilds the
+    * refresh-chained directory into fresh range-sorted files and
+    * atomically swaps them in — BM25's "retrain", re-layout rather than
+    * re-learn, since the index has no trained state), then refresh the
+    * last 40% onto the compacted generation and serve the [[qBm25Topk]]
+    * workload. Results must equal the full-corpus BM25 — this gate
+    * shares [[qBm25TopkSql]] verbatim, so a compaction that lost a
+    * posting, double-counted a df, or a post-compact refresh that
+    * re-appended onto stale files fails the hash end-to-end. SearchSpec
+    * additionally pins the compacted directory content-equal to a fresh
+    * build. */
+  private def qBm25Retrain(s: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bm25_retrain_" + Integer.toHexString(dir.hashCode))
+    deleteRecursively(idx)
+    val docs = Tables.documents(s, dir)
+    pipeline.Search.buildIndex(docs.where(col("doc_id") % 10 < 3),
+      "doc_id", "text", idx.getPath)
+    pipeline.Search.refreshIndex(s, idx.getPath,
+      docs.where(col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6),
+      "doc_id", "text")
+    pipeline.Search.compactIndex(docs.where(col("doc_id") % 10 < 6),
+      "doc_id", "text", idx.getPath)
+    pipeline.Search.refreshIndex(s, idx.getPath,
+      docs.where(col("doc_id") % 10 >= 6), "doc_id", "text")
     pipeline.Search.bm25TopKIndexed(s, idx.getPath, Bm25Queries, k = 10)
       .orderBy("query_id", "rk")
   }
@@ -5498,6 +5612,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "ann_ivf_kmeans_scaled_topk" -> (annIvfKmeansScaledTopk _),
     "ann_ivf_index_refresh" -> (annIvfIndexRefresh _),
+    "ann_ivf_retrain" -> (annIvfRetrain _),
     "embedding_admit_indexed" -> (embeddingAdmitIndexed _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
@@ -5526,6 +5641,7 @@ object SparkEntry {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "ann_pq_index_refresh" -> (annPqIndexRefresh _),
+    "ann_pq_retrain" -> (annPqRetrain _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
@@ -5537,6 +5653,7 @@ object SparkEntry {
     "q_bm25_topk" -> (qBm25Topk _),
     "q_bm25_indexed" -> (qBm25Indexed _),
     "q_bm25_index_refresh" -> (qBm25IndexRefresh _),
+    "q_bm25_retrain" -> (qBm25Retrain _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_retrieval_indexed" -> (qHybridRetrievalIndexed _),
     "q_scd2_users" -> (qScd2Users _),
@@ -5654,6 +5771,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> annIvfKmeansTopkSql,
     "ann_ivf_kmeans_scaled_topk" -> annIvfKmeansScaledTopkSql,
     "ann_ivf_index_refresh" -> annIvfIndexRefreshSql,
+    "ann_ivf_retrain" -> annIvfRetrainSql,
     "embedding_admit_indexed" -> embeddingAdmitIndexedSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,
@@ -5682,6 +5800,7 @@ object SparkEntry {
     "ann_pq_topk" -> annPqTopkSql,
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "ann_pq_index_refresh" -> annPqIndexRefreshSql,
+    "ann_pq_retrain" -> annPqRetrainSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,
@@ -5693,6 +5812,7 @@ object SparkEntry {
     "q_bm25_topk" -> qBm25TopkSql,
     "q_bm25_indexed" -> qBm25TopkSql,
     "q_bm25_index_refresh" -> qBm25TopkSql,
+    "q_bm25_retrain" -> qBm25TopkSql,
     "q_hybrid_retrieval" -> qHybridRetrievalSql,
     "q_hybrid_retrieval_indexed" -> qHybridRetrievalSql,
     "q_scd2_users" -> qScd2UsersSql,

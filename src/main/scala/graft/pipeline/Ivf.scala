@@ -77,10 +77,21 @@ object Ivf {
                        iters: Int, trainFactor: Int = TrainFactor): Array[PreparedVec] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val init = centroids(embs, nCentroids)
+    refinedCentroidsPrep(Similarity.prepared(embs).as[PreparedVec],
+      nCentroids, iters, trainFactor)
+  }
+
+  /** [[refinedCentroids]] over an ALREADY-PREPARED relation — the form
+    * [[retrainIndex]] uses to retrain off the index's own inverted file
+    * (whose rows are exactly the prepared corpus, so training there equals
+    * training on the raw union). */
+  private[pipeline] def refinedCentroidsPrep(
+      prep: org.apache.spark.sql.Dataset[PreparedVec], nCentroids: Int,
+      iters: Int, trainFactor: Int = TrainFactor): Array[PreparedVec] = {
+    val spark = prep.sparkSession
+    val init = strideSelect(prep, nCentroids)
     var cents = init
     if (iters <= 0) return cents
-    val prep = Similarity.prepared(embs).as[PreparedVec]
     // Training-cost bound: at the production sizing k = sqrt(n), assigning
     // the FULL corpus each Lloyd pass is n^1.5 work — the one super-linear
     // term in the IVF build (measured 12.1x wall at 100x data, r12). Train
@@ -154,8 +165,17 @@ object Ivf {
   def assigned(embs: DataFrame, cents: Array[PreparedVec]): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    assignedPrep(Similarity.prepared(embs).as[PreparedVec], cents)
+  }
+
+  /** [[assigned]] over an already-prepared relation (the retrain path). */
+  private[pipeline] def assignedPrep(
+      prep: org.apache.spark.sql.Dataset[PreparedVec],
+      cents: Array[PreparedVec]): DataFrame = {
+    val spark = prep.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    Similarity.prepared(embs).as[PreparedVec].map { v =>
+    prep.map { v =>
       val cs = bc.value
       var best = 0
       var bestCos = Double.NegativeInfinity
@@ -305,6 +325,56 @@ object Ivf {
     val n2 = inv2.count()
     index.copy(inv = inv2, nTotal = n2,
       nSinceTrain = index.nSinceTrain + (n2 - index.nTotal))
+  }
+
+  /** Drift-triggered RETRAIN of a standing index: re-train the coarse
+    * quantizer on the index's CURRENT corpus and re-assign every vector —
+    * the rebuild that [[IvfIndex.needsRetrain]]'s doubling rule schedules.
+    * The inverted file already holds the exact prepared vectors, so
+    * retraining off it is identical to `buildIndex` over the raw union:
+    * `retrainIndex(refreshIndex(buildIndex(L), B)) == buildIndex(L ∪ B)`
+    * centroid-for-centroid and row-for-row (SimilaritySpec pins both; the
+    * `ann_ivf_retrain` oracle gate replays refresh → retrain → further
+    * refresh against a DuckDB rederivation with retrain-point-trained
+    * centroids).
+    *
+    * Hot swap: the new inverted file is fully materialized (persist +
+    * count) BEFORE this returns, so the old generation keeps serving
+    * every in-flight search until the caller swaps the reference and
+    * `release()`s it — the same serve-continuity contract as
+    * [[refreshIndex]]. `nCentroids = 0` re-sizes the quantizer to the
+    * GROWN corpus (`autoCentroids`), which is the point of retraining:
+    * sqrt(n) buckets re-balance as n grows. */
+  def retrainIndex(index: IvfIndex, nCentroids: Int = 0,
+                   refineIters: Int = 0): IvfIndex = {
+    val spark = index.inv.sparkSession
+    import spark.implicits._
+    val prep = index.inv.select("vec_id", "xs", "norm2").as[PreparedVec]
+    val nc =
+      if (nCentroids > 0) nCentroids else autoCentroids(index.nTotal)
+    val cents = refinedCentroidsPrep(prep, nc, refineIters)
+    val inv2 = assignedPrep(prep, cents).persist()
+    val n2 = inv2.count() // materialize before the caller releases the old
+    IvfIndex(cents, inv2, n2, 0L)
+  }
+
+  /** Standing-index maintenance driver — the lifecycle policy in one
+    * call: fold the batch in under frozen centroids, then, if the drift
+    * trigger fires, retrain + hot-swap. Returns the index generation to
+    * serve next; the PASSED-IN index is the caller's to `release()` once
+    * this returns (the intermediate refreshed generation, when a retrain
+    * superseded it, is released here). With the default `maxNewFraction`
+    * this is the doubling rule: total training cost over any refresh
+    * chain stays a constant factor of one final build. */
+  def maintainIndex(index: IvfIndex, batch: DataFrame,
+                    maxNewFraction: Double = 0.5, nCentroids: Int = 0,
+                    refineIters: Int = 0): IvfIndex = {
+    val refreshed = refreshIndex(index, batch)
+    if (refreshed.needsRetrain(maxNewFraction)) {
+      val retrained = retrainIndex(refreshed, nCentroids, refineIters)
+      refreshed.release() // retrained is materialized; drop the interim gen
+      retrained
+    } else refreshed
   }
 
   /** Top-k over a standing [[IvfIndex]]: queries are drawn from the

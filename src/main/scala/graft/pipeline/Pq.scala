@@ -157,6 +157,45 @@ object Pq extends Serializable {
       nSinceTrain = index.nSinceTrain + (n2 - index.nTotal))
   }
 
+  /** Drift-triggered RETRAIN of a standing code index: re-train codebooks
+    * on the grown corpus and re-encode everything — the rebuild that
+    * [[PqIndex.needsRetrain]]'s doubling rule schedules. Unlike the IVF
+    * inverted file, PQ codes are LOSSY (the index does not retain the
+    * vectors it quantized away — that is the whole point of PQ), so the
+    * caller must hand retrain the raw corpus `ledger ∪ every admitted
+    * batch`; `retrainCodeIndex(chain, corpus) == buildCodeIndex(corpus)`
+    * relation-for-relation (SimilaritySpec pins books + codes; the
+    * `ann_pq_retrain` oracle gate replays refresh → retrain → further
+    * refresh against a DuckDB rederivation with retrain-point codebooks).
+    * Hot swap: the new code relation is materialized (persist + count)
+    * before returning, the [[Ivf.retrainIndex]] serve-continuity
+    * contract. */
+  def retrainCodeIndex(index: PqIndex, corpus: DataFrame,
+                       k: Int = 16): PqIndex = {
+    val books = codebooks(corpus, index.m, k)
+    val codes = encodedWith(corpus, books).persist()
+    val n = codes.count() / index.m
+    PqIndex(books, codes, index.m, n, 0L)
+  }
+
+  /** Standing code-index maintenance driver ([[Ivf.maintainIndex]]'s
+    * shape): encode the batch under frozen books, then retrain + hot-swap
+    * if the drift trigger fires. `corpus` must be the full raw corpus
+    * after this batch (ledger ∪ batches — see [[retrainCodeIndex]] for
+    * why PQ cannot reconstruct it from the codes); it is only touched
+    * when the trigger fires. The passed-in index is the caller's to
+    * `release()`; a superseded interim refresh generation is released
+    * here. */
+  def maintainCodeIndex(index: PqIndex, batch: DataFrame, corpus: DataFrame,
+                        maxNewFraction: Double = 0.5, k: Int = 16): PqIndex = {
+    val refreshed = refreshCodeIndex(index, batch)
+    if (refreshed.needsRetrain(maxNewFraction)) {
+      val retrained = retrainCodeIndex(refreshed, corpus, k)
+      refreshed.release()
+      retrained
+    } else refreshed
+  }
+
   /** ADC top-k per query: smallest approximate squared distance
     * `sum_s table[q][s][code_s(x)]`, ties to the lower neighbor id. The
     * query set is collected and broadcast (same few-queries/huge-corpus

@@ -251,6 +251,50 @@ object Search {
     bp.unpersist()
   }
 
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Periodic COMPACTION of a refresh-chained [[buildIndex]] directory —
+    * the BM25 analog of the drift-triggered retrain ([[Ivf.retrainIndex]]):
+    * BM25 has no trained state, so what long refresh chains degrade is the
+    * FILE layout (each refresh appends a small term-sorted file set;
+    * min/max pruning weakens as sets pile up), and the rebuild re-clusters
+    * the whole index into `nFiles` range-sorted files. Query results are
+    * unchanged by contract — refresh == rebuild relation-for-relation
+    * already, so compaction must be a pure re-layout: SearchSpec pins the
+    * compacted directory content-equal to a fresh [[buildIndex]], and the
+    * `q_bm25_retrain` oracle gate replays refresh → compact → further
+    * refresh against the full-corpus DuckDB rederivation.
+    *
+    * Hot swap: the rebuild lands in a staging dir under the index root
+    * (same filesystem, so the rename is atomic), then each of
+    * the three relations moves into place with an atomic rename — the old
+    * generation serves until its directory is replaced. (A served fleet
+    * deployment would version whole index generations and flip a pointer;
+    * per-relation atomic moves are the single-directory equivalent, with
+    * the usual caveat that a reader racing the swap can pair new postings
+    * with old stats for one query.)
+    *
+    * @param docs the FULL corpus (ledger ∪ every refreshed batch) — like
+    *        PQ's retrain, the index dir alone cannot reproduce raw text */
+  def compactIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nFiles: Int = 32): Unit = {
+    val staging = s"$dir/_compact_staging"
+    deleteRec(new java.io.File(staging)) // a dead prior attempt must not mix in
+    buildIndex(docs, idCol, textCol, staging, nFiles)
+    Seq("postings", "termdf", "stats").foreach { rel =>
+      val live = new java.io.File(s"$dir/$rel")
+      deleteRec(live)
+      java.nio.file.Files.move(
+        new java.io.File(s"$staging/$rel").toPath, live.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRec(new java.io.File(staging))
+  }
+
   /** BM25 top-k answered from a [[buildIndex]] directory: scores are
     * identical to [[bm25TopK]] over the indexed corpus, but the only
     * corpus-sized work is the term-pruned postings read — `term IN (...)`

@@ -135,6 +135,53 @@ class SearchSpec extends AnyFunSuite {
     assert(served == direct)
   }
 
+  test("compactIndex rewrites a refresh-chained directory content-equal " +
+      "to a fresh build, and refresh lands cleanly on the compacted gen") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark joins merge shuffles"),
+      (2L, "window filter spark"),
+      (3L, "merge join join"),
+      (4L, "filter cat dog"),
+      (5L, "stream batch spark spark"),
+      (6L, "merge stream stream"),
+      (7L, "..."),
+      (8L, "dog stream spark")).toDF("doc_id", "text")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_bm25_compact").toString
+    // refresh chain: build on 1-3, fold in 4-6, then compact
+    Search.buildIndex(docs.where(col("doc_id") <= 3),
+      "doc_id", "text", dir, nFiles = 2)
+    Search.refreshIndex(spark, dir,
+      docs.where(col("doc_id") > 3 && col("doc_id") <= 6),
+      "doc_id", "text", batchFiles = 2)
+    Search.compactIndex(docs.where(col("doc_id") <= 6),
+      "doc_id", "text", dir, nFiles = 2)
+    def rel(d: String, name: String): Set[String] =
+      spark.read.parquet(s"$d/$name").collect()
+        .map(_.toSeq.mkString("|")).toSet
+    // the compacted directory IS a fresh build: same three relations, and
+    // the staging dir is gone (a crashed compaction cannot leave a mix)
+    val freshDir =
+      java.nio.file.Files.createTempDirectory("graft_bm25_fresh").toString
+    Search.buildIndex(docs.where(col("doc_id") <= 6),
+      "doc_id", "text", freshDir, nFiles = 2)
+    for (name <- Seq("postings", "termdf", "stats"))
+      assert(rel(dir, name) == rel(freshDir, name),
+        s"$name diverged between compaction and fresh build")
+    assert(!new java.io.File(s"$dir/_compact_staging").exists())
+    // a post-compaction refresh appends onto the new generation and the
+    // served results still equal the direct full-corpus path
+    Search.refreshIndex(spark, dir, docs.where(col("doc_id") > 6),
+      "doc_id", "text", batchFiles = 2)
+    val qs = Seq(0L -> Seq("merge", "stream"), 1L -> Seq("spark", "dog"))
+    val direct = Search.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    val served = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(served == direct)
+  }
+
   test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
     val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
       .toDF("query_id", "rk", "doc_id")

@@ -151,6 +151,85 @@ class SimilaritySpec extends AnyFunSuite {
     built.release(); refreshed.release(); full.release()
   }
 
+  test("IVF drift-triggered retrain hot-swaps to an index equal to a " +
+      "from-scratch build, and search holds across the swap boundary") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ledger = real.where(col("vec_id") % 10 < 3)
+    val batch1 = real.where(col("vec_id") % 10 >= 3 && col("vec_id") % 10 < 6)
+    val batch2 = real.where(col("vec_id") % 10 >= 6)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def centsEq(a: Array[graft.pipeline.Similarity.PreparedVec],
+                b: Array[graft.pipeline.Similarity.PreparedVec]) =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.xs.sameElements(y.xs) && x.norm2 == y.norm2 }
+
+    // below the threshold, maintenance is a plain refresh: centroids
+    // frozen, drift bookkeeping advances
+    val built = graft.pipeline.Ivf.buildIndex(ledger)
+    val kept = graft.pipeline.Ivf.maintainIndex(built, batch1,
+      maxNewFraction = 0.9)
+    assert(centsEq(kept.cents, built.cents) && kept.nSinceTrain > 0L)
+    kept.release()
+
+    // at the threshold the trigger fires: the swapped-in generation equals
+    // buildIndex on the union — centroid-for-centroid (including the
+    // auto-resize to the grown corpus) and row-for-row — with drift reset
+    val retrained = graft.pipeline.Ivf.maintainIndex(built, batch1,
+      maxNewFraction = 0.4)
+    built.release()
+    val fromScratch = graft.pipeline.Ivf.buildIndex(
+      real.where(col("vec_id") % 10 < 6))
+    assert(retrained.nSinceTrain == 0L)
+    assert(centsEq(retrained.cents, fromScratch.cents))
+    assert(asMap(retrained.inv) == asMap(fromScratch.inv))
+    assert(retrained.nTotal == fromScratch.nTotal)
+
+    // serve-continuity across the NEXT boundary: a further refresh onto
+    // the retrained generation answers queries exactly as the
+    // build-then-refresh index over the same corpus split does
+    val served = graft.pipeline.Ivf.refreshIndex(retrained, batch2)
+    retrained.release()
+    val twin = graft.pipeline.Ivf.refreshIndex(fromScratch, batch2)
+    fromScratch.release()
+    val pred = col("vec_id") % 100 === 0
+    val a = graft.pipeline.Ivf.searchIndexTopK(served, pred).collect().toSet
+    val b = graft.pipeline.Ivf.searchIndexTopK(twin, pred).collect().toSet
+    assert(a == b && a.nonEmpty)
+    served.release(); twin.release()
+  }
+
+  test("PQ drift-triggered retrain == buildCodeIndex on the grown corpus, " +
+      "books and codes; maintenance below threshold keeps frozen books") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ledger = real.where(col("vec_id") % 10 < 3)
+    val batch1 = real.where(col("vec_id") % 10 >= 3 && col("vec_id") % 10 < 6)
+    val union = real.where(col("vec_id") % 10 < 6)
+    def booksEq(a: Array[Array[Array[Long]]], b: Array[Array[Array[Long]]]) =
+      a.length == b.length && a.zip(b).forall { case (sa, sb) =>
+        sa.length == sb.length && sa.zip(sb).forall { case (ca, cb) =>
+          ca.sameElements(cb) } }
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    val built = graft.pipeline.Pq.buildCodeIndex(ledger)
+    val kept = graft.pipeline.Pq.maintainCodeIndex(built, batch1, union,
+      maxNewFraction = 0.9)
+    assert(booksEq(kept.books, built.books) && kept.nSinceTrain > 0L)
+    kept.release()
+
+    val retrained = graft.pipeline.Pq.maintainCodeIndex(built, batch1, union,
+      maxNewFraction = 0.4)
+    built.release()
+    val fromScratch = graft.pipeline.Pq.buildCodeIndex(union)
+    assert(retrained.nSinceTrain == 0L)
+    assert(booksEq(retrained.books, fromScratch.books))
+    assert(asSet(retrained.codes) == asSet(fromScratch.codes))
+    assert(retrained.nTotal == fromScratch.nTotal)
+    retrained.release(); fromScratch.release()
+  }
+
   test("k-means-refined IVF matches brute recall and actually moves centroids") {
     val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pred = col("vec_id") % 100 === 0
