@@ -134,10 +134,14 @@ object Bench {
       "q5_region_revenue", "q_event_type_stats", "q_sessions",
       "q_user_windows")
     println(jsonLine(results.filter(r => baselineSet(r._1)),
-      "\"queries_note\":\"baseline-common subset; all queries in " +
-        "BENCH_LOCAL_LAST.json (committed per round)\","))
-    // The durable, committable copy of the full record.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LAST.json")
+      "\"queries_note\":\"baseline-common subset; all queries in the " +
+        "round-stamped BENCH_LOCAL_r{N}.json (committed per round)\","))
+    // The full record on disk. The default target lives under target/
+    // (untracked) so a driver-initiated bench re-run leaves `git status`
+    // clean — the committed history is append-only, round-stamped files
+    // written explicitly via SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_r{N}.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/BENCH_LOCAL_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -1342,11 +1342,12 @@ object SparkEntry {
   /** Sorted-neighborhood near-dup pairs (Dedup.sortedNeighborhoodPairs):
     * the third blocking family — per-bucket sort by a normalized key
     * prefix, candidates within a rank window of 4, exact-Jaccard
-    * verification on the shared hashed-shingle primitive. TWO passes
-    * (the literature's multi-pass SNM): prefix key + reversed-text key,
-    * closing the cross-bucket blind spot for head-edited near-dups. The
-    * oracle re-derives both keys, buckets, per-bucket ranks, the
-    * windowed candidate joins, their union and the Jaccard verdicts. */
+    * verification on the shared hashed-shingle primitive. THREE passes
+    * (the literature's multi-pass SNM): prefix key + reversed-text key +
+    * mid-rotation key, closing the cross-bucket blind spots for head-,
+    * tail-, and both-ends-edited near-dups respectively. The oracle
+    * re-derives all three keys, buckets, per-bucket ranks, the windowed
+    * candidate joins, their union and the Jaccard verdicts. */
   private def dedupSnmPairs(s: SparkSession, dir: String): DataFrame =
     pipeline.Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
@@ -1367,6 +1368,13 @@ object SparkEntry {
        |rk2 AS (SELECT doc_id, bucket,
        |    row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
        |  FROM sk2),
+       |sk3 AS (SELECT doc_id, sk, substr(sk, 1, 2) AS bucket FROM (
+       |    SELECT doc_id, substr(substr(nt, length(nt) // 2 + 1) ||
+       |        substr(nt, 1, length(nt) // 2), 1, 32) AS sk FROM nt)
+       |  WHERE length(sk) > 0),
+       |rk3 AS (SELECT doc_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
+       |  FROM sk3),
        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
        |      greatest(a.doc_id, b.doc_id) AS doc_b
@@ -1376,6 +1384,11 @@ object SparkEntry {
        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
        |      greatest(a.doc_id, b.doc_id) AS doc_b
        |    FROM rk2 a JOIN rk2 b ON b.bucket = a.bucket
+       |      AND b.rn > a.rn AND b.rn <= a.rn + 3
+       |  UNION ALL
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |      greatest(a.doc_id, b.doc_id) AS doc_b
+       |    FROM rk3 a JOIN rk3 b ON b.bucket = a.bucket
        |      AND b.rn > a.rn AND b.rn <= a.rn + 3)),
        |toks AS (SELECT doc_id, $DuckToks AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(

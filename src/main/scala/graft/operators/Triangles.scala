@@ -62,7 +62,12 @@ object Triangles {
     *               and gate the wedge-exchange sizing below.
     *               Pass it when the caller already knows the graph size
     *               (an ingest count, table statistics) to skip the sizing
-    *               count job entirely; <= 0 means unknown, and the count
+    *               count job entirely. NOTE: since the r14 auto
+    *               wedge-widening, the size gates the closing-exchange
+    *               plan too, so an explicit `bloomBits` alone no longer
+    *               avoids the count — pass `edgeCountHint` (or an explicit
+    *               `wedgeParts`) as well to skip every sizing job.
+    *               <= 0 means unknown, and the count
     *               is taken from the PERSISTED oriented relation
     *               (|oriented| == |e| by construction) — the count action
     *               materializes the cache every downstream consumer then
@@ -187,8 +192,12 @@ object Triangles {
         // exact pre-prune wedge count: sum over sources of outdeg-choose-2
         // (one aggregate over the cached oriented relation — seconds at
         // 100x against a ~190 s operator wall, and only on big graphs)
+        // coalesce: sum over ZERO groups is NULL — a stale edgeCountHint
+        // >= the gate on an actually-empty graph must degrade to the
+        // default width, not NPE
         val ub = oriented.groupBy("src").agg(count(lit(1)).as("k"))
-          .agg(sum(expr("(k * (k - 1)) div 2")).cast("long").as("w"))
+          .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L))
+            .cast("long").as("w"))
           .head().getLong(0)
         val w = math.ceil(
           ub * WedgeRowBytes.toDouble / WedgeTargetPartitionBytes).toLong

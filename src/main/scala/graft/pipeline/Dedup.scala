@@ -299,18 +299,21 @@ object Dedup {
     * by exploding the d = 1..window-1 offsets. The standard cross-bucket
     * blind spot (neighbors straddling a prefix boundary, e.g. a HEAD
     * edit that lands the near-dup in a different bucket) is closed the
-    * way the literature prescribes — multi-pass SNM: `passes = 2` (the
-    * default) runs a second pass keyed on the REVERSED normalized text,
-    * so tail-identical/head-edited docs sort adjacent there, and the two
-    * candidate sets union before the single verification pass.
-    * `passes = 1` keeps the cheaper single-key form (its blind spot is
-    * spec-pinned). Verification is the shared exact-Jaccard primitive
-    * over hashed shingles. */
+    * way the literature prescribes — multi-pass SNM with rotated keys:
+    * pass 2 keys on the REVERSED normalized text, so tail-identical/
+    * head-edited docs sort adjacent there, and pass 3 on the
+    * MID-ROTATION (`nt[mid:] || nt[:mid]`, mid = floor(len/2)) — the
+    * completeness step for docs edited at BOTH ends, which neither the
+    * head- nor the tail-anchored key sees (the 2-pass form's spec-pinned
+    * blind spot). All candidate sets union before the single
+    * verification pass. `passes = 3` is the default; 2 and 1 keep the
+    * cheaper forms (their blind spots are spec-pinned). Verification is
+    * the shared exact-Jaccard primitive over hashed shingles. */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
       prefixLen: Int = 2, thresholdPct: Int = 30,
-      passes: Int = 2): DataFrame = {
+      passes: Int = 3): DataFrame = {
     require(window >= 2, s"window >= 2, got $window")
-    require(passes == 1 || passes == 2, s"passes in {1, 2}, got $passes")
+    require(passes >= 1 && passes <= 3, s"passes in {1, 2, 3}, got $passes")
     import org.apache.spark.sql.expressions.Window
     val nt = regexp_replace(lower(col("text")), "\\s+", " ")
     // one pass: rank within prefix buckets of the given key, pair each
@@ -337,8 +340,18 @@ object Dedup {
           greatest(col("id_l"), col("id_r")).as("doc_b"))
     }
     val cand0 = passCandidates(substring(nt, 1, 32))
+    // pass-3 key: first 32 chars of the mid-rotated text. floor-half via
+    // double division + int cast (non-negative lengths), the same value
+    // DuckDB's `length(nt) // 2` floors to — the oracle re-derives the key
+    val half = (length(nt) / 2).cast("int")
+    val rotated = concat(
+      nt.substr(half + lit(1), length(nt)), nt.substr(lit(1), half))
     val cand = (if (passes == 1) cand0
-      else cand0.union(passCandidates(substring(reverse(nt), 1, 32))))
+      else if (passes == 2)
+        cand0.union(passCandidates(substring(reverse(nt), 1, 32)))
+      else
+        cand0.union(passCandidates(substring(reverse(nt), 1, 32)))
+          .union(passCandidates(substring(rotated, 1, 32))))
       .distinct()
     val hdf = hashedShingleDf(docs).persist()
     // union_size > 0: unlike shingle-co-occurrence candidates, a sorted

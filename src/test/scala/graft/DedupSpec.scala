@@ -372,6 +372,30 @@ class DedupSpec extends AnyFunSuite {
     assert(w3.contains((1L, 3L)), w3)
   }
 
+  test("sorted-neighborhood pass 3 (mid-rotation key) catches " +
+      "both-ends-edited near-dups the 2-pass form misses") {
+    // same-length docs, identical 71-char core, edits at BOTH ends:
+    // pass 1 buckets them apart on the head ('aa' vs 'zz'), pass 2 on
+    // the reversed tail ('yy' vs 'xx'); only the mid-rotation key —
+    // anchored at floor(len/2), inside the shared core for both — sorts
+    // them adjacent. This is the 2-pass blind spot the third rotation
+    // exists to close.
+    val core = (1 to 18).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "aa qq " + core + " rr yy"),
+      (2L, "zz pp " + core + " ss xx"),
+      (3L, "completely unrelated content that shares nothing at all")
+    ).toDF("doc_id", "text")
+    val twoPass = Dedup.sortedNeighborhoodPairs(docs, passes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!twoPass.contains((1L, 2L)), twoPass) // the documented blind spot
+    val threePass = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(threePass.contains((1L, 2L)), threePass) // caught ONLY by pass 3
+    assert(twoPass.subsetOf(threePass)) // extra passes only add coverage
+    assert(!threePass.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("banded hamming pairs equal brute force at hamming <= bands-1 " +
       "when uncapped (pigeonhole exactness, seeded random sigs)") {
     import spark.implicits._

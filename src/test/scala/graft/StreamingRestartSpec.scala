@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{StreamingDedup, StreamingDrift, StreamingUpsert}
+import graft.streaming.{EventSessions, StreamingDedup, StreamingDrift,
+  StreamingFunnel, StreamingUpsert}
+import graft.streaming.StreamingFunnel.{Completion, StepEvent}
 import graft.streaming.StreamingUpsert.{Change, Update}
 
 /** Restart-from-checkpoint equivalence: production streams do not replay
@@ -213,6 +215,122 @@ class StreamingRestartSpec extends AnyFunSuite {
       // re-admitted after TTL expiry; 2 and 4 suppressed (4 only if the
       // restart recovered state AND watermark)
       assert(got == Set(1L, 3L, 5L, 6L, 7L), s"emitted=$got")
+    } finally q2.stop()
+  }
+
+  test("funnel restarted from checkpoint completes from recovered partial " +
+      "chains and never re-emits a recovered done entity") {
+    val (srcDir, outDir, ckDir) = (tmp("fun_src"), tmp("fun_out"), tmp("fun_ck"))
+    def stepJson(e: Long, step: Int, ts: Long): String =
+      s"""{"entity":$e,"step":$step,"ts":$ts}"""
+    def query() = {
+      val events = spark.readStream
+        .schema(Encoders.product[StepEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir)
+        .as[StepEvent]
+      StreamingFunnel.completions(events, nSteps = 3, window = Some(1000L))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+    }
+    // phase 1: entity 10 holds a PARTIAL chain (steps 1+2 — state only,
+    // nothing emitted); entity 20 completes and emits before the kill
+    addFile(srcDir, "b000", Seq(
+      stepJson(10L, 1, 100L), stepJson(10L, 2, 150L),
+      stepJson(20L, 1, 500L), stepJson(20L, 2, 510L), stepJson(20L, 3, 520L)))
+    val q1 = query()
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    val preKill = spark.read.schema(Encoders.product[Completion].schema)
+      .parquet(outDir).as[Completion].collect()
+    assert(preKill.map(_.entity).toSet == Set(20L),
+      s"fixture drift: pre-kill emissions ${preKill.toSeq}")
+
+    // phase 2, post-restart: entity 10's step 3 — completable ONLY from
+    // the recovered partial state; a replayed chain for the done entity
+    // 20 (recovered done flag must suppress it); a fresh entity 30
+    addFile(srcDir, "b001", Seq(
+      stepJson(10L, 3, 200L),
+      stepJson(20L, 2, 600L), stepJson(20L, 3, 610L),
+      stepJson(30L, 1, 900L), stepJson(30L, 2, 901L), stepJson(30L, 3, 902L)))
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.schema(Encoders.product[Completion].schema)
+        .parquet(outDir).as[Completion].collect()
+        .map(c => c.entity -> c.times.toList).toList
+      assert(got.count(_._1 == 20L) == 1, s"done entity re-emitted: $got")
+      assert(got.toMap == Map(
+        10L -> List(100L, 150L, 200L),
+        20L -> List(500L, 510L, 520L),
+        30L -> List(900L, 901L, 902L)), s"got=$got")
+    } finally q2.stop()
+  }
+
+  test("session windows restarted from checkpoint merge post-restart " +
+      "events into recovered open sessions, equal to the batch operator") {
+    val (srcDir, outDir, ckDir) = (tmp("ses_src"), tmp("ses_out"), tmp("ses_ck"))
+    def evJson(u: Long, sec: Long, v: Double): String =
+      s"""{"user_id":$u,"ts_ms":${1700000000000L + sec * 1000L},"value":$v}"""
+    def query() = {
+      val events = spark.readStream
+        .schema("user_id LONG, ts_ms LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .select("user_id", "ts", "value")
+      EventSessions.sessions(events, gap = "30 seconds",
+          watermarkDelay = "5 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+    }
+    // phase 1: user 1 opens a session (t=0, 10 s); with a 5 s watermark
+    // delay nothing closes before the kill — the open session exists only
+    // in the checkpointed state store
+    addFile(srcDir, "b000", Seq(evJson(1L, 0L, 0.5), evJson(1L, 10L, 0.25)))
+    val q1 = query()
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    assert(spark.read.parquet(outDir).isEmpty,
+      "fixture drift: a session closed before the kill defeats the test")
+
+    // phase 2: t=20 s extends the RECOVERED open session (within the 30 s
+    // gap of t=10 — lost state would start a second session instead);
+    // then sentinels push the watermark past every close
+    addFile(srcDir, "b001", Seq(evJson(1L, 20L, 0.25)))
+    addFile(srcDir, "b002", Seq(evJson(99L, 500L, 0.0)))
+    addFile(srcDir, "b003", Seq(evJson(99L, 600L, 0.0)))
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).where(col("user_id") === 1L)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_micros")))
+        .toSet
+      // the batch operator over the full log is the oracle: ONE merged
+      // session [0, 50s) with all three events
+      val batch = EventSessions.sessions(
+          Seq((1L, 0L, 0.5), (1L, 10L, 0.25), (1L, 20L, 0.25))
+            .map { case (u, s, v) =>
+              (u, new Timestamp(1700000000000L + s * 1000L), v) }
+            .toDF("user_id", "ts", "value"),
+          gap = "30 seconds")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_micros")))
+        .toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.size == 1 && got.head._4 == 3L,
+        s"recovered session did not merge: $got")
     } finally q2.stop()
   }
 
