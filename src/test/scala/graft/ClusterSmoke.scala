@@ -201,6 +201,42 @@ object ClusterSmoke {
   val GateFloorSec = 0.75
   val GateExcessAllowanceSec = 0.5
 
+  /** GRAFT_SMOKE_ROWS_ONLY=1 skips every timed run: correctness passes
+    * only, one per arm — row-equality IS the gate and the perf pin is
+    * waived. The 100x full-registry budget mode: with best-of-2/3 timed
+    * runs the 100x pass costs ~3-4 suite-walls per arm, and the wall-time
+    * ratio at that scale is already covered by the one-JVM sweep
+    * (BENCH_SCALE100) plus the r13/r14 timed cluster arms at 10x.
+    *
+    * In this mode equality is checked on a DISTRIBUTED row-set digest
+    * ([[digestRows]]) instead of a driver-side collect: data-proportional
+    * outputs (the hilbert/zorder layouts are lineitem-sized — 60M rows at
+    * 100x) held as canon strings for BOTH arms at once would dominate any
+    * driver heap, and the digest keeps the gate's sensitivity (count +
+    * two salted hash sums + the schema) while the driver holds four
+    * strings per query. */
+  private val RowsOnly = sys.env.get("GRAFT_SMOKE_ROWS_ONLY").contains("1")
+
+  /** Order-insensitive row-set digest computed IN the executors: row
+    * count plus two independently-salted sums of xxhash64 over each row's
+    * JSON rendering (exact DECIMAL(38,0) sums — no overflow under ANSI),
+    * plus the schema. Two equal digests ⇒ row-set equality up to 64-bit
+    * hash collisions on two salts; nothing row-set-sized ever reaches the
+    * driver. Rendering is to_json (arrays in order, binary as base64,
+    * UTC timestamps), identical across arms because both run the same
+    * Spark version and session timezone. */
+  private[graft] def digestRows(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val j = to_json(struct(df.columns.map(col): _*))
+    val d = df.select(
+      count(lit(1)).as("n"),
+      sum(xxhash64(j).cast("decimal(38,0)")).as("h1"),
+      sum(xxhash64(lit(31), j).cast("decimal(38,0)")).as("h2")).head()
+    Seq(s"n=${d.get(0)}", s"h1=${d.get(1)}", s"h2=${d.get(2)}",
+      "schema=" + df.schema.map(f => f.name + ":" + f.dataType.sql)
+        .mkString(","))
+  }
+
   private def runAll(spark: SparkSession, sfDir: String,
       names: Seq[String], extraRunIfSlow: Boolean = false)
       : Map[String, Either[String, (Seq[String], Perf)]] = {
@@ -220,7 +256,8 @@ object ClusterSmoke {
     names.map { name =>
       val res =
         try {
-          val rows = canon(SparkEntry.queries(name)(spark, sfDir))
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val rows = if (RowsOnly) digestRows(df) else canon(df)
           // timed runs AFTER the correctness collect (plans warm):
           // best-of-2 noop-sink wall time, metrics from the best run
           def timed(): Perf = {
@@ -233,9 +270,11 @@ object ClusterSmoke {
             Thread.sleep(300)
             Perf(sec, shufW.get, spill.get)
           }
-          var perf = (1 to 2).map(_ => timed()).minBy(_.sec)
+          var perf =
+            if (RowsOnly) Perf(0.0, 0L, 0L)
+            else (1 to 2).map(_ => timed()).minBy(_.sec)
           // gate-subject rows get one more sample (noise insurance)
-          if (extraRunIfSlow && perf.sec >= GateFloorSec)
+          if (!RowsOnly && extraRunIfSlow && perf.sec >= GateFloorSec)
             perf = Seq(perf, timed()).minBy(_.sec)
           Right((rows, perf))
         }
@@ -290,12 +329,14 @@ object ClusterSmoke {
     names.foreach { name =>
       (clusterResults(name), localResults(name)) match {
         case (Right((c, pc)), Right((l, pl))) if c == l =>
-          println(s"[cluster-smoke] $name OK rows=${c.size}")
-          println(f"[cluster-smoke-perf] $name cluster=${pc.sec}%.2f " +
-            f"local=${pl.sec}%.2f ratio=${pc.sec / pl.sec}%.2f " +
-            s"shufw_c=${pc.shuffleWrite} shufw_l=${pl.shuffleWrite} " +
-            s"spill_c=${pc.spill} spill_l=${pl.spill}")
-          if (gateBreached(pc, pl)) {
+          println(s"[cluster-smoke] $name OK " +
+            (if (RowsOnly) c.mkString(" ") else s"rows=${c.size}"))
+          if (!RowsOnly)
+            println(f"[cluster-smoke-perf] $name cluster=${pc.sec}%.2f " +
+              f"local=${pl.sec}%.2f ratio=${pc.sec / pl.sec}%.2f " +
+              s"shufw_c=${pc.shuffleWrite} shufw_l=${pl.shuffleWrite} " +
+              s"spill_c=${pc.spill} spill_l=${pl.spill}")
+          if (!RowsOnly && gateBreached(pc, pl)) {
             flagged ::= name
             println(f"[cluster-smoke-gate] $name FLAGGED ratio=" +
               f"${pc.sec / pl.sec}%.2f > $GateMaxRatio%.1f with " +
