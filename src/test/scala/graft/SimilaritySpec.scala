@@ -198,6 +198,21 @@ class SimilaritySpec extends AnyFunSuite {
     val b = graft.pipeline.Ivf.searchIndexTopK(twin, pred).collect().toSet
     assert(a == b && a.nonEmpty)
     served.release(); twin.release()
+
+    // the Lloyd-refined retrain path: retraining off the inverted file
+    // with k-means iterations equals the from-scratch refined build —
+    // the training SAMPLE (Bresenham slice) and both Lloyd passes must
+    // re-derive identically from the index's stored prepared vectors
+    val chain = graft.pipeline.Ivf.refreshIndex(
+      graft.pipeline.Ivf.buildIndex(ledger, nCentroids = 16), batch1)
+    val rk = graft.pipeline.Ivf.retrainIndex(chain,
+      nCentroids = 16, refineIters = 2)
+    chain.release()
+    val fk = graft.pipeline.Ivf.buildIndex(
+      real.where(col("vec_id") % 10 < 6), nCentroids = 16, refineIters = 2)
+    assert(centsEq(rk.cents, fk.cents))
+    assert(asMap(rk.inv) == asMap(fk.inv))
+    rk.release(); fk.release()
   }
 
   test("PQ drift-triggered retrain == buildCodeIndex on the grown corpus, " +
