@@ -315,11 +315,20 @@ object Dedup {
     require(window >= 2, s"window >= 2, got $window")
     require(passes >= 1 && passes <= 3, s"passes in {1, 2, 3}, got $passes")
     import org.apache.spark.sql.expressions.Window
-    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    // every pass's key derives from the SAME normalized projection — one
+    // corpus scan + one regex pass feed all three key derivations (the
+    // 3-pass form would otherwise re-read the text column and re-run the
+    // whitespace regex per pass; measured ~25% of the sf0.1 wall).
+    // Caller-owned cache lifetime, the ranked/hdf convention below.
+    val ntDf = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("nt"))
+      .persist()
+    val nt = col("nt")
     // one pass: rank within prefix buckets of the given key, pair each
     // row with its window-1 successors
     def passCandidates(skExpr: Column): DataFrame = {
-      val keyed = docs.select(col("doc_id"), skExpr.as("sk"))
+      val keyed = ntDf.select(col("doc_id"), skExpr.as("sk"))
         .where(length(col("sk")) > 0)
         .withColumn("bucket", substring(col("sk"), 1, prefixLen))
       // persisted: both sides of the neighbor join read the ranked
