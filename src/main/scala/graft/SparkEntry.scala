@@ -1903,6 +1903,37 @@ object SparkEntry {
        |       CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** IVF served from a PERSISTED index generation: build on the ledger
+    * half, [[pipeline.Ivf.saveIndex]] to a directory, release the
+    * in-memory generation, [[pipeline.Ivf.loadIndex]] it back, refresh
+    * the other half ONTO THE LOADED INDEX, and serve the [[annIvfTopk]]
+    * workload — the process-restart arc a fleet-scale serving story
+    * needs (every other standing index here is directory-backed; this
+    * gate pins that the ANN tier's round-trip is exact: a lost vector,
+    * a reordered centroid array, or reset drift counters all change the
+    * search result or the refresh behavior and fail the hash). Shares
+    * [[annIvfIndexRefreshSql]] verbatim — persistence must be
+    * observationally invisible. */
+  private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_index_" + Integer.toHexString(dir.hashCode))
+    deleteRecursively(idxDir)
+    val embs = Tables.embeddings(s, dir)
+    val built = pipeline.Ivf.buildIndex(embs.where(col("vec_id") % 10 < 5))
+    pipeline.Ivf.saveIndex(built, idxDir.getPath)
+    built.release()
+    val loaded = pipeline.Ivf.loadIndex(s, idxDir.getPath)
+    val idx = pipeline.Ivf.refreshIndex(loaded,
+      embs.where(col("vec_id") % 10 >= 5))
+    loaded.release()
+    val out = pipeline.Ivf.searchIndexTopK(idx, col("vec_id") % 50 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+      .localCheckpoint(true) // materialize before releasing the inv it reads
+    idx.release()
+    out
+  }
+
   /** Embedding-dedup ADMISSION against a standing ledger IVF index
     * ([[pipeline.Ivf.indexAdmit]] — the vector twin of
     * dedup_incremental_neardup): every batch vector probes its 4 nearest
@@ -3142,6 +3173,32 @@ object SparkEntry {
        |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
        |       dist AS err
        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+
+  /** PQ codes served from a PERSISTED code-index generation — the
+    * [[annIvfPersisted]] arc for the codes tier: build on the ledger
+    * half, save/release/load, refresh the batch onto the LOADED index
+    * (frozen persisted codebooks encode it), emit the code relation.
+    * Shares [[annPqIndexRefreshSql]] verbatim. */
+  private def annPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pq_index_" + Integer.toHexString(dir.hashCode))
+    deleteRecursively(idxDir)
+    val embs = Tables.embeddings(s, dir)
+    val built = pipeline.Pq.buildCodeIndex(embs.where(col("vec_id") % 10 < 5))
+    pipeline.Pq.saveCodeIndex(built, idxDir.getPath)
+    built.release()
+    val loaded = pipeline.Pq.loadCodeIndex(s, idxDir.getPath)
+    val idx = pipeline.Pq.refreshCodeIndex(loaded,
+      embs.where(col("vec_id") % 10 >= 5))
+    loaded.release()
+    val out = idx.codes
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"), col("err"))
+      .orderBy("vec_id", "sub")
+      .localCheckpoint(true) // materialize before releasing the codes it reads
+    idx.release()
+    out
+  }
 
   private def annPqTopk(s: SparkSession, dir: String): DataFrame =
     pipeline.Pq.adcTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
@@ -5626,6 +5683,7 @@ object SparkEntry {
     "ann_ivf_kmeans_scaled_topk" -> (annIvfKmeansScaledTopk _),
     "ann_ivf_index_refresh" -> (annIvfIndexRefresh _),
     "ann_ivf_retrain" -> (annIvfRetrain _),
+    "ann_ivf_persisted" -> (annIvfPersisted _),
     "embedding_admit_indexed" -> (embeddingAdmitIndexed _),
     "q_semdedup" -> (qSemdedup _),
     "q_proto_rank" -> (qProtoRank _),
@@ -5655,6 +5713,7 @@ object SparkEntry {
     "ann_pq_rerank_topk" -> (annPqRerankTopk _),
     "ann_pq_index_refresh" -> (annPqIndexRefresh _),
     "ann_pq_retrain" -> (annPqRetrain _),
+    "ann_pq_persisted" -> (annPqPersisted _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank_topk" -> (annIvfPqRerankTopk _),
     "q_interval_pairs" -> (qIntervalPairs _),
@@ -5785,6 +5844,7 @@ object SparkEntry {
     "ann_ivf_kmeans_scaled_topk" -> annIvfKmeansScaledTopkSql,
     "ann_ivf_index_refresh" -> annIvfIndexRefreshSql,
     "ann_ivf_retrain" -> annIvfRetrainSql,
+    "ann_ivf_persisted" -> annIvfIndexRefreshSql,
     "embedding_admit_indexed" -> embeddingAdmitIndexedSql,
     "q_semdedup" -> qSemdedupSql,
     "q_proto_rank" -> qProtoRankSql,
@@ -5814,6 +5874,7 @@ object SparkEntry {
     "ann_pq_rerank_topk" -> annPqRerankTopkSql,
     "ann_pq_index_refresh" -> annPqIndexRefreshSql,
     "ann_pq_retrain" -> annPqRetrainSql,
+    "ann_pq_persisted" -> annPqIndexRefreshSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopkSql,
     "q_interval_pairs" -> qIntervalPairsSql,

@@ -377,6 +377,53 @@ object Ivf {
     } else refreshed
   }
 
+  /** Persist a standing index under `dir` — the serving story at fleet
+    * scale: an index generation lives in object storage and OUTLIVES the
+    * process that trained it (the [[Search.buildIndex]] discipline; the
+    * in-memory [[IvfIndex]] is the hot working set, this is the durable
+    * generation). Three relations: `inv/` (the inverted file, clustered
+    * by centroid_id so a probe's bucket read prunes to few files),
+    * `cents/` (array-order-indexed centroids — the array POSITION is the
+    * centroid id; vec_id is provenance only), `meta/` (1 row: the drift
+    * counters, so a loaded index resumes its refresh chain exactly where
+    * the saved one left off). */
+  def saveIndex(index: IvfIndex, dir: String, nFiles: Int = 16): Unit = {
+    val spark = index.inv.sparkSession
+    import spark.implicits._
+    index.inv
+      .repartitionByRange(nFiles, col("centroid_id"), col("vec_id"))
+      .sortWithinPartitions("centroid_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/inv")
+    index.cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.vec_id, c.xs.toSeq, c.norm2) }
+      .toDF("idx", "vec_id", "xs", "norm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+    Seq((index.nTotal, index.nSinceTrain)).toDF("n_total", "n_since_train")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveIndex]] directory into a servable standing index:
+    * `loadIndex(save(idx)) == idx` relation-for-relation and
+    * counter-for-counter (SimilaritySpec pins it; the `ann_ivf_persisted`
+    * oracle gate serves a refresh on TOP of a loaded index against the
+    * same DuckDB rederivation as the in-memory chain, so a persistence
+    * round-trip that loses a vector, reorders the centroid array, or
+    * resets the drift counters fails the hash). The inverted file is
+    * persisted (it is the hot working set); release() as usual. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/cents")
+      .orderBy("idx")
+      .select("vec_id", "xs", "norm2").as[PreparedVec]
+      .collect()
+    val inv = spark.read.parquet(s"$dir/inv")
+      .select("centroid_id", "vec_id", "xs", "norm2").persist()
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    IvfIndex(cents, inv,
+      meta.getAs[Long]("n_total"), meta.getAs[Long]("n_since_train"))
+  }
+
   /** Top-k over a standing [[IvfIndex]]: queries are drawn from the
     * index's own inverted file by `queryPred` (the prepared vectors are
     * already there — no re-preparation pass), probing `nprobe` buckets

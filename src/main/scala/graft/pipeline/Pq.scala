@@ -196,6 +196,56 @@ object Pq extends Serializable {
     } else refreshed
   }
 
+  /** Persist a standing code index under `dir` ([[Ivf.saveIndex]]'s
+    * discipline for the codes tier): `codes/` (vec_id-clustered code
+    * relation), `books/` (one row per (sub, code, component) codebook
+    * cell — array positions are the ids), `meta/` (m + drift counters).
+    * The durable generation a served fleet loads; the in-memory
+    * [[PqIndex]] stays the hot working set. */
+  def saveCodeIndex(index: PqIndex, dir: String, nFiles: Int = 16): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes
+      .repartitionByRange(nFiles, col("vec_id"), col("sub"))
+      .sortWithinPartitions("vec_id", "sub")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    (for (s <- index.books.indices; ci <- index.books(s).indices;
+          j <- index.books(s)(ci).indices)
+      yield (s, ci, j, index.books(s)(ci)(j)))
+      .toDF("s", "cid", "j", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    Seq((index.m, index.nTotal, index.nSinceTrain))
+      .toDF("m", "n_total", "n_since_train")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveCodeIndex]] directory: `loadCodeIndex(save(idx)) == idx`
+    * books-for-books, codes-for-codes and counter-for-counter
+    * (SimilaritySpec pins it; the `ann_pq_persisted` oracle gate refreshes
+    * on top of a loaded index against the in-memory chain's DuckDB
+    * rederivation). */
+  def loadCodeIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val cells = spark.read.parquet(s"$dir/books").collect()
+      .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("cid"), r.getAs[Int]("j")),
+        r.getAs[Long]("v"))).toMap
+    val nSub = cells.keys.map(_._1).max + 1
+    require(nSub == m, s"books relation has $nSub subspaces, meta says $m")
+    val books = Array.tabulate(m) { s =>
+      val k = cells.keys.collect { case (`s`, ci, _) => ci }.max + 1
+      Array.tabulate(k) { ci =>
+        val sd = cells.keys.collect { case (`s`, `ci`, j) => j }.max + 1
+        Array.tabulate(sd)(j => cells((s, ci, j)))
+      }
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "sub", "code", "err").persist()
+    PqIndex(books, codes, m,
+      meta.getAs[Long]("n_total"), meta.getAs[Long]("n_since_train"))
+  }
+
   /** ADC top-k per query: smallest approximate squared distance
     * `sum_s table[q][s][code_s(x)]`, ties to the lower neighbor id. The
     * query set is collected and broadcast (same few-queries/huge-corpus

@@ -215,6 +215,57 @@ class SimilaritySpec extends AnyFunSuite {
     rk.release(); fk.release()
   }
 
+  test("IVF and PQ index persistence round-trips exactly: relations, " +
+      "trained state, drift counters, and refresh-on-loaded behavior") {
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ledger = real.where(col("vec_id") % 10 < 5)
+    val batch = real.where(col("vec_id") % 10 >= 5)
+
+    // IVF: save -> load equals the original index in every observable
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val built = graft.pipeline.Ivf.buildIndex(ledger)
+    graft.pipeline.Ivf.saveIndex(built, ivfDir)
+    val loaded = graft.pipeline.Ivf.loadIndex(spark, ivfDir)
+    assert(loaded.cents.length == built.cents.length)
+    assert(loaded.cents.zip(built.cents).forall { case (a, b) =>
+      a.xs.sameElements(b.xs) && a.norm2 == b.norm2 && a.vec_id == b.vec_id })
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asMap(loaded.inv) == asMap(built.inv))
+    assert(loaded.nTotal == built.nTotal &&
+      loaded.nSinceTrain == built.nSinceTrain)
+    // refresh chains resume identically on the loaded generation
+    val rA = graft.pipeline.Ivf.refreshIndex(built, batch)
+    val rB = graft.pipeline.Ivf.refreshIndex(loaded, batch)
+    assert(asMap(rA.inv) == asMap(rB.inv))
+    assert(rA.nSinceTrain == rB.nSinceTrain && rA.nTotal == rB.nTotal)
+    val pred = col("vec_id") % 100 === 0
+    assert(graft.pipeline.Ivf.searchIndexTopK(rA, pred).collect().toSet ==
+      graft.pipeline.Ivf.searchIndexTopK(rB, pred).collect().toSet)
+    built.release(); loaded.release(); rA.release(); rB.release()
+
+    // PQ: books, codes, and counters round-trip; refresh encodes the
+    // batch under the PERSISTED frozen books
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    val pqBuilt = graft.pipeline.Pq.buildCodeIndex(ledger)
+    graft.pipeline.Pq.saveCodeIndex(pqBuilt, pqDir)
+    val pqLoaded = graft.pipeline.Pq.loadCodeIndex(spark, pqDir)
+    assert(pqLoaded.m == pqBuilt.m)
+    assert(pqLoaded.books.length == pqBuilt.books.length)
+    assert(pqLoaded.books.zip(pqBuilt.books).forall { case (sa, sb) =>
+      sa.zip(sb).forall { case (ca, cb) => ca.sameElements(cb) } })
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(asSet(pqLoaded.codes) == asSet(pqBuilt.codes))
+    assert(pqLoaded.nTotal == pqBuilt.nTotal &&
+      pqLoaded.nSinceTrain == pqBuilt.nSinceTrain)
+    val pA = graft.pipeline.Pq.refreshCodeIndex(pqBuilt, batch)
+    val pB = graft.pipeline.Pq.refreshCodeIndex(pqLoaded, batch)
+    assert(asSet(pA.codes) == asSet(pB.codes))
+    pqBuilt.release(); pqLoaded.release(); pA.release(); pB.release()
+  }
+
   test("PQ drift-triggered retrain == buildCodeIndex on the grown corpus, " +
       "books and codes; maintenance below threshold keeps frozen books") {
     val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
