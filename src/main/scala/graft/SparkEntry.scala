@@ -1915,8 +1915,7 @@ object SparkEntry {
     * [[annIvfIndexRefreshSql]] verbatim — persistence must be
     * observationally invisible. */
   private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + Integer.toHexString(dir.hashCode))
+    val idxDir = indexScratch("ivf_index", dir)
     deleteRecursively(idxDir)
     val embs = Tables.embeddings(s, dir)
     val built = pipeline.Ivf.buildIndex(embs.where(col("vec_id") % 10 < 5))
@@ -2554,6 +2553,41 @@ object SparkEntry {
     out.orderBy("doc_id")
   }
 
+  /** Perceptual-hash admission from a PERSISTED hamming-index generation
+    * — the media twin of [[dedupIndexPersisted]]: build on the even half
+    * of the base signatures, [[pipeline.Dedup.saveHammingIndex]] to a
+    * directory, release, [[pipeline.Dedup.loadHammingIndex]] back,
+    * refresh the odd half onto the LOADED index, admit the re-crawl
+    * batch. Shares [[multimodalPhashIncrementalSql]] verbatim — a
+    * round-trip that loses a bucket, a tombstone, or the recorded fused
+    * partition columns fails the hash (a partition-column loss would
+    * silently admit everything; the probe would match zero postings). */
+  private def multimodalPhashIndexPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = indexScratch("phash_index", dir)
+    deleteRecursively(idxDir)
+    val hashes = pipeline.Multimodal.perceptualHashes(s,
+        pipeline.Multimodal.mediaTable(
+          mediaRecrawl(Tables.documents(s, dir))))
+      .toDF()
+      .select(col("kind"), col("doc_id"), col("phash").as("sig"))
+    val base = hashes.where(col("doc_id") < 3000000000000000000L)
+    val built = pipeline.Dedup.buildHammingIndex(
+      base.where(col("doc_id") % 2 === 0),
+      maxHamming = 3, bands = 4, bandBits = 16, maxBucket = 64,
+      partitionCols = Seq("kind"))
+    pipeline.Dedup.saveHammingIndex(built, idxDir.getPath)
+    built.release()
+    val loaded = pipeline.Dedup.loadHammingIndex(s, idxDir.getPath)
+    val idx = pipeline.Dedup.refreshHammingIndex(loaded,
+      base.where(col("doc_id") % 2 =!= 0))
+    loaded.release()
+    val out = pipeline.Dedup.indexHammingDedup(
+        hashes.where(col("doc_id") >= 3000000000000000000L), idx)
+      .localCheckpoint(true)
+    idx.release()
+    out.orderBy("doc_id")
+  }
+
   private val multimodalPhashIncrementalSql =
     s"""WITH docs_rc AS (
        |  SELECT doc_id, text FROM documents
@@ -2981,6 +3015,36 @@ object SparkEntry {
     out.orderBy("doc_id")
   }
 
+  /** Near-dup admission from a PERSISTED index generation — the
+    * [[annIvfPersisted]] arc for the lexical near-dup tier: build the
+    * index on the first ledger third, [[pipeline.Dedup.saveNearDupIndex]]
+    * to a directory, release the in-memory generation,
+    * [[pipeline.Dedup.loadNearDupIndex]] it back, refresh the second
+    * third ONTO THE LOADED INDEX, and admit the batch. Shares
+    * [[dedupIncrementalNeardupSql]] verbatim — persistence must be
+    * observationally invisible, so a round-trip that loses a posting, a
+    * shingle row, a tombstone, or a hyperparameter fails the hash
+    * end-to-end. */
+  private def dedupIndexPersisted(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = indexScratch("neardup_index", dir)
+    deleteRecursively(idxDir)
+    val docs = Tables.documents(s, dir)
+    val built = pipeline.Dedup.buildNearDupIndex(
+      docs.where(col("doc_id") % 10 < 2).select("doc_id", "text"))
+    pipeline.Dedup.saveNearDupIndex(built, idxDir.getPath)
+    built.release()
+    val loaded = pipeline.Dedup.loadNearDupIndex(s, idxDir.getPath)
+    val idx = pipeline.Dedup.refreshNearDupIndex(loaded,
+      docs.where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 < 3)
+        .select("doc_id", "text"))
+    loaded.release()
+    val out = pipeline.Dedup.indexNearDup(
+        docs.where(col("doc_id") % 10 >= 3).select("doc_id", "text"), idx)
+      .localCheckpoint(true) // materialize before releasing the index it reads
+    idx.release()
+    out.orderBy("doc_id")
+  }
+
   private val dedupIncrementalNeardupSql = {
     val P = pipeline.Dedup.P
     val A = (0 until 32).map(pipeline.Dedup.permA).mkString("[", ", ", "]")
@@ -3180,8 +3244,7 @@ object SparkEntry {
     * (frozen persisted codebooks encode it), emit the code relation.
     * Shares [[annPqIndexRefreshSql]] verbatim. */
   private def annPqPersisted(s: SparkSession, dir: String): DataFrame = {
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_pq_index_" + Integer.toHexString(dir.hashCode))
+    val idxDir = indexScratch("pq_index", dir)
     deleteRecursively(idxDir)
     val embs = Tables.embeddings(s, dir)
     val built = pipeline.Pq.buildCodeIndex(embs.where(col("vec_id") % 10 < 5))
@@ -3635,8 +3698,7 @@ object SparkEntry {
     * term-pruned postings files (SearchSpec pins the `In(term, ...)`
     * pushdown into the postings scan). */
   private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getPath
+    val idx = indexScratch("bm25_index", dir).getPath
     pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
     pipeline.Search.bm25TopKIndexed(s, idx, Bm25Queries, k = 10)
       .orderBy("query_id", "rk")
@@ -3647,6 +3709,19 @@ object SparkEntry {
     if (children != null) children.foreach(deleteRecursively)
     f.delete()
   }
+
+  /** Scratch directory for a gate's standing-index files, keyed by the
+    * SANITIZED full sf-dir path (collision-free across sf dirs, unlike a
+    * 32-bit hash) plus the JVM's pid, so concurrent harness runs sharing
+    * /tmp never collide while build-once gates still reuse the index
+    * within a run. Local-filesystem parquet: driver and executors must
+    * share the filesystem — true for local[*] and the same-host cluster
+    * gate; a fleet deployment points index roots at shared storage
+    * instead. */
+  private def indexScratch(kind: String, dir: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_" + kind + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_p" + ProcessHandle.current().pid())
 
   /** BM25 served from a MAINTAINED standing index: build the inverted
     * index on half the corpus, fold in the other half via
@@ -3661,8 +3736,7 @@ object SparkEntry {
     * APPENDS, so replaying onto a stale dir would double-count — the
     * same new-ids admission contract every standing index here carries. */
   private def qBm25IndexRefresh(s: SparkSession, dir: String): DataFrame = {
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bm25_refresh_" + Integer.toHexString(dir.hashCode))
+    val idx = indexScratch("bm25_refresh", dir)
     deleteRecursively(idx)
     val docs = Tables.documents(s, dir)
     pipeline.Search.buildIndex(docs.where(col("doc_id") % 10 < 5),
@@ -3687,8 +3761,7 @@ object SparkEntry {
     * additionally pins the compacted directory content-equal to a fresh
     * build. */
   private def qBm25Retrain(s: SparkSession, dir: String): DataFrame = {
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bm25_retrain_" + Integer.toHexString(dir.hashCode))
+    val idx = indexScratch("bm25_retrain", dir)
     deleteRecursively(idx)
     val docs = Tables.documents(s, dir)
     pipeline.Search.buildIndex(docs.where(col("doc_id") % 10 < 3),
@@ -3743,8 +3816,7 @@ object SparkEntry {
     * scale claim: at 100 TB you amortize ONE tokenize+index pass over
     * every retrieval that follows. */
   private def qHybridRetrievalIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getPath
+    val idx = indexScratch("bm25_index", dir).getPath
     if (!new java.io.File(s"$idx/stats/_SUCCESS").exists())
       pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
     val text = pipeline.Search.moreLikeThisIndexed(s, idx,
@@ -5695,6 +5767,7 @@ object SparkEntry {
     "multimodal_keep_canonical" -> (multimodalKeepCanonical _),
     "multimodal_phash_incremental" -> (multimodalPhashIncremental _),
     "multimodal_phash_index_refresh" -> (multimodalPhashIndexRefresh _),
+    "multimodal_phash_index_persisted" -> (multimodalPhashIndexPersisted _),
     "multimodal_quarantine" -> (multimodalQuarantine _),
     "pii_redact" -> (piiRedact _),
     "q_quality_rules" -> (qQualityRules _),
@@ -5707,6 +5780,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_index_refresh" -> (dedupIndexRefresh _),
+    "dedup_index_persisted" -> (dedupIndexPersisted _),
     "q_lm_score" -> (qLmScore _),
     "q_pq_encode" -> (qPqEncode _),
     "ann_pq_topk" -> (annPqTopk _),
@@ -5856,6 +5930,7 @@ object SparkEntry {
     "multimodal_keep_canonical" -> multimodalKeepCanonicalSql,
     "multimodal_phash_incremental" -> multimodalPhashIncrementalSql,
     "multimodal_phash_index_refresh" -> multimodalPhashIncrementalSql,
+    "multimodal_phash_index_persisted" -> multimodalPhashIncrementalSql,
     "multimodal_quarantine" -> multimodalQuarantineSql,
     "pii_redact" -> piiRedactSql,
     "q_quality_rules" -> qQualityRulesSql,
@@ -5868,6 +5943,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> dedupIncrementalSql,
     "dedup_incremental_neardup" -> dedupIncrementalNeardupSql,
     "dedup_index_refresh" -> dedupIncrementalNeardupSql,
+    "dedup_index_persisted" -> dedupIncrementalNeardupSql,
     "q_lm_score" -> qLmScoreSql,
     "q_pq_encode" -> qPqEncodeSql,
     "ann_pq_topk" -> annPqTopkSql,

@@ -319,11 +319,15 @@ object Dedup {
     // corpus scan + one regex pass feed all three key derivations (the
     // 3-pass form would otherwise re-read the text column and re-run the
     // whitespace regex per pass; measured ~25% of the sf0.1 wall).
-    // Caller-owned cache lifetime, the ranked/hdf convention below.
+    // All caches below are RELEASED before returning: the verified pairs
+    // are eagerly materialized (localCheckpoint), so repeated calls do
+    // not accumulate corpus-sized cache entries.
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val ntDf = docs
       .select(col("doc_id"),
         regexp_replace(lower(col("text")), "\\s+", " ").as("nt"))
       .persist()
+    caches += ntDf
     val nt = col("nt")
     // one pass: rank within prefix buckets of the given key, pair each
     // row with its window-1 successors
@@ -333,11 +337,11 @@ object Dedup {
         .withColumn("bucket", substring(col("sk"), 1, prefixLen))
       // persisted: both sides of the neighbor join read the ranked
       // relation; without the cache each arm re-runs the scan + rank
-      // window (seen in the r8 plan audit). Caller owns the lifetime
-      // (clearCache between stages), the hdf precedent below.
+      // window (seen in the r8 plan audit)
       val ranked = keyed.withColumn("rn", row_number().over(
           Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))))
         .persist()
+      caches += ranked
       val left = ranked.select(col("bucket"), col("doc_id").as("id_l"),
           explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
             .as("rn_match"))
@@ -363,15 +367,19 @@ object Dedup {
           .union(passCandidates(substring(rotated, 1, 32))))
       .distinct()
     val hdf = hashedShingleDf(docs).persist()
+    caches += hdf
     // union_size > 0: unlike shingle-co-occurrence candidates, a sorted
     // neighbor can be a sub-3-token doc with an EMPTY shingle set —
     // 0/0 Jaccard is a non-pair, not a division
-    pairOverlap(cand, hdf)
+    val out = pairOverlap(cand, hdf)
       .where(col("union_size") > 0 &&
         col("inter") * 100 >= col("union_size") * thresholdPct)
       .withColumn("jaccard_pct",
         floor(col("inter") * 100 / col("union_size")).cast("long"))
       .select("doc_a", "doc_b", "inter", "union_size", "jaccard_pct")
+      .localCheckpoint(true) // pairs-sized; cuts lineage to the caches
+    caches.foreach(_.unpersist(false))
+    out
   }
 
   /** Deterministic permutation constants from the shared 31-bit LCG. */
@@ -628,6 +636,61 @@ object Dedup {
     buckets2.count(); dropped2.count(); shingles2.count()
     merged.unpersist(false); bh.unpersist(false)
     index.copy(buckets = buckets2, shingles = shingles2, dropped = dropped2)
+  }
+
+  /** Persist a standing [[NearDupIndex]] under `dir` — the
+    * [[Ivf.saveIndex]] discipline for the lexical near-dup tier: an index
+    * generation lives in storage and OUTLIVES the process that built it.
+    * Four relations: `buckets/` (capped (band, key) postings, clustered
+    * on the join key so an admission batch's bucket lookup prunes),
+    * `shingles/` (the exact-Jaccard verification side, doc_id-clustered),
+    * `dropped/` (the cap tombstones — losing these would silently
+    * resurrect capped-out buckets on the next refresh), `meta/` (1 row:
+    * the build hyperparameters, so a loaded index refreshes and probes
+    * with exactly the banding it was built with). */
+  def saveNearDupIndex(index: NearDupIndex, dir: String,
+                       nFiles: Int = 16): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    index.buckets
+      .repartitionByRange(nFiles, col("band"), col("key"))
+      .sortWithinPartitions("band", "key")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    index.shingles
+      .repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    index.dropped
+      .repartitionByRange(math.max(1, nFiles / 4), col("band"), col("key"))
+      .sortWithinPartitions("band", "key")
+      .write.mode("overwrite").parquet(s"$dir/dropped")
+    Seq((index.numPerms, index.bands, index.thresholdPct, index.maxBucket))
+      .toDF("num_perms", "bands", "threshold_pct", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveNearDupIndex]] directory into a servable standing
+    * index: `loadNearDupIndex(save(idx)) == idx` relation-for-relation
+    * and hyperparameter-for-hyperparameter (DedupSpec pins buckets,
+    * shingles, AND tombstones through the round-trip; the
+    * `dedup_index_persisted` oracle gate refreshes + admits on TOP of a
+    * loaded index against the in-memory chain's DuckDB rederivation, so
+    * a round-trip that loses a posting, a shingle row, or a tombstone
+    * fails the hash). Relations are persisted (they are the hot working
+    * set, reused per admission batch); release() as usual. */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): NearDupIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .select("band", "key", "ids").persist()
+    val shingles = spark.read.parquet(s"$dir/shingles")
+      .select("doc_id", "hs").persist()
+    val dropped = spark.read.parquet(s"$dir/dropped")
+      .select("band", "key").persist()
+    NearDupIndex(buckets, shingles,
+      meta.getAs[Int]("num_perms"), meta.getAs[Int]("bands"),
+      meta.getAs[Int]("threshold_pct"), meta.getAs[Int]("max_bucket"),
+      dropped)
   }
 
   /** Batch near-dup admission against a standing [[NearDupIndex]] — the
@@ -918,6 +981,52 @@ object Dedup {
     buckets2.count(); dropped2.count()
     merged.unpersist(false)
     index.copy(buckets = buckets2, dropped = dropped2)
+  }
+
+  /** Persist a standing [[HammingIndex]] under `dir` — the
+    * [[saveNearDupIndex]] arc for the bit-signature tier. Three
+    * relations: `buckets/` (capped bkey postings, bkey-clustered so a
+    * probe batch's bucket lookup prunes), `dropped/` (cap tombstones),
+    * `meta/` (1 row: maxHamming/bands/bandBits/maxBucket plus the FUSED
+    * partition columns — a loaded index must derive probe keys from the
+    * same columns it was built with, or every probe silently misses). */
+  def saveHammingIndex(index: HammingIndex, dir: String,
+                       nFiles: Int = 16): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    index.buckets
+      .repartitionByRange(nFiles, col("bkey"))
+      .sortWithinPartitions("bkey")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    index.dropped
+      .repartitionByRange(math.max(1, nFiles / 4), col("bkey"))
+      .sortWithinPartitions("bkey")
+      .write.mode("overwrite").parquet(s"$dir/dropped")
+    Seq((index.maxHamming, index.bands, index.bandBits, index.maxBucket,
+        index.partitionCols))
+      .toDF("max_hamming", "bands", "band_bits", "max_bucket",
+        "partition_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveHammingIndex]] directory:
+    * `loadHammingIndex(save(idx)) == idx` relation-for-relation and
+    * hyperparameter-for-hyperparameter (MultimodalSpec pins buckets,
+    * tombstones, and the recorded partition columns through the
+    * round-trip; the `multimodal_phash_index_persisted` oracle gate
+    * refreshes + probes on TOP of a loaded index against the in-memory
+    * chain's DuckDB rederivation). */
+  def loadHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): HammingIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .select("bkey", "ids").persist()
+    val dropped = spark.read.parquet(s"$dir/dropped")
+      .select("bkey").persist()
+    HammingIndex(buckets, meta.getAs[Int]("max_hamming"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"),
+      meta.getAs[scala.collection.Seq[String]]("partition_cols").toSeq,
+      meta.getAs[Int]("max_bucket"), dropped)
   }
 
   /** Batch hamming admission against a standing [[HammingIndex]] — the

@@ -344,7 +344,13 @@ object Ivf {
     * `release()`s it — the same serve-continuity contract as
     * [[refreshIndex]]. `nCentroids = 0` re-sizes the quantizer to the
     * GROWN corpus (`autoCentroids`), which is the point of retraining:
-    * sqrt(n) buckets re-balance as n grows. */
+    * sqrt(n) buckets re-balance as n grows.
+    *
+    * The index does not record the Lloyd refinement depth it was built
+    * with — an index built with `refineIters > 0` must have the same
+    * value RE-PASSED here (and to [[maintainIndex]]) or the retrain
+    * silently reverts to seed centroids; nCentroids = 0 re-sizing is
+    * deliberate (see above), refineIters defaulting is not. */
   def retrainIndex(index: IvfIndex, nCentroids: Int = 0,
                    refineIters: Int = 0): IvfIndex = {
     val spark = index.inv.sparkSession

@@ -169,10 +169,16 @@ object Pq extends Serializable {
     * refresh against a DuckDB rederivation with retrain-point codebooks).
     * Hot swap: the new code relation is materialized (persist + count)
     * before returning, the [[Ivf.retrainIndex]] serve-continuity
-    * contract. */
+    * contract.
+    *
+    * `k <= 0` (the default) retrains with the INDEX'S OWN codebook size
+    * (`books(0).length`), so an index built with non-default k keeps its
+    * hyperparameters across the retrain — pass k explicitly only to
+    * deliberately re-size the codebooks. */
   def retrainCodeIndex(index: PqIndex, corpus: DataFrame,
-                       k: Int = 16): PqIndex = {
-    val books = codebooks(corpus, index.m, k)
+                       k: Int = 0): PqIndex = {
+    val kEff = if (k > 0) k else index.books(0).length
+    val books = codebooks(corpus, index.m, kEff)
     val codes = encodedWith(corpus, books).persist()
     val n = codes.count() / index.m
     PqIndex(books, codes, index.m, n, 0L)
@@ -185,9 +191,10 @@ object Pq extends Serializable {
     * why PQ cannot reconstruct it from the codes); it is only touched
     * when the trigger fires. The passed-in index is the caller's to
     * `release()`; a superseded interim refresh generation is released
-    * here. */
+    * here. `k <= 0` keeps the index's own codebook size across the
+    * retrain (the [[retrainCodeIndex]] hyperparameter rule). */
   def maintainCodeIndex(index: PqIndex, batch: DataFrame, corpus: DataFrame,
-                        maxNewFraction: Double = 0.5, k: Int = 16): PqIndex = {
+                        maxNewFraction: Double = 0.5, k: Int = 0): PqIndex = {
     val refreshed = refreshCodeIndex(index, batch)
     if (refreshed.needsRetrain(maxNewFraction)) {
       val retrained = retrainCodeIndex(refreshed, corpus, k)

@@ -584,4 +584,76 @@ class DedupSpec extends AnyFunSuite {
     assert(viaIndex.exists(v => v._1 == 21L && v._2 == "admitted"))
     refreshed.release(); rebuilt.release()
   }
+
+  // --- index persistence: load(save(idx)) == idx, refresh-on-loaded
+  //     behaves exactly like refresh-on-original
+
+  test("near-dup index save/load round-trip preserves relations, " +
+       "tombstones, caps, and refresh behavior") {
+    def doc(id: Long, t: String) = (id, t, "en")
+    val tC = "catalyst pushes filters below joins when the predicate " +
+      "references one side only and the join keys stay intact somehow"
+    val ledger = Seq(doc(1, base), doc(2, base), doc(3, base),
+      doc(4, other), doc(5, other), doc(6, tC)).toDF("doc_id", "text", "lang")
+    val batch = Seq(doc(10, base), doc(11, other), doc(12, tC))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_neardup_rt").toString
+    val built = Dedup.buildNearDupIndex(ledger, maxBucket = 2)
+    Dedup.saveNearDupIndex(built, dir)
+    val loaded = Dedup.loadNearDupIndex(spark, dir)
+    assert(loaded.numPerms == built.numPerms
+      && loaded.bands == built.bands
+      && loaded.thresholdPct == built.thresholdPct
+      && loaded.maxBucket == built.maxBucket)
+    assert(bucketSet(loaded.buckets, Seq("band", "key"))
+      == bucketSet(built.buckets, Seq("band", "key")))
+    assert(keySet(loaded.dropped) == keySet(built.dropped))
+    assert(built.dropped.count() > 0, "fixture must exercise tombstones")
+    assert(bucketSet(loaded.shingles.toDF("doc_id", "ids"), Seq("doc_id"))
+      == bucketSet(built.shingles.toDF("doc_id", "ids"), Seq("doc_id")))
+    // refresh ON the loaded generation == refresh on the original
+    val refLoaded = Dedup.refreshNearDupIndex(loaded, batch)
+    val refOrig = Dedup.refreshNearDupIndex(built, batch)
+    assert(bucketSet(refLoaded.buckets, Seq("band", "key"))
+      == bucketSet(refOrig.buckets, Seq("band", "key")))
+    assert(keySet(refLoaded.dropped) == keySet(refOrig.dropped))
+    val probe = Seq(doc(20, tC)).toDF("doc_id", "text", "lang")
+    assert(Dedup.indexNearDup(probe, refLoaded).collect().toSeq
+      == Dedup.indexNearDup(probe, refOrig).collect().toSeq)
+    built.release(); loaded.release(); refLoaded.release(); refOrig.release()
+  }
+
+  test("hamming index save/load round-trip preserves relations, " +
+       "tombstones, and the fused partition columns") {
+    def rows(ids: Seq[Long], sig: Long) = ids.map(id => ("img", id, sig))
+    val s1 = 0x1111222233334444L; val s2 = 0x7777000012345678L
+    val ledger = (rows(Seq(1, 2, 3, 4), s1) ++ rows(Seq(5, 6), s2))
+      .toDF("kind", "doc_id", "sig")
+    val batch = Seq(("img", 10L, s2 ^ 1L)).toDF("kind", "doc_id", "sig")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hamming_rt").toString
+    val built = Dedup.buildHammingIndex(ledger, maxBucket = 3,
+      partitionCols = Seq("kind"))
+    Dedup.saveHammingIndex(built, dir)
+    val loaded = Dedup.loadHammingIndex(spark, dir)
+    assert(loaded.maxHamming == built.maxHamming
+      && loaded.bands == built.bands
+      && loaded.bandBits == built.bandBits
+      && loaded.maxBucket == built.maxBucket
+      && loaded.partitionCols == Seq("kind"))
+    assert(bucketSet(loaded.buckets, Seq("bkey"))
+      == bucketSet(built.buckets, Seq("bkey")))
+    assert(keySet(loaded.dropped) == keySet(built.dropped))
+    assert(built.dropped.count() > 0, "fixture must exercise tombstones")
+    val refLoaded = Dedup.refreshHammingIndex(loaded, batch)
+    val refOrig = Dedup.refreshHammingIndex(built, batch)
+    assert(bucketSet(refLoaded.buckets, Seq("bkey"))
+      == bucketSet(refOrig.buckets, Seq("bkey")))
+    assert(keySet(refLoaded.dropped) == keySet(refOrig.dropped))
+    val probe = Seq(("img", 20L, s2)).toDF("kind", "doc_id", "sig")
+    assert(Dedup.indexHammingDedup(probe, refLoaded).collect().toSeq
+      == Dedup.indexHammingDedup(probe, refOrig).collect().toSeq)
+    built.release(); loaded.release(); refLoaded.release(); refOrig.release()
+  }
 }
