@@ -3749,12 +3749,13 @@ object SparkEntry {
 
   /** The BM25 index lifecycle across a COMPACTION boundary — the
     * [[annIvfRetrain]] arc for the lexical tier: build on 30%, refresh a
-    * 30% batch, compact ([[pipeline.Search.compactIndex]] rebuilds the
-    * refresh-chained directory into fresh range-sorted files and
-    * atomically swaps them in — BM25's "retrain", re-layout rather than
-    * re-learn, since the index has no trained state), then refresh the
-    * last 40% onto the compacted generation and serve the [[qBm25Topk]]
-    * workload. Results must equal the full-corpus BM25 — this gate
+    * 30% batch, compact ([[pipeline.Search.compactIndex]] re-clusters the
+    * refresh-chained index into fresh range-sorted files DERIVED FROM ITS
+    * OWN POSTINGS — index-sized, nothing re-tokenizes raw text — and
+    * publishes them as a new generation with one atomic pointer flip;
+    * BM25's "retrain" is re-layout rather than re-learn, since the index
+    * has no trained state), then refresh the last 40% onto the compacted
+    * generation and serve the [[qBm25Topk]] workload. Results must equal the full-corpus BM25 — this gate
     * shares [[qBm25TopkSql]] verbatim, so a compaction that lost a
     * posting, double-counted a df, or a post-compact refresh that
     * re-appended onto stale files fails the hash end-to-end. SearchSpec
@@ -3769,8 +3770,7 @@ object SparkEntry {
     pipeline.Search.refreshIndex(s, idx.getPath,
       docs.where(col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6),
       "doc_id", "text")
-    pipeline.Search.compactIndex(docs.where(col("doc_id") % 10 < 6),
-      "doc_id", "text", idx.getPath)
+    pipeline.Search.compactIndex(s, idx.getPath)
     pipeline.Search.refreshIndex(s, idx.getPath,
       docs.where(col("doc_id") % 10 >= 6), "doc_id", "text")
     pipeline.Search.bm25TopKIndexed(s, idx.getPath, Bm25Queries, k = 10)
@@ -3817,7 +3817,9 @@ object SparkEntry {
     * every retrieval that follows. */
   private def qHybridRetrievalIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = indexScratch("bm25_index", dir).getPath
-    if (!new java.io.File(s"$idx/stats/_SUCCESS").exists())
+    // build-if-absent on the published generation pointer (IndexGen):
+    // q_bm25_indexed publishes the same deterministic content
+    if (pipeline.IndexGen.current(idx).isEmpty)
       pipeline.Search.buildIndex(Tables.documents(s, dir), "doc_id", "text", idx)
     val text = pipeline.Search.moreLikeThisIndexed(s, idx,
       hybridQueryPred, nTerms = 5, k = 10)

@@ -652,21 +652,25 @@ object Dedup {
                        nFiles: Int = 16): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
+    // generation-versioned ([[IndexGen]]): one atomic pointer rename
+    // publishes all four relations together
+    val (gen, genPath) = IndexGen.newGen(dir)
     index.buckets
       .repartitionByRange(nFiles, col("band"), col("key"))
       .sortWithinPartitions("band", "key")
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+      .write.mode("overwrite").parquet(s"$genPath/buckets")
     index.shingles
       .repartitionByRange(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+      .write.mode("overwrite").parquet(s"$genPath/shingles")
     index.dropped
       .repartitionByRange(math.max(1, nFiles / 4), col("band"), col("key"))
       .sortWithinPartitions("band", "key")
-      .write.mode("overwrite").parquet(s"$dir/dropped")
+      .write.mode("overwrite").parquet(s"$genPath/dropped")
     Seq((index.numPerms, index.bands, index.thresholdPct, index.maxBucket))
       .toDF("num_perms", "bands", "threshold_pct", "max_bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    IndexGen.flip(dir, gen)
   }
 
   /** Load a [[saveNearDupIndex]] directory into a servable standing
@@ -680,12 +684,13 @@ object Dedup {
     * set, reused per admission batch); release() as usual. */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): NearDupIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val buckets = spark.read.parquet(s"$dir/buckets")
+    val cur = IndexGen.resolve(dir) // ONE generation serves this load
+    val meta = spark.read.parquet(s"$cur/meta").head()
+    val buckets = spark.read.parquet(s"$cur/buckets")
       .select("band", "key", "ids").persist()
-    val shingles = spark.read.parquet(s"$dir/shingles")
+    val shingles = spark.read.parquet(s"$cur/shingles")
       .select("doc_id", "hs").persist()
-    val dropped = spark.read.parquet(s"$dir/dropped")
+    val dropped = spark.read.parquet(s"$cur/dropped")
       .select("band", "key").persist()
     NearDupIndex(buckets, shingles,
       meta.getAs[Int]("num_perms"), meta.getAs[Int]("bands"),
@@ -994,19 +999,23 @@ object Dedup {
                        nFiles: Int = 16): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
+    // generation-versioned ([[IndexGen]]): one atomic pointer rename
+    // publishes buckets/dropped/meta together
+    val (gen, genPath) = IndexGen.newGen(dir)
     index.buckets
       .repartitionByRange(nFiles, col("bkey"))
       .sortWithinPartitions("bkey")
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+      .write.mode("overwrite").parquet(s"$genPath/buckets")
     index.dropped
       .repartitionByRange(math.max(1, nFiles / 4), col("bkey"))
       .sortWithinPartitions("bkey")
-      .write.mode("overwrite").parquet(s"$dir/dropped")
+      .write.mode("overwrite").parquet(s"$genPath/dropped")
     Seq((index.maxHamming, index.bands, index.bandBits, index.maxBucket,
         index.partitionCols))
       .toDF("max_hamming", "bands", "band_bits", "max_bucket",
         "partition_cols")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    IndexGen.flip(dir, gen)
   }
 
   /** Load a [[saveHammingIndex]] directory:
@@ -1018,10 +1027,11 @@ object Dedup {
     * chain's DuckDB rederivation). */
   def loadHammingIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): HammingIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val buckets = spark.read.parquet(s"$dir/buckets")
+    val cur = IndexGen.resolve(dir) // ONE generation serves this load
+    val meta = spark.read.parquet(s"$cur/meta").head()
+    val buckets = spark.read.parquet(s"$cur/buckets")
       .select("bkey", "ids").persist()
-    val dropped = spark.read.parquet(s"$dir/dropped")
+    val dropped = spark.read.parquet(s"$cur/dropped")
       .select("bkey").persist()
     HammingIndex(buckets, meta.getAs[Int]("max_hamming"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"),

@@ -396,16 +396,22 @@ object Ivf {
   def saveIndex(index: IvfIndex, dir: String, nFiles: Int = 16): Unit = {
     val spark = index.inv.sparkSession
     import spark.implicits._
+    // generation-versioned ([[IndexGen]]): the three relations land in a
+    // fresh gen dir and ONE atomic pointer rename publishes them, so
+    // retrain + persist compose — saving over a served directory swaps
+    // whole generations, never mixes an old inv with new cents
+    val (gen, genPath) = IndexGen.newGen(dir)
     index.inv
       .repartitionByRange(nFiles, col("centroid_id"), col("vec_id"))
       .sortWithinPartitions("centroid_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/inv")
+      .write.mode("overwrite").parquet(s"$genPath/inv")
     index.cents.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.vec_id, c.xs.toSeq, c.norm2) }
       .toDF("idx", "vec_id", "xs", "norm2")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/cents")
     Seq((index.nTotal, index.nSinceTrain)).toDF("n_total", "n_since_train")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    IndexGen.flip(dir, gen)
   }
 
   /** Load a [[saveIndex]] directory into a servable standing index:
@@ -419,13 +425,14 @@ object Ivf {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IvfIndex = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/cents")
+    val cur = IndexGen.resolve(dir) // ONE generation serves this load
+    val cents = spark.read.parquet(s"$cur/cents")
       .orderBy("idx")
       .select("vec_id", "xs", "norm2").as[PreparedVec]
       .collect()
-    val inv = spark.read.parquet(s"$dir/inv")
+    val inv = spark.read.parquet(s"$cur/inv")
       .select("centroid_id", "vec_id", "xs", "norm2").persist()
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = spark.read.parquet(s"$cur/meta").head()
     IvfIndex(cents, inv,
       meta.getAs[Long]("n_total"), meta.getAs[Long]("n_since_train"))
   }

@@ -212,18 +212,22 @@ object Pq extends Serializable {
   def saveCodeIndex(index: PqIndex, dir: String, nFiles: Int = 16): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
+    // generation-versioned ([[IndexGen]]): one atomic pointer rename
+    // publishes codes/books/meta together — retrain + persist compose
+    val (gen, genPath) = IndexGen.newGen(dir)
     index.codes
       .repartitionByRange(nFiles, col("vec_id"), col("sub"))
       .sortWithinPartitions("vec_id", "sub")
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$genPath/codes")
     (for (s <- index.books.indices; ci <- index.books(s).indices;
           j <- index.books(s)(ci).indices)
       yield (s, ci, j, index.books(s)(ci)(j)))
       .toDF("s", "cid", "j", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/books")
     Seq((index.m, index.nTotal, index.nSinceTrain))
       .toDF("m", "n_total", "n_since_train")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    IndexGen.flip(dir, gen)
   }
 
   /** Load a [[saveCodeIndex]] directory: `loadCodeIndex(save(idx)) == idx`
@@ -233,9 +237,10 @@ object Pq extends Serializable {
     * rederivation). */
   def loadCodeIndex(spark: org.apache.spark.sql.SparkSession,
                     dir: String): PqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val cur = IndexGen.resolve(dir) // ONE generation serves this load
+    val meta = spark.read.parquet(s"$cur/meta").head()
     val m = meta.getAs[Int]("m")
-    val cells = spark.read.parquet(s"$dir/books").collect()
+    val cells = spark.read.parquet(s"$cur/books").collect()
       .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("cid"), r.getAs[Int]("j")),
         r.getAs[Long]("v"))).toMap
     val nSub = cells.keys.map(_._1).max + 1
@@ -247,7 +252,7 @@ object Pq extends Serializable {
         Array.tabulate(sd)(j => cells((s, ci, j)))
       }
     }
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$cur/codes")
       .select("vec_id", "sub", "code", "err").persist()
     PqIndex(books, codes, m,
       meta.getAs[Long]("n_total"), meta.getAs[Long]("n_since_train"))

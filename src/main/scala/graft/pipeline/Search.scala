@@ -161,9 +161,21 @@ object Search {
     * where the per-query form re-tokenizes the corpus each invocation.
     * `nFiles` sizes the postings layout: at fleet scale pick
     * index-bytes / target-file-size.
-    */
+    *
+    * The index root is GENERATION-VERSIONED ([[IndexGen]]): the three
+    * relations land in a fresh `gen_NNNNNN/` directory and one atomic
+    * pointer rename publishes them — building over a live index is a hot
+    * swap, with in-flight readers finishing against the superseded
+    * generation (retained one cycle). */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nFiles: Int = 32): Unit = {
+    val (gen, genPath) = IndexGen.newGen(dir)
+    buildRelations(docs, idCol, textCol, genPath, nFiles)
+    IndexGen.flip(dir, gen)
+  }
+
+  private def buildRelations(docs: DataFrame, idCol: String,
+      textCol: String, genPath: String, nFiles: Int): Unit = {
     val postings = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -173,14 +185,14 @@ object Search {
     postings.join(dl, "doc_id")
       .repartitionByRange(nFiles, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$dir/postings")
+      .write.mode("overwrite").parquet(s"$genPath/postings")
     postings.groupBy("term").agg(count(lit(1)).as("df"))
       .repartitionByRange(math.max(1, nFiles / 4), col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/termdf")
+      .write.mode("overwrite").parquet(s"$genPath/termdf")
     docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl")))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$genPath/stats")
     postings.unpersist()
   }
 
@@ -211,9 +223,19 @@ object Search {
     *
     * Contract: batch doc_ids must be NEW (the admission discipline every
     * standing index here assumes) — replayed ids would duplicate
-    * postings rows, exactly as re-inserting into the rebuild would. */
+    * postings rows, exactly as re-inserting into the rebuild would.
+    *
+    * Refresh mutates the SERVING generation in place (resolved once via
+    * [[IndexGen.resolve]]): the postings append is reader-safe (new
+    * files under an immutable set), the vocabulary-tier termdf/stats
+    * overwrites are not — a reader racing a refresh can pair them
+    * across the batch boundary. The atomic swap points are [[buildIndex]]
+    * and [[compactIndex]]; admission batches racing queries that need
+    * strict isolation should refresh into a copy and publish it with
+    * [[IndexGen.flip]]. */
   def refreshIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, batchFiles: Int = 4): Unit = {
+    val cur = IndexGen.resolve(dir)
     val bp = batch
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -223,9 +245,9 @@ object Search {
     bp.join(bdl, "doc_id")
       .repartitionByRange(batchFiles, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("append").parquet(s"$cur/postings")
     val bdf = bp.groupBy("term").agg(count(lit(1)).as("df_new"))
-    val termdf = spark.read.parquet(s"$dir/termdf")
+    val termdf = spark.read.parquet(s"$cur/termdf")
       .withColumnRenamed("df", "df_old")
       .join(bdf, Seq("term"), "full_outer")
       .select(col("term"),
@@ -234,65 +256,67 @@ object Search {
       .localCheckpoint(true)
     termdf.repartitionByRange(math.max(1, batchFiles), col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/termdf")
+      .write.mode("overwrite").parquet(s"$cur/termdf")
     // stats: n counts ALL batch docs (token-less ones weigh on idf, the
     // buildIndex rule); sum_dl stays NULL only while BOTH sides are
     // token-free, matching what a from-scratch build would write
     val bStats = batch.agg(count(lit(1)).as("bn"))
       .crossJoin(bdl.agg(sum("dl").as("bsum")))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$cur/stats")
       .crossJoin(bStats)
       .select((col("n") + col("bn")).as("n"),
         when(col("sum_dl").isNull && col("bsum").isNull, lit(null))
           .otherwise(coalesce(col("sum_dl"), lit(0L)) +
             coalesce(col("bsum"), lit(0L))).cast("long").as("sum_dl"))
       .localCheckpoint(true)
-    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    stats.write.mode("overwrite").parquet(s"$cur/stats")
     bp.unpersist()
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    val cs = f.listFiles()
-    if (cs != null) cs.foreach(deleteRec)
-    f.delete()
   }
 
   /** Periodic COMPACTION of a refresh-chained [[buildIndex]] directory —
     * the BM25 analog of the drift-triggered retrain ([[Ivf.retrainIndex]]):
     * BM25 has no trained state, so what long refresh chains degrade is the
     * FILE layout (each refresh appends a small term-sorted file set;
-    * min/max pruning weakens as sets pile up), and the rebuild re-clusters
+    * min/max pruning weakens as sets pile up), and compaction re-clusters
     * the whole index into `nFiles` range-sorted files. Query results are
     * unchanged by contract — refresh == rebuild relation-for-relation
-    * already, so compaction must be a pure re-layout: SearchSpec pins the
-    * compacted directory content-equal to a fresh [[buildIndex]], and the
+    * already, so compaction is a pure re-layout: SearchSpec pins the
+    * compacted generation content-equal to a fresh [[buildIndex]], and the
     * `q_bm25_retrain` oracle gate replays refresh → compact → further
     * refresh against the full-corpus DuckDB rederivation.
     *
-    * Hot swap: the rebuild lands in a staging dir under the index root
-    * (same filesystem, so the rename is atomic), then each of
-    * the three relations moves into place with an atomic rename — the old
-    * generation serves until its directory is replaced. (A served fleet
-    * deployment would version whole index generations and flip a pointer;
-    * per-relation atomic moves are the single-directory equivalent, with
-    * the usual caveat that a reader racing the swap can pair new postings
-    * with old stats for one query.)
+    * Cost is INDEX-sized, not corpus-sized: the new layout is derived
+    * entirely from the standing relations (postings carry everything a
+    * rebuild needs — BM25 has no trained state to re-learn, and `stats`
+    * preserves the token-less-document count postings alone cannot see),
+    * so nothing re-tokenizes raw text. The r15 form took the full raw
+    * corpus and paid the tokenize+aggregate build again per compaction —
+    * the reason the retrain gate was the registry's most expensive row.
     *
-    * @param docs the FULL corpus (ledger ∪ every refreshed batch) — like
-    *        PQ's retrain, the index dir alone cannot reproduce raw text */
-  def compactIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nFiles: Int = 32): Unit = {
-    val staging = s"$dir/_compact_staging"
-    deleteRec(new java.io.File(staging)) // a dead prior attempt must not mix in
-    buildIndex(docs, idCol, textCol, staging, nFiles)
-    Seq("postings", "termdf", "stats").foreach { rel =>
-      val live = new java.io.File(s"$dir/$rel")
-      deleteRec(live)
-      java.nio.file.Files.move(
-        new java.io.File(s"$staging/$rel").toPath, live.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    deleteRec(new java.io.File(staging))
+    * Hot swap ([[IndexGen]]): the re-layout lands in a fresh generation
+    * directory and ONE atomic pointer rename publishes all three
+    * relations together — a racing reader serves entirely from the old
+    * or entirely from the new generation, never a mix (SearchSpec drives
+    * queries concurrently with compactions to pin this). The superseded
+    * generation is retained one cycle for in-flight readers. */
+  def compactIndex(spark: SparkSession, dir: String,
+      nFiles: Int = 32): Unit = {
+    val cur = IndexGen.resolve(dir)
+    require(new java.io.File(s"$cur/postings").isDirectory,
+      s"compactIndex: no index generation under $dir")
+    val (gen, genPath) = IndexGen.newGen(dir)
+    spark.read.parquet(s"$cur/postings")
+      .repartitionByRange(nFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$genPath/postings")
+    spark.read.parquet(s"$cur/termdf")
+      .repartitionByRange(math.max(1, nFiles / 4), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$genPath/termdf")
+    spark.read.parquet(s"$cur/stats")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$genPath/stats")
+    IndexGen.flip(dir, gen)
   }
 
   /** BM25 top-k answered from a [[buildIndex]] directory: scores are
@@ -306,14 +330,15 @@ object Search {
       k1Micros: Long = 1200000L, bMicros: Long = 750000L): DataFrame = {
     require(queries.nonEmpty && k > 0)
     import spark.implicits._
+    val cur = IndexGen.resolve(dir) // ONE generation serves this query
     val q = queries.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val terms = queries.flatMap(_._2).distinct
-    val qp = spark.read.parquet(s"$dir/postings")
+    val qp = spark.read.parquet(s"$cur/postings")
       .where(col("term").isin(terms: _*))
-    val dft = spark.read.parquet(s"$dir/termdf")
+    val dft = spark.read.parquet(s"$cur/termdf")
       .where(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$cur/stats")
     rankTopK(q, qp, dft, stats, k, k1Micros, bMicros, excludeSelf = false)
   }
 
@@ -342,7 +367,8 @@ object Search {
       k1Micros: Long = 1200000L, bMicros: Long = 750000L,
       maxQueryTerms: Int = 1 << 16): DataFrame = {
     require(nTerms > 0 && k > 0)
-    val postings = spark.read.parquet(s"$dir/postings")
+    val cur = IndexGen.resolve(dir) // ONE generation serves this query
+    val postings = spark.read.parquet(s"$cur/postings")
     val qw = Window.partitionBy("query_id")
       .orderBy(col("tf").desc, col("term"))
     val queryTerms = postings.where(isQueryDoc)
@@ -358,9 +384,9 @@ object Search {
         "query workload is not workload-sized; raise maxQueryTerms " +
         "deliberately or shrink the query set")
     val qp = postings.where(col("term").isin(terms: _*))
-    val dft = spark.read.parquet(s"$dir/termdf")
+    val dft = spark.read.parquet(s"$cur/termdf")
       .where(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$cur/stats")
     val out = rankTopK(queryTerms, qp, dft, stats, k, k1Micros, bMicros,
       excludeSelf = true).localCheckpoint(true)
     queryTerms.unpersist()

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.Search
+import graft.pipeline.{IndexGen, Search}
 
 /** BM25 ranking semantics (rational-idf variant, exact BIGINT scoring). */
 class SearchSpec extends AnyFunSuite {
@@ -121,7 +121,7 @@ class SearchSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_bm25_rebuild").toString
     Search.buildIndex(docs, "doc_id", "text", rebuiltDir, nFiles = 2)
     def rel(dir: String, name: String): Set[String] =
-      spark.read.parquet(s"$dir/$name").collect()
+      spark.read.parquet(s"${IndexGen.resolve(dir)}/$name").collect()
         .map(_.toSeq.mkString("|")).toSet
     for (name <- Seq("postings", "termdf", "stats"))
       assert(rel(refreshedDir, name) == rel(rebuiltDir, name),
@@ -155,13 +155,12 @@ class SearchSpec extends AnyFunSuite {
     Search.refreshIndex(spark, dir,
       docs.where(col("doc_id") > 3 && col("doc_id") <= 6),
       "doc_id", "text", batchFiles = 2)
-    Search.compactIndex(docs.where(col("doc_id") <= 6),
-      "doc_id", "text", dir, nFiles = 2)
+    Search.compactIndex(spark, dir, nFiles = 2)
     def rel(d: String, name: String): Set[String] =
-      spark.read.parquet(s"$d/$name").collect()
+      spark.read.parquet(s"${IndexGen.resolve(d)}/$name").collect()
         .map(_.toSeq.mkString("|")).toSet
-    // the compacted directory IS a fresh build: same three relations, and
-    // the staging dir is gone (a crashed compaction cannot leave a mix)
+    // the compacted generation IS a fresh build: same three relations,
+    // derived from the standing postings without re-tokenizing the corpus
     val freshDir =
       java.nio.file.Files.createTempDirectory("graft_bm25_fresh").toString
     Search.buildIndex(docs.where(col("doc_id") <= 6),
@@ -169,7 +168,9 @@ class SearchSpec extends AnyFunSuite {
     for (name <- Seq("postings", "termdf", "stats"))
       assert(rel(dir, name) == rel(freshDir, name),
         s"$name diverged between compaction and fresh build")
-    assert(!new java.io.File(s"$dir/_compact_staging").exists())
+    // one-cycle grace: the superseded generation survives, older ones pruned
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("gen_")) == 2)
     // a post-compaction refresh appends onto the new generation and the
     // served results still equal the direct full-corpus path
     Search.refreshIndex(spark, dir, docs.where(col("doc_id") > 6),
@@ -180,6 +181,49 @@ class SearchSpec extends AnyFunSuite {
     val served = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
       .orderBy("query_id", "rk").collect().toSeq
     assert(served == direct)
+  }
+
+  test("compaction flips generations atomically under concurrent readers: " +
+      "no query ever observes a mixed or missing generation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark joins merge shuffles"),
+      (2L, "window filter spark"),
+      (3L, "merge join join"),
+      (4L, "filter cat dog"),
+      (5L, "stream batch spark spark"),
+      (6L, "merge stream stream"),
+      (7L, "dog stream spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_swap").toString
+    Search.buildIndex(docs, "doc_id", "text", dir, nFiles = 2)
+    val qs = Seq(0L -> Seq("merge", "stream"), 1L -> Seq("spark", "dog"))
+    val expected = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    // reader loop: every query must see EXACTLY the expected result —
+    // compaction is a pure re-layout, so a deviation means the reader
+    // paired relations across generations; an exception means it caught
+    // a half-swapped (missing) directory. Both were possible under the
+    // r15 per-relation-rename swap; the pointer flip forbids them.
+    @volatile var failure: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+            .orderBy("query_id", "rk").collect().toSeq
+          if (got != expected)
+            throw new AssertionError(s"mixed generation observed: $got")
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try for (_ <- 1 to 3) Search.compactIndex(spark, dir, nFiles = 2)
+    finally { stop.set(true); reader.join() }
+    assert(failure.isEmpty, s"concurrent reader failed: ${failure.map(_.toString)}")
+    // steady state: serving generation + one-cycle grace predecessor
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("gen_")) == 2)
   }
 
   test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
