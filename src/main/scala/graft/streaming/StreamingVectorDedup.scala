@@ -33,6 +33,72 @@ object StreamingVectorDedup {
   final case class Verdict(vec_id: Long, verdict: String,
                            near_dup_of: Option[Long], cos_micros: Option[Long])
 
+  /** Streaming-DRIVEN standing-index lifecycle — the streaming twin of
+    * the batch [[Ivf.maintainIndex]] arc: every micro-batch is (1) judged
+    * against the CURRENT index generation ([[Ivf.indexAdmit]] verdicts to
+    * `sink`), then (2) FOLDED INTO the index, with the drift trigger
+    * retraining + hot-swapping mid-stream when it fires — the index
+    * evolves with the stream instead of serving a frozen snapshot (the
+    * [[verdicts]] path) or waiting for an operator-driven restart (the
+    * [[StreamingNearDup.Refreshable]] path). Because the generation is
+    * resolved per micro-batch inside `foreachBatch`, a swap is one
+    * reference write at a batch boundary: no query restart, no state
+    * migration (the admission pipeline is stateless), and serve
+    * continuity holds by [[Ivf.retrainIndex]]'s materialize-before-swap
+    * contract. StreamingSpec pins the whole arc: mid-stream drift fires,
+    * the retrained generation serves the NEXT batch, and verdicts equal
+    * the batch `indexAdmit`/`maintainIndex` chain replayed per phase.
+    *
+    * Batch lineage is cut (`localCheckpoint`) before the fold so the
+    * index never references a spent micro-batch source. Restart contract:
+    * the in-memory chain does not survive a process restart — a durable
+    * deployment checkpoints generations via [[Ivf.saveIndex]] (recording
+    * the last folded batchId alongside) and resumes with
+    * [[Ivf.loadIndex]]; `sink` must stay idempotent in `batchId`, the
+    * standard foreachBatch at-least-once contract. */
+  final class Maintained(spark: SparkSession, stream: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      tauPct: Int = 90, nprobe: Int = 4,
+      maxNewFraction: Double = 0.5, nCentroids: Int = 0,
+      refineIters: Int = 0) {
+    @volatile private var query: org.apache.spark.sql.streaming.StreamingQuery = _
+    @volatile private var current: Ivf.IvfIndex = _
+
+    /** The serving generation (the latest fold/retrain result). */
+    def index: Ivf.IvfIndex = current
+
+    /** Start serving + maintaining from `initial`; ownership transfers
+      * to this driver (released on swap or [[stop]]). Stream ids must be
+      * new — the [[Ivf.indexAdmit]] admission contract; a replayed batch
+      * would re-fold, exactly as re-inserting into the batch chain would. */
+    def start(initial: Ivf.IvfIndex): Unit = synchronized {
+      require(query == null, "already started")
+      current = initial
+      query = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.localCheckpoint(true)
+          val idx = current
+          // verdicts against the pre-fold generation, materialized before
+          // the fold can supersede it (a batch never near-dups itself)
+          sink(Ivf.indexAdmit(b, idx, tauPct, nprobe)
+            .localCheckpoint(true), batchId)
+          val next = Ivf.maintainIndex(idx, b, maxNewFraction, nCentroids,
+            refineIters)
+          current = next
+          idx.release()
+        }
+        .start()
+    }
+
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    def stop(): Unit = synchronized {
+      if (query != null) { query.stop(); query.awaitTermination(); query = null }
+      if (current != null) { current.release(); current = null }
+    }
+  }
+
   private def dot(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }

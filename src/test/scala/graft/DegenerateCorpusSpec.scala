@@ -111,6 +111,102 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       good.count())
   }
 
+  test("index lifecycle on an EMPTY refresh batch: refresh, maintain, " +
+      "and retrain are exact no-ops that keep serving (r15 gates swept)") {
+    import spark.implicits._
+    import graft.pipeline.{Ivf, Pq, Search}
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val embs = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(1, 0.01, 0, 0)), (4L, v(0, 1, 0.01, 0)))
+      .toDF("vec_id", "embedding")
+    val none = embs.limit(0)
+    // IVF: empty refresh keeps counters; maintain does not fire; retrain
+    // off the (unchanged) inverted file still works
+    val ivf = Ivf.buildIndex(embs, nCentroids = 2)
+    val r = Ivf.refreshIndex(ivf, none)
+    assert(r.nTotal == 4L && r.nSinceTrain == 0L)
+    val m = Ivf.maintainIndex(r, none)
+    assert(m.nTotal == 4L && m.nSinceTrain == 0L)
+    val rt = Ivf.retrainIndex(m)
+    assert(rt.nTotal == 4L && rt.nSinceTrain == 0L)
+    ivf.release(); rt.release()
+    // PQ: empty refresh keeps counters; maintain with the empty batch
+    // leaves the books untouched
+    val pq = Pq.buildCodeIndex(embs, m = 2, k = 2)
+    val pr = Pq.maintainCodeIndex(pq, none, embs)
+    assert(pr.nTotal == 4L && pr.nSinceTrain == 0L)
+    pq.release()
+    // BM25: empty refresh batch, then compaction of the (still tiny)
+    // index — results unchanged
+    val docs = Seq((1L, "spark merge join"), (2L, "filter cat dog"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_degen_bm25").toString
+    Search.buildIndex(docs, "doc_id", "text", dir, nFiles = 2)
+    Search.refreshIndex(spark, dir, docs.limit(0), "doc_id", "text")
+    Search.compactIndex(spark, dir, nFiles = 2)
+    val got = Search.bm25TopKIndexed(spark, dir, Seq(0L -> Seq("merge")), 5)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("save/load of an EMPTY index round-trips and refreshes like a " +
+      "fresh build; compacting a never-built root fails by name") {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, Ivf, Search}
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq((10L, "spark merge join shuffles exchange wide", "en"),
+      (11L, "spark merge join shuffles exchange wide", "en"))
+      .toDF("doc_id", "text", "lang")
+    // near-dup: empty build -> save -> load -> refresh(batch) == build(batch)
+    val ndDir = java.nio.file.Files
+      .createTempDirectory("graft_degen_nd").toString
+    val nd0 = Dedup.buildNearDupIndex(emptyDocs)
+    Dedup.saveNearDupIndex(nd0, ndDir)
+    val ndL = Dedup.loadNearDupIndex(spark, ndDir)
+    val ndR = Dedup.refreshNearDupIndex(ndL, batch)
+    val ndB = Dedup.buildNearDupIndex(batch)
+    def bset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0) + ":" + r.getString(1),
+        r.getSeq[Long](2).sorted)).toSet
+    assert(bset(ndR.buckets.selectExpr("cast(band as string)", "key", "ids"))
+      == bset(ndB.buckets.selectExpr("cast(band as string)", "key", "ids")))
+    nd0.release(); ndR.release(); ndB.release()
+    // hamming: empty build -> save -> load -> refresh == build
+    val hDir = java.nio.file.Files
+      .createTempDirectory("graft_degen_ham").toString
+    val sigs = Seq(("img", 1L, 7L), ("img", 2L, 7L))
+      .toDF("kind", "doc_id", "sig")
+    val h0 = Dedup.buildHammingIndex(sigs.limit(0), partitionCols = Seq("kind"))
+    Dedup.saveHammingIndex(h0, hDir)
+    val hL = Dedup.loadHammingIndex(spark, hDir)
+    assert(hL.partitionCols == Seq("kind"))
+    val hR = Dedup.refreshHammingIndex(hL, sigs)
+    val hB = Dedup.buildHammingIndex(sigs, partitionCols = Seq("kind"))
+    assert(hR.buckets.collect().map(_.getString(0)).sorted.toSeq
+      == hB.buckets.collect().map(_.getString(0)).sorted.toSeq)
+    h0.release(); hR.release(); hB.release()
+    // IVF: an index over an empty corpus persists and loads (no
+    // centroids, no vectors, zeroed counters)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_degen_ivf").toString
+    val emptyEmbs = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val iv0 = graft.pipeline.Ivf.buildIndex(emptyEmbs)
+    Ivf.saveIndex(iv0, ivfDir)
+    val ivL = Ivf.loadIndex(spark, ivfDir)
+    assert(ivL.cents.isEmpty && ivL.nTotal == 0L && ivL.nSinceTrain == 0L)
+    iv0.release(); ivL.release()
+    // BM25 compaction of a never-built root: named failure, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      Search.compactIndex(spark, java.nio.file.Files
+        .createTempDirectory("graft_degen_nobuild").toString)
+    }
+    assert(e.getMessage.contains("no index generation"),
+      s"precondition must stay named, got: ${e.getMessage}")
+  }
+
   test("PQ family keeps its NAMED precondition on an unprepared corpus") {
     val e = intercept[IllegalArgumentException] {
       rows("ann_pq_topk", corpus("empty"))

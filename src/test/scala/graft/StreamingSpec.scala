@@ -203,6 +203,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.release() }
   }
 
+  test("streaming-driven index lifecycle: mid-stream drift retrain " +
+      "hot-swaps and verdicts equal the batch maintain chain on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Ivf
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // ledger n=4; phase1 adds 3 (drift 3/7 < 0.5 -> refresh only);
+    // phase2 adds 4 (drift 7/11 >= 0.5 -> retrain fires MID-STREAM)
+    val ledgerRows = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(1, 0.01, 0, 0)), (4L, v(0, 1, 0.01, 0)))
+    val phase1 = Seq(
+      (101L, v(1, 0, 0, 0.005)),  // near ledger 1 -> near_dup
+      (102L, v(0, 0, 1, 0)),      // new direction -> admitted
+      (103L, v(0, 0, 1, 0.004)))  // near 102, but 102 is NOT folded yet
+                                  // within the same batch -> admitted
+    val phase2 = Seq(
+      (201L, v(0, 0, 1, 0.003)),  // near the FOLDED 102/103 -> near_dup
+      (202L, v(0.5, 0.5, 0.5, 0.5)), // spread out -> admitted
+      (203L, v(0, 1, 0.008, 0)),  // near ledger 2/4 -> near_dup
+      (204L, v(0, 0, 0, 1)))      // new direction -> admitted
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    // the batch chain this stream must replay exactly
+    val idx0b = Ivf.buildIndex(ledgerRows.toDF("vec_id", "embedding"),
+      nCentroids = 2)
+    val e1 = Ivf.indexAdmit(phase1.toDF("vec_id", "embedding"), idx0b,
+      tauPct = 95, nprobe = 2).collect().map(key).toSet
+    val idx1b = Ivf.maintainIndex(idx0b, phase1.toDF("vec_id", "embedding"))
+    assert(idx1b.nSinceTrain == 3L, "phase1 fold must NOT retrain")
+    val e2 = Ivf.indexAdmit(phase2.toDF("vec_id", "embedding"), idx1b,
+      tauPct = 95, nprobe = 2).collect().map(key).toSet
+    val idx2b = Ivf.maintainIndex(idx1b, phase2.toDF("vec_id", "embedding"))
+    assert(idx2b.nSinceTrain == 0L && idx2b.nTotal == 11L,
+      "phase2 fold must fire the drift retrain")
+    assert(e1.exists(_._2 == "near_dup") && e2.exists(v => v._1 == 201L &&
+      v._2 == "near_dup"), s"degenerate fixture: $e1 / $e2")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long,
+      Array[org.apache.spark.sql.Row]]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vec_maintained").toString
+    val m = new graft.streaming.StreamingVectorDedup.Maintained(spark,
+      mem.toDF().toDF("vec_id", "embedding"), ckpt,
+      (df, batchId) => byBatch.put(batchId, df.collect()),
+      tauPct = 95, nprobe = 2)
+    m.start(Ivf.buildIndex(ledgerRows.toDF("vec_id", "embedding"),
+      nCentroids = 2))
+    try {
+      mem.addData(phase1: _*); m.processAllAvailable()
+      assert(m.index.nSinceTrain == 3L && m.index.nTotal == 7L,
+        "stream fold 1 must refresh without retraining")
+      mem.addData(phase2: _*); m.processAllAvailable()
+      // the drift trigger fired INSIDE the stream and the retrained
+      // generation is serving (counter reset, corpus-wide re-assignment)
+      assert(m.index.nSinceTrain == 0L && m.index.nTotal == 11L,
+        "stream fold 2 must retrain + hot-swap")
+      assert(m.index.cents.length == idx2b.cents.length,
+        "retrained quantizer must re-size like the batch chain's")
+      import scala.jdk.CollectionConverters._
+      val got = byBatch.values.asScala.flatten.map(key).toSet
+      assert(got == (e1 ++ e2))
+      // post-swap serve continuity: a third batch is judged by the
+      // RETRAINED generation, equal to the batch operator against it
+      val phase3 = Seq((301L, v(0, 0, 1, 0.002)))
+      val e3 = Ivf.indexAdmit(phase3.toDF("vec_id", "embedding"), idx2b,
+        tauPct = 95, nprobe = 2).collect().map(key).toSet
+      mem.addData(phase3: _*); m.processAllAvailable()
+      val got3 = byBatch.values.asScala.flatten.map(key).toSet -- got
+      assert(got3 == e3, s"post-swap verdicts diverged: $got3 vs $e3")
+      assert(e3.exists(v => v._1 == 301L && v._2 == "near_dup"),
+        "301 must near-dup against a vector only the folded index knows")
+    } finally { m.stop(); idx2b.release() }
+  }
+
   test("streaming media admission equals the batch incremental hamming " +
       "verdicts on split replay") {
     implicit val sqlCtx = spark.sqlContext
