@@ -40,15 +40,7 @@ object IndexGen {
   private val GenPattern = "^gen_\\d{6}$".r
 
   /** The serving generation's name, if `root` uses the versioned layout. */
-  def current(root: String): Option[String] = {
-    val p = new File(root, PointerName)
-    if (!p.isFile) None
-    else {
-      val g = new String(Files.readAllBytes(p.toPath),
-        StandardCharsets.UTF_8).trim
-      if (g.isEmpty) None else Some(g)
-    }
-  }
+  def current(root: String): Option[String] = readPointer(root, PointerName)
 
   /** The directory a READER should use: the serving generation under a
     * versioned root, or `root` itself for the legacy flat layout
@@ -71,15 +63,33 @@ object IndexGen {
     (name, path)
   }
 
+  /** Atomically publish a pointer file `dir/name` containing `value`
+    * (write-to-temp + same-directory ATOMIC_MOVE — the primitive every
+    * swap here is built on). */
+  def publishPointer(dir: String, name: String, value: String): Unit = {
+    val tmp = new File(dir, name + ".tmp")
+    Files.write(tmp.toPath, value.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a pointer file published by [[publishPointer]]. */
+  def readPointer(dir: String, name: String): Option[String] = {
+    val p = new File(dir, name)
+    if (!p.isFile) None
+    else {
+      val v = new String(Files.readAllBytes(p.toPath),
+        StandardCharsets.UTF_8).trim
+      if (v.isEmpty) None else Some(v)
+    }
+  }
+
   /** Publish `gen` as the serving generation (atomic pointer rename),
     * then prune every generation directory other than `gen` and the one
     * it superseded — the one-cycle reader grace window. */
   def flip(root: String, gen: String): Unit = {
     val prev = current(root)
-    val tmp = new File(root, PointerName + ".tmp")
-    Files.write(tmp.toPath, gen.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(root, PointerName).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    publishPointer(root, PointerName, gen)
     val keep = Set(gen) ++ prev
     Option(new File(root).list()).getOrElse(Array.empty[String])
       .filter(n => GenPattern.findFirstIn(n).isDefined && !keep.contains(n))

@@ -393,7 +393,8 @@ object Ivf {
     * centroid id; vec_id is provenance only), `meta/` (1 row: the drift
     * counters, so a loaded index resumes its refresh chain exactly where
     * the saved one left off). */
-  def saveIndex(index: IvfIndex, dir: String, nFiles: Int = 16): Unit = {
+  def saveIndex(index: IvfIndex, dir: String, nFiles: Int = 16,
+                lastBatchId: Long = -1L): Unit = {
     val spark = index.inv.sparkSession
     import spark.implicits._
     // generation-versioned ([[IndexGen]]): the three relations land in a
@@ -409,10 +410,79 @@ object Ivf {
       .map { case (c, i) => (i, c.vec_id, c.xs.toSeq, c.norm2) }
       .toDF("idx", "vec_id", "xs", "norm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$genPath/cents")
-    Seq((index.nTotal, index.nSinceTrain)).toDF("n_total", "n_since_train")
+    Seq((index.nTotal, index.nSinceTrain, lastBatchId, Seq.empty[Long]))
+      .toDF("n_total", "n_since_train", "last_batch_id", "folded_ids")
       .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
     IndexGen.flip(dir, gen)
   }
+
+  /** The meta relation a generation currently serves: `meta_<id>/`
+    * named by the `META` pointer once a durable fold has landed, the
+    * build-time `meta/` before that. */
+  private def metaPath(genPath: String): String =
+    IndexGen.readPointer(genPath, "META")
+      .map(m => s"$genPath/$m").getOrElse(s"$genPath/meta")
+
+  private def metaRow(spark: org.apache.spark.sql.SparkSession,
+                      genPath: String): org.apache.spark.sql.Row =
+    spark.read.parquet(metaPath(genPath)).head()
+
+  private def metaField[T](r: org.apache.spark.sql.Row, name: String,
+                           default: T): T =
+    if (r.schema.fieldNames.contains(name)) r.getAs[T](name) else default
+
+  /** Durably APPEND a refresh fold to the serving generation — the
+    * batch-sized IO twin of [[refreshIndex]] for an index that must
+    * survive process restarts (the [[graft.streaming.StreamingVectorDedup.Maintained]]
+    * durable mode). Layout: the batch's assigned rows land in their own
+    * `folds/<batchId>/` relation (mode=overwrite, so a REPLAYED fold
+    * overwrites itself — idempotent under the foreachBatch at-least-once
+    * contract), then a fresh `meta_<batchId>/` recording the advanced
+    * counters and the fold ledger is PUBLISHED by one atomic `META`
+    * pointer rename — the commit point. A crash before the pointer flip
+    * leaves the previous meta serving (the orphan fold directory is
+    * invisible and overwritten on replay); after it, the fold is fully
+    * recorded. [[loadIndex]] unions base inv + the recorded folds.
+    *
+    * Fold directories accumulate until the next retrain ([[saveIndex]]
+    * writes a fresh generation with an empty ledger) — the doubling rule
+    * bounds the count at ~corpus/batch, and maintenance collapses them
+    * on every drift retrain. `refreshed` is the IN-MEMORY result of
+    * [[refreshIndex]] for this batch (its counters are what gets
+    * recorded); `batch` is the raw batch the caller refreshed with. */
+  def persistFold(dir: String, batch: DataFrame, refreshed: IvfIndex,
+                  batchId: Long, nFiles: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cur = IndexGen.resolve(dir)
+    val prev = metaRow(spark, cur)
+    val prevFolds =
+      metaField[scala.collection.Seq[Long]](prev, "folded_ids", Nil).toSeq
+    assigned(batch, refreshed.cents)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(s"$cur/folds/$batchId")
+    val metaName = s"meta_$batchId"
+    Seq((refreshed.nTotal, refreshed.nSinceTrain, batchId,
+        (prevFolds :+ batchId).distinct.sorted))
+      .toDF("n_total", "n_since_train", "last_batch_id", "folded_ids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$cur/$metaName")
+    val old = IndexGen.readPointer(cur, "META")
+    IndexGen.publishPointer(cur, "META", metaName) // commit point
+    // keep the superseded meta one cycle (reader grace), prune older
+    Option(new java.io.File(cur).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("meta_") && n != metaName &&
+        !old.contains(n) && !n.endsWith(".tmp"))
+      .foreach(n => IndexGen.deleteRec(new java.io.File(cur, n)))
+  }
+
+  /** The last batch id durably folded into (or saved with) the serving
+    * generation; -1 for a pre-durable save. The restart guard: a resumed
+    * stream skips every batchId <= this (already folded AND already
+    * sunk — the foreachBatch at-least-once overlap). */
+  def lastFoldedBatchId(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Long =
+    metaField[Long](metaRow(spark, IndexGen.resolve(dir)),
+      "last_batch_id", -1L)
 
   /** Load a [[saveIndex]] directory into a servable standing index:
     * `loadIndex(save(idx)) == idx` relation-for-relation and
@@ -430,9 +500,17 @@ object Ivf {
       .orderBy("idx")
       .select("vec_id", "xs", "norm2").as[PreparedVec]
       .collect()
-    val inv = spark.read.parquet(s"$cur/inv")
-      .select("centroid_id", "vec_id", "xs", "norm2").persist()
-    val meta = spark.read.parquet(s"$cur/meta").head()
+    val meta = metaRow(spark, cur)
+    // base inverted file + every durably-recorded fold (persistFold) —
+    // the ledger lives in meta, so an uncommitted orphan fold dir is
+    // invisible; a generation without folds reads exactly as saved
+    val cols = Seq("centroid_id", "vec_id", "xs", "norm2")
+    val base = spark.read.parquet(s"$cur/inv").select(cols.map(col): _*)
+    val folds =
+      metaField[scala.collection.Seq[Long]](meta, "folded_ids", Nil).toSeq
+    val inv = folds.foldLeft(base) { (d, id) =>
+      d.union(spark.read.parquet(s"$cur/folds/$id").select(cols.map(col): _*))
+    }.persist()
     IvfIndex(cents, inv,
       meta.getAs[Long]("n_total"), meta.getAs[Long]("n_since_train"))
   }

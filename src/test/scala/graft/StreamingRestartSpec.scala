@@ -408,4 +408,99 @@ class StreamingRestartSpec extends AnyFunSuite {
       assert(spark.read.parquet(outDir).where(col("grp") === "g").count() == 4)
     } finally q2.stop()
   }
+
+  test("durable streaming index maintenance: kill/restart resumes from " +
+      "the persisted generation, drift retrain collapses the fold " +
+      "ledger, and verdicts equal the batch chain across both restarts") {
+    import graft.pipeline.Ivf
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    def vecJson(id: Long, emb: Seq[Float]): String =
+      s"""{"vec_id":$id,"embedding":[${emb.mkString(",")}]}"""
+    val ledgerRows = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(1, 0.01, 0, 0)), (4L, v(0, 1, 0.01, 0)))
+    val phase1 = Seq(
+      (101L, v(1, 0, 0, 0.005)), (102L, v(0, 0, 1, 0)),
+      (103L, v(0, 0, 1, 0.004)))
+    val phase2 = Seq(
+      (201L, v(0, 0, 1, 0.003)), (202L, v(0.5, 0.5, 0.5, 0.5)),
+      (203L, v(0, 1, 0.008, 0)), (204L, v(0, 0, 0, 1)))
+    val phase3 = Seq((301L, v(0, 0, 1, 0.002)))
+    def ledgerDf = ledgerRows.map { case (i, e) => (i, e.toArray) }
+      .toDF("vec_id", "embedding")
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.map { case (i, e) => (i, e.toArray) }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+    // the batch chain this durable stream must replay across two kills
+    val idx0b = Ivf.buildIndex(ledgerDf, nCentroids = 2)
+    val e1 = Ivf.indexAdmit(df(phase1), idx0b, tauPct = 95, nprobe = 2)
+      .collect().map(key).toSet
+    val idx1b = Ivf.maintainIndex(idx0b, df(phase1))
+    val e2 = Ivf.indexAdmit(df(phase2), idx1b, tauPct = 95, nprobe = 2)
+      .collect().map(key).toSet
+    val idx2b = Ivf.maintainIndex(idx1b, df(phase2))
+    assert(idx1b.nSinceTrain == 3L && idx2b.nSinceTrain == 0L,
+      "fixture must refresh in phase 1 and retrain in phase 2")
+    val e3 = Ivf.indexAdmit(df(phase3), idx2b, tauPct = 95, nprobe = 2)
+      .collect().map(key).toSet
+    val invSet = (i: Ivf.IvfIndex) => i.inv
+      .selectExpr("centroid_id", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+    val srcDir = tmp("vec_src"); val ckDir = tmp("vec_ck")
+    val idxDir = tmp("vec_idx")
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long,
+      Array[org.apache.spark.sql.Row]]()
+    def mk() = new graft.streaming.StreamingVectorDedup.Maintained(spark,
+      spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .json(srcDir),
+      ckDir, (d, batchId) => byBatch.put(batchId, d.collect()),
+      tauPct = 95, nprobe = 2, indexDir = Some(idxDir))
+
+    // instance 1: start fresh, fold phase 1 (no retrain), KILL
+    val m1 = mk()
+    m1.start(Ivf.buildIndex(ledgerDf, nCentroids = 2))
+    addFile(srcDir, "p1", phase1.map((vecJson _).tupled))
+    m1.processAllAvailable()
+    assert(m1.index.nTotal == 7L && m1.index.nSinceTrain == 3L)
+    m1.stop()
+    // the durable generation holds the fold: base inv + folds/<0>
+    val loaded1 = Ivf.loadIndex(spark, idxDir)
+    assert(loaded1.nTotal == 7L && loaded1.nSinceTrain == 3L)
+    assert(invSet(loaded1) == invSet(idx1b),
+      "persisted fold must equal the in-memory refresh row-for-row")
+    loaded1.release()
+
+    // instance 2: RESUME, fold phase 2 -> drift retrain fires, new
+    // generation saved with an empty fold ledger; KILL again
+    val m2 = mk()
+    m2.resume()
+    assert(m2.lastFoldedBatchId == 0L, "resume must recover the fold point")
+    addFile(srcDir, "p2", phase2.map((vecJson _).tupled))
+    m2.processAllAvailable()
+    assert(m2.index.nTotal == 11L && m2.index.nSinceTrain == 0L,
+      "mid-stream drift retrain must fire on the resumed chain")
+    m2.stop()
+    val loaded2 = Ivf.loadIndex(spark, idxDir)
+    assert(loaded2.nSinceTrain == 0L && invSet(loaded2) == invSet(idx2b),
+      "retrain must persist a collapsed fresh generation")
+    loaded2.release()
+
+    // instance 3: cold resume serves phase 3 against the retrained gen
+    val m3 = mk()
+    m3.resume()
+    assert(m3.lastFoldedBatchId == 1L)
+    addFile(srcDir, "p3", phase3.map((vecJson _).tupled))
+    m3.processAllAvailable()
+    m3.stop()
+    import scala.jdk.CollectionConverters._
+    val got = byBatch.values.asScala.flatten.map(key).toSet
+    assert(got == (e1 ++ e2 ++ e3))
+    assert(e3.exists(r => r._1 == 301L && r._2 == "near_dup"),
+      "301 must near-dup against a vector only the folded index knows")
+    idx2b.release()
+  }
 }
