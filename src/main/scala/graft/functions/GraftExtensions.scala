@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
       arity("graft_hilbert", 3, c => HilbertIndex(c.head, c(1), c(2))) _))
     ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
+      arity("graft_tokens", 1, c => Tokenize(c.head)) _))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll_registers"),
       new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll_registers"),
       arity("graft_hll_registers", 1, c => HllRegisters(c.head)) _))

@@ -68,41 +68,72 @@ object Search {
       excludeSelf: Boolean = false): DataFrame = {
     require(k > 0)
 
-    // The postings relation feeds four consumers (query-term contrib, doc
-    // lengths, term dfs, corpus stats); without a cache each branch
-    // re-tokenizes the corpus — persist the compact (doc, term, tf)
-    // relation once, released below once the top-k is materialized.
-    val postings = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // N counts ALL docs (token-less ones score 0 but weigh on idf).
-    val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
-
     val q = queryTerms.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term"))
 
-    // Restrict postings to query terms BEFORE any per-term statistics: df
-    // of a term only depends on that term's postings, so the broadcast
-    // semi-join prunes the vocabulary-sized aggregate down to |query terms|
-    // (a full-vocabulary df relation is neither needed nor broadcastable
-    // at corpus scale).
-    val qPostings = postings
+    // Restrict the token stream to QUERY terms before anything aggregates:
+    // BM25 only needs (tf, dl, df) for postings whose term is in the
+    // workload, plus two corpus scalars (n, sum_dl). The r15 spelling
+    // built and CACHED the full-corpus (doc, term, tf) aggregate — a
+    // vocabulary-wide shuffle plus an InMemoryRelation build plus a
+    // doc-length rollup and a corpus-sized join, all to then keep only
+    // the query terms' rows. Here the broadcast semi-join prunes the
+    // exploded stream pre-exchange, so the only corpus-wide work is two
+    // tokenize scans (the second computes the 1-row stats with no
+    // shuffle at all). Document length is size(tokens) BY DEFINITION
+    // (= sum of tf over the doc's postings), so it rides the projection
+    // instead of being re-derived by aggregation.
+    val qp = docs
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .join(broadcast(q.select("term").distinct()), "term")
-    val dft = qPostings.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      // feeds the df aggregate AND the contrib join; query-selectivity-
+      // sized (<= |query terms| x matching docs), far below the full
+      // postings relation the previous spelling cached
+      .persist()
+    val dft = qp.groupBy("term").agg(count(lit(1)).as("df"))
 
-    val topk = rankTopK(q, qPostings.join(dl, "doc_id"), dft, stats,
-      k, k1Micros, bMicros, excludeSelf)
+    // N counts ALL docs (token-less ones score 0 but weigh on idf);
+    // sum_dl is the corpus token count — one scan-aggregate, no shuffle.
+    // The when-guard keeps token-less docs (NULL text or no [a-z0-9]
+    // runs) contributing NULL, so an all-token-less corpus sums to NULL
+    // exactly like the previous rollup-over-no-postings spelling did.
+    val stats = docs.agg(count(lit(1)).as("n"), corpusSumDl(textCol))
+
+    val topk = rankTopK(q, qp, dft, stats, k, k1Micros, bMicros, excludeSelf)
     // |queries| * k rows: materialize eagerly (cutting lineage) so the
-    // corpus-sized postings cache is released deterministically instead of
+    // pruned postings cache is released deterministically instead of
     // leaking across invocations
     val out = topk.localCheckpoint(true)
-    postings.unpersist()
+    qp.unpersist()
     out
+  }
+
+  /** Write `df` to `path` when `path` is also an input of `df`'s plan:
+    * one pass into `path + ".stage"`, then swap the directories with two
+    * local renames (delete old, move staging in). Replaces the eager
+    * localCheckpoint + overwrite spelling, which materialized every row
+    * twice. Same-filesystem rename is the repo-wide index-directory
+    * contract ([[IndexGen]]). */
+  private def stageSwap(df: DataFrame, path: String): Unit = {
+    val stage = path + ".stage"
+    df.write.mode("overwrite").parquet(stage)
+    val live = new java.io.File(path)
+    IndexGen.deleteRec(live)
+    if (!new java.io.File(stage).renameTo(live))
+      sys.error(s"stageSwap: rename $stage -> $path failed")
+  }
+
+  /** Corpus token count as a scan-aggregate column: sums size(tokens) over
+    * docs that HAVE tokens (token-less docs contribute NULL, so an
+    * all-token-less corpus yields NULL — identical to summing `dl` over the
+    * per-doc postings rollup, where such docs have no row). Per-doc
+    * `size(tokens) == sum(tf)` by definition of term frequency. */
+  private def corpusSumDl(textCol: String): Column = {
+    val n = size(TextAnalysis.tokens(col(textCol)))
+    sum(when(n > 0, n)).cast("long").as("sum_dl")
   }
 
   /** Shared scoring tail of the per-query and indexed paths: BM25-score
@@ -174,15 +205,27 @@ object Search {
     IndexGen.flip(dir, gen)
   }
 
+  /** The tokenize + (doc, term) aggregate both index paths share, with the
+    * document length riding the projection: per-doc `dl == size(tokens)`
+    * by definition of term frequency, so deriving it by a postings rollup
+    * plus a corpus-sized join (the r15 spelling — one extra exchange of
+    * the whole postings relation by doc_id) bought nothing. Column order
+    * matches the persisted index schema (doc_id, term, tf, dl). */
+  private def tokenizedPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+  }
+
   private def buildRelations(docs: DataFrame, idCol: String,
       textCol: String, genPath: String, nFiles: Int): Unit = {
-    val postings = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    postings.join(dl, "doc_id")
+    val postings = tokenizedPostings(docs, idCol, textCol).persist()
+    postings
       .repartitionByRange(nFiles, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$genPath/postings")
@@ -190,8 +233,10 @@ object Search {
       .repartitionByRange(math.max(1, nFiles / 4), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$genPath/termdf")
+    // sum(tf) over the cached postings == the old per-doc dl rollup's sum
+    // (and NULL over an all-token-less corpus, where postings is empty)
     docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+      .crossJoin(postings.agg(sum("tf").cast("long").as("sum_dl")))
       .write.mode("overwrite").parquet(s"$genPath/stats")
     postings.unpersist()
   }
@@ -236,13 +281,8 @@ object Search {
   def refreshIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, batchFiles: Int = 4): Unit = {
     val cur = IndexGen.resolve(dir)
-    val bp = batch
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val bdl = bp.groupBy("doc_id").agg(sum("tf").as("dl"))
-    bp.join(bdl, "doc_id")
+    val bp = tokenizedPostings(batch, idCol, textCol).persist()
+    bp
       .repartitionByRange(batchFiles, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("append").parquet(s"$cur/postings")
@@ -253,23 +293,27 @@ object Search {
       .select(col("term"),
         (coalesce(col("df_old"), lit(0L)) +
           coalesce(col("df_new"), lit(0L))).as("df"))
-      .localCheckpoint(true)
-    termdf.repartitionByRange(math.max(1, batchFiles), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$cur/termdf")
+    // Stage-then-swap instead of localCheckpoint-then-overwrite: the merged
+    // relation is written ONCE to a sibling staging directory (it cannot
+    // overwrite the directory its own scan is reading), then two local
+    // renames swap it in — halving the vocabulary-tier I/O (the eager
+    // checkpoint materialized every row to block storage and read it
+    // back). The swap window is the same in-place-mutation exposure the
+    // scaladoc above documents; the atomic point stays the generation flip.
+    stageSwap(termdf.repartitionByRange(math.max(1, batchFiles), col("term"))
+      .sortWithinPartitions("term"), s"$cur/termdf")
     // stats: n counts ALL batch docs (token-less ones weigh on idf, the
     // buildIndex rule); sum_dl stays NULL only while BOTH sides are
     // token-free, matching what a from-scratch build would write
     val bStats = batch.agg(count(lit(1)).as("bn"))
-      .crossJoin(bdl.agg(sum("dl").as("bsum")))
+      .crossJoin(bp.agg(sum("tf").cast("long").as("bsum")))
     val stats = spark.read.parquet(s"$cur/stats")
       .crossJoin(bStats)
       .select((col("n") + col("bn")).as("n"),
         when(col("sum_dl").isNull && col("bsum").isNull, lit(null))
           .otherwise(coalesce(col("sum_dl"), lit(0L)) +
             coalesce(col("bsum"), lit(0L))).cast("long").as("sum_dl"))
-      .localCheckpoint(true)
-    stats.write.mode("overwrite").parquet(s"$cur/stats")
+    stageSwap(stats, s"$cur/stats")
     bp.unpersist()
   }
 

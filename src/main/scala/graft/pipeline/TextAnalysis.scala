@@ -19,7 +19,22 @@ object TextAnalysis {
   /** BPE-ish lexer: lowercased alphanumeric runs. */
   val TokenPattern = "[a-z0-9]+"
 
-  def tokens(text: Column): Column =
+  /** Bit-identical to `regexp_extract_all(lower(text), TokenPattern, 0)`
+    * (TokenizeSpec pins agreement, Unicode edge cases included) but runs
+    * as [[graft.functions.Tokenize]]'s native byte scan over `lower(text)`
+    * — tokenization is the leading per-row cost of every text pipeline,
+    * and the regex form pays a java.util.regex walk plus a UTF-16 round
+    * trip per row. Lowercasing stays with Spark's own `lower`, so the
+    * swap changes only how the character-class runs are extracted. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.Tokenize(ColumnBridge.expression(lower(text))))
+  }
+
+  /** The declarative spelling [[tokens]] must stay equivalent to — kept
+    * callable so TokenizeSpec can assert agreement on any corpus. */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
   /** Token counting under the two standard cheap lexers: whitespace runs
