@@ -250,7 +250,10 @@ object TextAnalysis {
     * Exact integer arithmetic end-to-end, so the DuckDB oracle matches
     * bit-for-bit. Docs with <2 tokens score (0, 0). */
   def lmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // widen BELOW the tokenize: the exchange must spread the raw text so
+    // tokenization/hashing run cluster-wide, not inside the serial scan
+    val toks = graft.util.Par.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = size(col("toks"))
     val pairs = zip_with(
       slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
@@ -258,15 +261,19 @@ object TextAnalysis {
       (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
     // occ feeds three consumers (both model aggregates + the scored join);
     // without a cache each one re-tokenizes and re-hashes the corpus (the
-    // plan showed three Generate-over-scan branches). Persist the compact
-    // hashed relation once — caller owns the cache lifetime (clearCache
-    // between pipeline stages, as Bench does per query).
+    // plan showed three Generate-over-scan branches). A LAZY persist is
+    // not enough here: the two model aggregates are independent stages of
+    // the same job, so they race on the unfilled cache and BOTH recompute
+    // the build — eagerly materialize the compact hashed relation once
+    // instead (localCheckpoint also cuts the lineage, so nothing below
+    // re-tokenizes). The build itself is widened above (Par.widen on the
+    // raw docs): bigram hashing is the query's dominant per-row cost.
     val occ = toks.where(n >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"),
         Dedup.hash60(col("p.bg")).as("hb"),
         Dedup.hash60(col("p.w1")).as("h1"))
-      .persist()
+      .localCheckpoint(true)
     val m12 = occ.groupBy("hb").agg(count(lit(1)).as("c12"))
     val m1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
     val scored = occ.join(m12, "hb").join(m1, "h1")
