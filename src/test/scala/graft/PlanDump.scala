@@ -23,7 +23,12 @@ object PlanDump {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // capture mode: checkpoint-tail operators keep their full lazy
+      // pipeline, so the dump shows the real plan instead of an
+      // ExistingRDD scan (util.PlanCapture scaladoc)
+      val df = graft.util.PlanCapture.capture {
+        SparkEntry.queries(name)(spark, sfDir)
+      }
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),

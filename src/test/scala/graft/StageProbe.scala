@@ -82,6 +82,19 @@ object StageProbe {
           f"shW=${s.shWrite / 1e6}%6.1fMB spill=${s.spill / 1e6}%5.1fMB " +
           f"tasks=${s.tasks}%4d ${s.name.take(40)}")
       }
+      // GRAFT_PROBE_FULL=1: the whole wall-ordered table — the view that
+      // exposes SERIAL stage chains and scheduling gaps, which the top-5
+      // task-time ranking hides on orchestration-bound queries
+      if (sys.env.get("GRAFT_PROBE_FULL").contains("1"))
+        rows.foreach { case (id, s) =>
+          val at = (s.submitted - t0) / 1e9
+          val w = if (s.completed > 0) (s.completed - s.submitted) / 1e9 else -1.0
+          println(f"[stageprobe]   all s$id at=$at%6.2f wall=$w%5.2f " +
+            f"task-s=${s.taskTimeMs / 1e3}%6.2f " +
+            f"in=${s.input / 1e6}%6.1fMB shR=${s.shRead / 1e6}%6.1fMB " +
+            f"shW=${s.shWrite / 1e6}%6.1fMB tasks=${s.tasks}%4d " +
+            s.name.take(40))
+        }
     }
     spark.stop()
   }
