@@ -369,7 +369,7 @@ object Curation {
     docs
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(win))
       // `div`/`%`, not `/`: Column./ is DOUBLE division
       .withColumn("seq", expr(s"(cum_tokens - n_tokens) div $budget"))

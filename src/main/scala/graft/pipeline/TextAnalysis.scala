@@ -37,6 +37,17 @@ object TextAnalysis {
   def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
+  /** `size(tokens(text))` as one counting byte scan
+    * ([[graft.functions.TokenCount]]) — no lowercased row copy, no token
+    * array — for consumers that need only the count (document length,
+    * corpus token totals). TokenizeSpec pins bit-equality with
+    * `size(tokens)`. */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.TokenCount(ColumnBridge.expression(text)))
+  }
+
   /** Token counting under the two standard cheap lexers: whitespace runs
     * (`\S+` — what "word count" means to a shell) and a BPE-ish pattern
     * (letter runs | single digits | punctuation runs — the shape of a
@@ -50,7 +61,7 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"), lit(0)))
           .cast("long").as("n_bpe_tokens"),
-        size(tokens(col("text"))).cast("long").as("n_word_tokens"),
+        tokenCount(col("text")).cast("long").as("n_word_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .withColumn("chars_per_bpe_micros",
         when(col("n_bpe_tokens") > 0,
@@ -250,15 +261,13 @@ object TextAnalysis {
     * Exact integer arithmetic end-to-end, so the DuckDB oracle matches
     * bit-for-bit. Docs with <2 tokens score (0, 0). */
   def lmScore(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // widen BELOW the tokenize: the exchange must spread the raw text so
     // tokenization/hashing run cluster-wide, not inside the serial scan
     val toks = graft.util.Par.widen(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = size(col("toks"))
-    val pairs = zip_with(
-      slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
-      slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
     // occ feeds three consumers (both model aggregates + the scored join);
     // without a cache each one re-tokenizes and re-hashes the corpus (the
     // plan showed three Generate-over-scan branches). A LAZY persist is
@@ -268,12 +277,45 @@ object TextAnalysis {
     // instead (localCheckpoint also cuts the lineage, so nothing below
     // re-tokenizes). The build itself is widened above (Par.widen on the
     // raw docs): bigram hashing is the query's dominant per-row cost.
-    val occ = toks.where(n >= 2)
-      .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"),
-        Dedup.hash60(col("p.bg")).as("hb"),
-        Dedup.hash60(col("p.w1")).as("h1"))
-      .localCheckpoint(true)
+    //
+    // The build runs as a tight per-partition loop (the hashedShingleDf
+    // discipline): the declarative spelling — zip two shifted slices,
+    // build a (w1, concat_ws bg) struct per pair, explode, then
+    // conv(substring(md5)) twice per row — allocates a struct, a joined
+    // string and two 32-char hex strings per bigram and falls out of
+    // whole-stage codegen at the Generate anyway. Here each token's
+    // 60-bit context hash is computed ONCE per position and reused, the
+    // bigram string is assembled in a reused builder, and md5Top60
+    // digests bytes without the hex round trip. Values are bit-identical
+    // to hash60(concat_ws(" ", w1, w2)) / hash60(w1)
+    // (TextAnalysisSpec pins the declarative twin; the oracle re-derives
+    // the same md5-based model end to end).
+    val occRaw = toks.where(n >= 2)
+      .select(col("doc_id"), col("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, ts) =>
+          val a = ts.toArray
+          val m = a.length - 1
+          val out = new Array[(Long, Long, Long)](m)
+          var prevH = Dedup.md5Top60(md, a(0))
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            sb.append(a(i)).append(' ').append(a(i + 1))
+            out(i) = (id, Dedup.md5Top60(md, sb.toString), prevH)
+            i += 1
+            if (i < m) prevH = Dedup.md5Top60(md, a(i))
+          }
+          out
+        }
+      }.toDF("doc_id", "hb", "h1")
+    // plan-dump mode downgrades to a lazy persist so the dumped plan shows
+    // the shared build as ONE InMemoryRelation instead of an ExistingRDD
+    val occ = if (graft.util.PlanCapture.enabled) occRaw.persist()
+              else occRaw.localCheckpoint(true)
     val m12 = occ.groupBy("hb").agg(count(lit(1)).as("c12"))
     val m1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
     val scored = occ.join(m12, "hb").join(m1, "h1")

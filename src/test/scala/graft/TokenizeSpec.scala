@@ -60,6 +60,31 @@ class TokenizeSpec extends AnyFunSuite {
     assert(spark.catalog.functionExists("graft_tokens"))
   }
 
+  test("tokenCount == size(tokens) on the edge-case corpus, nulls included") {
+    val df = (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+        (999L, null: String))
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("cnt"),
+        size(TextAnalysis.tokens(col("text"))).as("sz"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"id=${r.getLong(0)}")
+      else assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("tokenCount == size(tokens) on the sf0.001 documents corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bad = docs.select(
+        TextAnalysis.tokenCount(col("text")).as("cnt"),
+        size(TextAnalysis.tokens(col("text"))).as("sz"))
+      .where(not(col("cnt") <=> col("sz")))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("agreement on the sf0.001 documents corpus end to end") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val bad = docs.select(
