@@ -96,6 +96,27 @@ object IndexGen {
       .foreach(n => deleteRec(new File(root, n)))
   }
 
+  /** Hard-link every DATA file of relation directory `src` into `dst`
+    * (created): the cheap carry-forward for incremental generations —
+    * standing parquet part files are immutable once published, so a new
+    * generation shares them by link instead of rewriting index-sized
+    * bytes. Marker files (`_SUCCESS` and other `_`/`.`-prefixed names)
+    * are skipped; the appending writer publishes its own. Hard links are
+    * the same local/POSIX-filesystem contract as the pointer's
+    * ATOMIC_MOVE (an object-store deployment would copy object
+    * references instead). */
+  def linkDataFiles(src: String, dst: String): Unit = {
+    val s = new File(src)
+    val d = new File(dst)
+    d.mkdirs()
+    val fs = Option(s.listFiles()).getOrElse(Array.empty[File])
+    fs.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        Files.createLink(new File(d, f.getName).toPath, f.toPath)
+      }
+  }
+
   def deleteRec(f: File): Unit = {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(deleteRec)

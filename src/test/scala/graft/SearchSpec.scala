@@ -226,6 +226,74 @@ class SearchSpec extends AnyFunSuite {
       .count(_.getName.startsWith("gen_")) == 2)
   }
 
+  test("refresh flips generations atomically under concurrent readers: " +
+      "every query serves a whole pre- or post-batch generation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark joins merge shuffles"),
+      (2L, "window filter spark"),
+      (3L, "merge join join"),
+      (4L, "filter cat dog"),
+      (5L, "stream batch spark spark"),
+      (6L, "merge stream stream"),
+      (7L, "dog stream spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_refresh_race").toString
+    Search.buildIndex(docs.where(col("doc_id") <= 5),
+      "doc_id", "text", dir, nFiles = 2)
+    val qs = Seq(0L -> Seq("merge", "stream"), 1L -> Seq("spark", "dog"))
+    // The refresh pipeline is deterministic, so the three legal whole-
+    // generation results (pre-batch, post-batch-6, post-batch-6-and-7)
+    // are precomputed by replaying the chain — a reader racing the real
+    // chain must observe EXACTLY one of them; anything else means it
+    // paired postings/termdf/stats across a batch boundary (possible
+    // under the r16 in-place termdf/stats overwrite; the generation
+    // flip forbids it)
+    val legal = scala.collection.mutable.ArrayBuffer(
+      Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+        .orderBy("query_id", "rk").collect().toSeq)
+    for (hi <- Seq(6L, 7L)) {
+      val twin = java.nio.file.Files
+        .createTempDirectory(s"graft_bm25_refresh_twin$hi").toString
+      Search.buildIndex(docs.where(col("doc_id") <= 5),
+        "doc_id", "text", twin, nFiles = 2)
+      for (b <- 6L to hi)
+        Search.refreshIndex(spark, twin, docs.where(col("doc_id") === b),
+          "doc_id", "text", batchFiles = 2)
+      legal += Search.bm25TopKIndexed(spark, twin, qs, k = 10)
+        .orderBy("query_id", "rk").collect().toSeq
+    }
+    @volatile var failure: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+            .orderBy("query_id", "rk").collect().toSeq
+          if (!legal.contains(got))
+            throw new AssertionError(s"mixed generation observed: $got")
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      Search.refreshIndex(spark, dir, docs.where(col("doc_id") === 6),
+        "doc_id", "text", batchFiles = 2)
+      Search.refreshIndex(spark, dir, docs.where(col("doc_id") === 7),
+        "doc_id", "text", batchFiles = 2)
+    } finally { stop.set(true); reader.join() }
+    assert(failure.isEmpty, s"concurrent reader failed: ${failure.map(_.toString)}")
+    // the final chain serves exactly the full-corpus direct results
+    val direct = Search.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    val served = Search.bm25TopKIndexed(spark, dir, qs, k = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(served == direct)
+    // steady state: serving generation + one-cycle grace predecessor
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("gen_")) == 2)
+  }
+
   test("rrfFuse sums reciprocal ranks, handles single-list docs, ranks top-k") {
     val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
       .toDF("query_id", "rk", "doc_id")
