@@ -39,8 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Node-count ceiling for the broadcast iteration plan: below it the
+    * node-sized relations (out-degrees, per-iteration contribution sums)
+    * ride broadcasts and the edge cache is clustered by `dst`, so each
+    * iteration is one streamed cache scan + one node-sized exchange —
+    * no edge-mass shuffle at all. 4M nodes is ~100 MB of hash relation
+    * per executor, well under the working memory the shuffles it
+    * replaces would use; above it the shuffled plan (edge cache
+    * clustered by `src`, contribs exchanged to it) is the scale-safe
+    * shape. */
+  val BroadcastMaxNodes = 4000000L
+
+  /** @param broadcastMaxNodes node-count ceiling for the broadcast plan
+    *        ([[BroadcastMaxNodes]]); 0 forces the shuffled plan (test
+    *        hook — PageRankSpec pins both plans bit-identical) */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            iters: Int = 3, dampMicros: Long = 850000L): DataFrame = {
+            iters: Int = 3, dampMicros: Long = 850000L,
+            broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampMicros >= 0 && dampMicros <= 1000000L,
       "dampMicros must be in [0, 1e6]")
@@ -52,34 +67,71 @@ object PageRank {
     // pay its lineage once per consumer.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg): the relation every iteration joins against
-    val withDeg = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
+    // the node count gates the broadcast plan; the count action
+    // materializes the node-set cache the FINAL join reuses, so it costs
+    // one scheduling round, not an extra pipeline run
+    val nNodes = nodes.count()
+    val useBc = nNodes <= broadcastMaxNodes
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = if (useBc) broadcast(deg0) else deg0
+    // (src, dst, outdeg): the relation every iteration joins against.
+    // Broadcast plan: clustered by DST, so the per-iteration partial
+    // aggregation of contributions collapses each dst inside its own
+    // partition and the iteration's one exchange is node-sized — under
+    // the src-clustering a dense graph puts nearly every dst in every
+    // map partition and the "partial" aggregation shuffles close to the
+    // full contribution mass (measured 600 MB/iteration at 100x).
+    val withDeg =
+      if (useBc) e.join(deg, "src").repartition(col("dst")).persist()
+      else e.join(deg, "src").persist()
 
-    var ranks = nodes.withColumn("rank_micros", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+    // rank_micros = base + floor(s * damp / 1e6) with s the node's summed
+    // in-contributions (0 when absent) — the exact Euclidean-split damping
+    // from the object scaladoc, applied to a possibly-NULL sum
+    val rankExpr =
+      s"$base + (coalesce(s, 0L) div 1000000) * $dampMicros" +
+        s" + ((coalesce(s, 0L) % 1000000) * $dampMicros) div 1000000"
+
+    // Iterate on the CONTRIBUTION-SUM relation, not the rank relation:
+    // a node absent from `contrib` has rank exactly `base` (a constant),
+    // so the per-iteration "left-join every node, default the sum to 0"
+    // step is folded into the NEXT iteration's src join as a left join +
+    // coalesce — same values by construction, one join and one node-set
+    // cache scan fewer per iteration. Iteration 1's uniform rank of 1e6
+    // needs no join at all. The rank relation itself is materialized once,
+    // at the end, by the final nodes left join.
+    var contrib = withDeg
+      .select(col("dst").as("node"),
+        expr("1000000 div outdeg").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
+    for (_ <- 2 to iters) {
+      // broadcast plan: the node-sized contribution sums ship to the
+      // streamed edge cache — the join needs no exchange on either side
+      val prev0 = contrib.withColumnRenamed("node", "src")
+      val prev = if (useBc) broadcast(prev0) else prev0
+      contrib = withDeg
+        .join(prev, Seq("src"), "left")
         .select(col("dst").as("node"),
-          expr("rank_micros div outdeg").as("c"))
+          expr(s"($rankExpr) div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"(coalesce(s, 0L) div 1000000) * $dampMicros" +
-              s" + ((coalesce(s, 0L) % 1000000) * $dampMicros) div 1000000")
-          ).as("rank_micros"))
     }
+    val lastContrib =
+      if (useBc) broadcast(contrib) else contrib
+    val ranks = nodes.join(lastContrib, Seq("node"), "left")
+      .select(col("node"), expr(rankExpr).as("rank_micros"))
     // node-sized materialization cuts the iters-deep lineage and lets the
     // persisted edge/node caches release deterministically
-    val out = ranks.localCheckpoint(true)
-    e.unpersist()
-    withDeg.unpersist()
-    nodes.unpersist()
-    out
+    if (graft.util.PlanCapture.enabled) ranks
+    else {
+      val out = ranks.localCheckpoint(true)
+      e.unpersist()
+      withDeg.unpersist()
+      nodes.unpersist()
+      out
+    }
   }
 
   /** Undirected convenience: symmetrize `u—v` pairs then rank.

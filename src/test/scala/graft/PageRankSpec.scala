@@ -51,6 +51,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(7L) == 150000L, "no-in-edge node holds the base term")
   }
 
+  test("broadcast and shuffled iteration plans are bit-identical") {
+    // the node-count gate picks the broadcast plan at test scale;
+    // broadcastMaxNodes = 0 forces the shuffled plan — both must produce
+    // the exact same ranks (same arithmetic, different join transport)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (4L, 5L), (5L, 6L),
+      (7L, 1L), (1L, 2L), (2L, 3L))
+    val df = edges.toDF("src", "dst")
+    val bc = PageRank.ranks(df, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = PageRank.ranks(df, "src", "dst", iters = 3,
+        broadcastMaxNodes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == sh)
+    assert(bc == model(edges, 3))
+  }
+
   test("ranks are invariant under input partitioning and row order") {
     val edges = (1L to 40L).map(i => (i, i % 7 + 100L)) ++
       (100L to 106L).map(i => (i, (i % 5) + 1L))
