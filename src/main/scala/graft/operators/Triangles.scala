@@ -32,9 +32,9 @@ object Triangles {
     * overhead; the 10x copy (12M edges) and up take the wide streamed
     * plan. */
   val WedgeWidenMinEdges = 8000000L
-  /** Serialized wedge row estimate (5 BIGINT columns + row overhead) and
+  /** Serialized wedge row estimate (3 BIGINT columns + row overhead) and
     * the per-reduce-partition wedge budget the auto width targets. */
-  val WedgeRowBytes = 48L
+  val WedgeRowBytes = 32L
   val WedgeTargetPartitionBytes = 64L << 20
 
   /** @param edges undirected edge list; self-loops dropped, duplicates and
@@ -115,7 +115,11 @@ object Triangles {
 
     // orient each edge from the (degree, id)-smaller endpoint to the
     // larger; persisted — it feeds the two wedge arms, the closing join,
-    // and the bloom sketch (recomputing runs the degree joins four times)
+    // and the bloom sketch (recomputing runs the degree joins four times).
+    // Measured rejection (r17, TriHintAB: same-JVM interleaved A/B at the
+    // 100x copy): `shuffle_hash` hints on the degree sides — "stream the
+    // edge mass unsorted past a node-sized hash build" — regressed the
+    // whole operator 152 -> 196-316 s. The sort-merge default stays.
     val oriented = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
@@ -135,9 +139,15 @@ object Triangles {
     // closing edge is looked up in its stored direction
     val a1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("dd1"))
     val a2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("dd2"))
+    // the ordering filter consumes the degree columns BEFORE any exchange;
+    // projecting them away here keeps the m^1.5-sized wedge relation at 3
+    // BIGINTs through the closing exchange instead of 5 (the dd1/dd2 ride
+    // bought nothing downstream — measured 40% of the operator's biggest
+    // shuffle write)
     val wedges = a1.join(a2, "src")
       .where(col("dd1") < col("dd2") ||
         (col("dd1") === col("dd2") && col("d1") < col("d2")))
+      .select("src", "d1", "d2")
 
     val spark = edges.sparkSession
     // 2^30 bits = 128 MiB, the graft_bloom_agg ceiling. The sketch ships as
@@ -224,9 +234,12 @@ object Triangles {
     // it eagerly (cutting lineage) so the big persisted intermediate and
     // the sketch broadcast can be released deterministically instead of
     // leaking across invocations
-    val out = result.localCheckpoint(true)
-    oriented.unpersist()
-    prunedWedges._2.foreach(_.destroy())
-    out
+    if (graft.util.PlanCapture.enabled) result
+    else {
+      val out = result.localCheckpoint(true)
+      oriented.unpersist()
+      prunedWedges._2.foreach(_.destroy())
+      out
+    }
   }
 }

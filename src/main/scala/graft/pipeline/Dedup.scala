@@ -250,17 +250,13 @@ object Dedup {
     * 100*|A∩B| >= threshold*|A∪B| survive. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 10,
                         thresholdPct: Int = 30): DataFrame = {
-    // the hashed-shingle relation feeds every downstream join — persist the
-    // compact per-doc arrays once; consumers (sizes, two explode sides, the
-    // rare-shingle filter) re-derive from the cache with cheap narrow ops.
+    // the hashed-shingle relation feeds every downstream join — materialize
+    // the compact per-doc arrays once; consumers (sizes, two explode sides,
+    // the rare-shingle filter) re-derive from it with cheap narrow ops.
     // Shingles enter the joins as 60-bit md5 hashes: candidate and
     // intersection joins run on BIGINT keys instead of multi-word strings —
     // far less shuffle volume and cheaper probes. The DuckDB oracle hashes
     // identically, so even md5 collisions (~2^-60) agree across engines.
-    // Cache lifetime: the returned lazy DataFrame reads this cache, so it
-    // cannot be unpersisted here — the caller owns it (consume the result,
-    // then `spark.catalog.clearCache()` between pipeline stages, as Bench
-    // does per query; otherwise LRU eviction reclaims it).
     //
     // Widened (util.Par scaladoc): the shingle build plus the downstream
     // full-corpus shingle EXPLODE (the df pass and both candidate arms
@@ -271,7 +267,23 @@ object Dedup {
     // on purpose: their per-call shingle work is small and the extra
     // exchange + 32-task stages measurably LOSE on batch-sized inputs
     // (dedup_index_refresh 2.0 -> 4.5 s in the same A/B that won here).
+    // EAGER cache fill, not a lazy persist: the downstream consumers are
+    // independent map stages of one AQE job (the df aggregate, both
+    // candidate arms, both pairOverlap sides) and they LAUNCH concurrently
+    // — racing a lazy cache means several of them recompute the whole
+    // tokenize+md5 shingle build before the blocks land (measured at 100x:
+    // two concurrent 61 task-s builds of identical work). The count()
+    // materializes the COLUMNAR cache up front, so every consumer reads
+    // blocks. (An eager localCheckpoint was measured instead and rejected:
+    // it stores row-based blocks — several times the columnar cache's
+    // footprint for these array rows — and regressed the 100x run 6 -> 22 s
+    // under the resulting memory pressure.)
+    // Cache lifetime: the returned lazy DataFrame reads this cache, so it
+    // cannot be unpersisted here — the caller owns it (consume the result,
+    // then `spark.catalog.clearCache()` between pipeline stages, as Bench
+    // does per query; otherwise LRU eviction reclaims it).
     val hdf = hashedShingleDf(graft.util.Par.widen(docs), w).persist()
+    if (!graft.util.PlanCapture.enabled) hdf.count()
     val ex = hdf.select(col("doc_id"), explode(col("hs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val rareEx = ex.join(rare.select("s"), "s")
